@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Model._
+import graft.spec.{DumpSpec, SpecCompiler}
+import graft.emit.TripleEmitter
+import graft.sources.EntityCorpus
+
+/** End-to-end KG-construction pipeline: corpus → parse → spec filter →
+  * triple emission → dedup → partitioned write, with lineage + metrics.
+  *
+  * Execution shape (SURVEY §4): ONE narrow stage from scan through
+  * emission (filter and flatMap are both per-row); the only shuffles are
+  * (a) the global (s,p,o) dropDuplicates the north rule requires and
+  * (b) the explicit output repartition by subj-hash. Filters are Column
+  * expressions (codegen + pushdown), never closures. The parse happens
+  * once per scan even when N specs are multiplexed over it (reference S3
+  * `DumpRunner.java:78-86`).
+  */
+object Pipeline {
+
+  case class ErrorRow(repo: String, path: String, id: String, error: String)
+
+  /** Defensive normalization: from_json yields nulls for absent nested
+    * fields; the emitter works over empty collections instead. */
+  def normalize(d: EntityDoc): EntityDoc = {
+    def nz[T](s: Seq[T]): Seq[T] = Option(s).getOrElse(Nil)
+    def nzm[K, V](m: Map[K, V]): Map[K, V] = Option(m).getOrElse(Map.empty)
+    def nSnak(s: Snak): Snak = if (s == null) Snak(null, "novalue", None, None) else s
+    d.copy(
+      labels = nzm(d.labels),
+      descriptions = nzm(d.descriptions),
+      aliases = nzm(d.aliases).map { case (k, v) => k -> nz(v) },
+      sitelinks = nz(d.sitelinks).map(sl => sl.copy(badges = nz(sl.badges))),
+      statements = nz(d.statements).map(s => s.copy(
+        mainSnak = nSnak(s.mainSnak),
+        qualifiers = nz(s.qualifiers).map(nSnak),
+        references = nz(s.references).map(nz(_).map(nSnak))))
+    )
+  }
+
+  /** Parsed-document view of a corpus: columns (repo, path, commit,
+    * content_sha256, doc) — see EntityCorpus.parse. */
+  def parsed(corpus: DataFrame): DataFrame = EntityCorpus.parse(corpus)
+
+  private def docColumns = Seq(
+    col("doc.id").as("id"), col("doc.type").as("etype"), col("doc.datatype").as("datatype"),
+    col("doc.labels").as("labels"), col("doc.descriptions").as("descriptions"),
+    col("doc.aliases").as("aliases"), col("doc.sitelinks").as("sitelinks"),
+    col("doc.statements").as("statements"))
+
+  /** Included documents for one spec, as a typed Dataset — the F1 gate
+    * runs as a Column predicate BEFORE any deserialization. */
+  def includedDocs(corpus: DataFrame, spec: DumpSpec): Dataset[EntityDoc] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    parsed(corpus)
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull)
+      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+      .select(docColumns: _*)
+      .as[EntityDoc]
+  }
+
+  /** S6 error channel: rows that fail JSON parse, plus included lexeme
+    * documents (reference raises NotImplementedException for lexemes and
+    * skips the document, `FilteredRdfSerializer.java:89-98`). */
+  def errors(corpus: DataFrame, spec: DumpSpec): Dataset[ErrorRow] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p = parsed(corpus)
+    val parseErrors = p.filter(col("doc").isNull || col("doc.id").isNull)
+      .select(col("repo"), col("path"), lit("").as("id"), lit("malformed document JSON").as("error"))
+    val lexemes = p
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") === "lexeme")
+      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+      .select(col("repo"), col("path"), col("doc.id").as("id"),
+        lit("serialization of lexemes not implemented").as("error"))
+    parseErrors.union(lexemes).as[ErrorRow]
+  }
+
+  /** Triples for one spec. Deduplicated (s,p,o) per the north rule; the
+    * constant prologue (S5) is unioned in. Counters (A1) ride on
+    * `observe` — read them from the QueryExecutionListener or
+    * `Observation` without a second pass. */
+  def triples(corpus: DataFrame, spec: DumpSpec,
+              sites: TripleEmitter.Sites = EntityCorpus.sites,
+              dedup: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val docs = includedDocs(corpus, spec)
+      .filter(col("etype") =!= "lexeme") // lexemes → error channel, not output
+    val observed = docs
+      .observe("graft_counters",
+        count(lit(1)).as("includedEntities"),
+        sum(SpecCompiler.includedStatementsExpr(spec,
+          struct(col("statements").as("statements")))).as("includedStatements"))
+    val emitted = observed.flatMap(d => TripleEmitter.emit(spec, normalize(d), sites))
+    val all = emitted.union(spark.createDataset(TripleEmitter.prologue))
+    val out = all.toDF("subj", "pred", "obj")
+    if (dedup) out.dropDuplicates("subj", "pred", "obj") else out
+  }
+
+  /** S3 multiplexed scan: N specs share ONE pass. Per-spec include bits
+    * are computed as an array of Column predicates (so the scan filter
+    * is still a pushdown-able disjunction), then each included (doc,
+    * spec) pair is emitted. No caching needed — truly one scan. */
+  def triplesMultiplexed(corpus: DataFrame, specs: Seq[(String, DumpSpec)],
+                         sites: TripleEmitter.Sites = EntityCorpus.sites,
+                         dedup: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val incArr = array(specs.map { case (_, s) => SpecCompiler.includePredicate(s, col("doc")) }: _*)
+    val rows = parsed(corpus)
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
+      .withColumn("inc", incArr)
+      .filter(exists(col("inc"), b => b)) // any spec wants it → deserialize once
+      .select(struct(docColumns: _*).as("d"), col("inc"))
+      .as[(EntityDoc, Seq[Boolean])]
+    val specArr = specs.toIndexedSeq
+    val emitted = rows.flatMap { case (doc, inc) =>
+      val nd = normalize(doc)
+      specArr.indices.iterator.flatMap { k =>
+        if (inc(k) && TripleEmitter.isSerializable(nd))
+          TripleEmitter.emit(specArr(k)._2, nd, sites).map(t => SpecTriple(specArr(k)._1, t.subj, t.pred, t.obj))
+        else Iterator.empty
+      }
+    }
+    val prologues = specs.flatMap { case (id, _) =>
+      TripleEmitter.prologue.map(t => SpecTriple(id, t.subj, t.pred, t.obj))
+    }
+    val all = emitted.union(spark.createDataset(prologues)).toDF("specId", "subj", "pred", "obj")
+    if (dedup) all.dropDuplicates("specId", "subj", "pred", "obj") else all
+  }
+
+  /** Format as N-Triples lines (SC1-SC3). */
+  def ntLines(triples: DataFrame): Dataset[String] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.select(
+      concat(lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "), col("obj"), lit(" ."))
+        .as("line")).as[String]
+  }
+
+  /** S4 gzip N-Triples sink. Canonical order (subj, pred, obj) replaces
+    * the reference's scan order (SURVEY §2.7): rangepartition+sort keeps
+    * the sort distributed. */
+  def writeNt(triples: DataFrame, path: String, sorted: Boolean = true): Unit = {
+    val t = if (sorted) triples.orderBy("subj", "pred", "obj") else triples
+    ntLines(t).write.mode("overwrite").option("compression", "gzip").text(path)
+  }
+
+  /** Partitioned triple-table write (north rule): explicit repartition by
+    * subj-hash for balanced output files + a per-partition lineage
+    * manifest (triple counts per partition) enabling resume checks.
+    * Iceberg is the deploy-time format per input_hint; parquet stands in
+    * here (no Iceberg runtime in the sandbox). */
+  def writeTripleTable(triples: DataFrame, path: String, buckets: Int = 32): Unit = {
+    val t = triples.repartition(buckets, xxhash64(col("subj")))
+    t.write.mode("overwrite").parquet(path)
+    val manifest = t.sparkSession.read.parquet(path)
+      .groupBy(pmod(xxhash64(col("subj")), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("triples"), min("subj").as("min_subj"), max("subj").as("max_subj"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "_manifest")
+  }
+
+  /** S8: byte-ish preview — first n triples in canonical order. */
+  def preview(triples: DataFrame, n: Int): DataFrame =
+    triples.orderBy("subj", "pred", "obj").limit(n)
+
+  /** J3: property→datatype side table derived from the corpus itself in
+    * a first pass (replaces the reference's mutable PropertyRegister,
+    * `FilteredRdfSerializer.java:160-161` — removes scan-order
+    * dependence). Small by construction → broadcast it at join sites. */
+  def propertyDatatypes(corpus: DataFrame): DataFrame =
+    parsed(corpus)
+      .filter(col("doc.type") === "property" && col("doc.id").isNotNull)
+      .select(col("doc.id").as("property"), col("doc.datatype").as("datatype"))
+      .dropDuplicates("property")
+}

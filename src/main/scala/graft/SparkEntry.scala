@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.EntityCorpus
+import graft.spec.SpecJson
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator (SURVEY §2 ids in
+  * comments); `oracleSql` the DuckDB-equivalent ANSI SQL on the same
+  * parquet tables. Numeric convention for cross-engine bit-equality:
+  * aggregate doubles as exact DECIMAL(18,2) sums, then cast to DOUBLE —
+  * identical in Spark and DuckDB regardless of partial-agg order.
+  * KG-pipeline queries that aren't SQL-expressible carry no oracle
+  * (rows-only check) but are golden-tested in ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact sum of a 2-decimal double column, returned as double */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def loadSpec(name: String): graft.spec.DumpSpec = {
+    val in = getClass.getResourceAsStream(s"/specs/$name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try SpecJson.parse(src.mkString) finally src.close()
+  }
+
+  /** Flagship query on sf=0.001: the humans.json KG pipeline over the
+    * deterministic synthetic corpus (SURVEY §7.3). Driver smoke-checks
+    * rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = EntityCorpus.generate(spark, 2000).toDF()
+    Pipeline.triples(corpus, loadSpec("humans.json"))
+  }
+
+  // ----------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A5-style hash aggregation (partial+final, map-side combine)
+    "q1_agg" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - $"l_discount".cast("decimal(5,2)")))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    // J4 inner joins: dims broadcast (small sides), fact stays partitioned
+    "q_join_multi" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val o = t(dir, "orders"); val c = t(dir, "customer")
+      val n = t(dir, "nation"); val r = t(dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+    // J5 left-outer join (dump⟕run analog)
+    "q_left_outer" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer"); val o = t(dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("total"))
+        .orderBy($"c_custkey")
+    },
+    // J1/F4 existential semi-join (EXISTS)
+    "q_semi_exists" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer"); val o = t(dir, "orders")
+      c.join(o.filter($"o_orderstatus" === "F").select("o_custkey"),
+          c("c_custkey") === col("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+    // anti join (NOT EXISTS)
+    "q_anti" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer"); val o = t(dir, "orders")
+      c.join(o.select("o_custkey"), c("c_custkey") === col("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+    // §2.7 top-k = orderBy+limit (TakeOrderedAndProject)
+    "q_topk" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "orders").select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(10)
+    },
+    // A3 best-rank analog: per-group max then keep argmax rows (window)
+    "q_bestrank_window" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+      t(dir, "lineitem")
+        .withColumn("max_qty", max($"l_quantity").over(w))
+        .filter($"l_quantity" === $"max_qty")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    // D1 dedup: SELECT DISTINCT → partial+final hash aggregate
+    "q_distinct" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "lineitem").select($"l_returnflag", $"l_linestatus", $"l_shipdate")
+        .distinct().orderBy($"l_returnflag", $"l_linestatus", $"l_shipdate")
+    },
+    // D3 set ops: UNION ALL + dedup
+    "q_union_keys" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer").select($"c_nationkey".cast("int").as("key"))
+      val su = t(dir, "supplier").select($"s_nationkey".cast("int").as("key"))
+      c.union(su).distinct().orderBy($"key")
+    },
+    // F7 deterministic order-independent sampling (hash-mod analog)
+    "q_sample_mod" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "orders").filter(pmod($"o_orderkey", lit(100)) < 37)
+        .select($"o_orderkey", $"o_custkey").orderBy($"o_orderkey")
+    },
+    // A1 running counters analog: per-key counts + exact sums
+    "q_event_counters" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events").groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .orderBy($"event_type")
+    },
+    // §2.9 processing-time window analog: tumbling event-time window agg
+    "q_time_window" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"hour", $"event_type")
+    },
+    // §2.7 keyset pagination (ORDER BY id > anchor LIMIT n)
+    "q_keyset_page" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events").filter($"event_id" > 500)
+        .select($"event_id", $"event_type").orderBy($"event_id").limit(100)
+    },
+    // A5 min/max/avg stats
+    "q_minmax" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "orders").agg(
+        min($"o_orderkey").as("min_id"), max($"o_orderkey").as("max_id"),
+        count(lit(1)).as("n"),
+        (dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
+    },
+    // SC7 sha256 lineage (north-rule per-row invariant)
+    "q_sha256_lineage" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents").select($"doc_id", sha2($"text", 256).as("sha"))
+        .orderBy($"doc_id")
+    },
+    // text analysis: token counting (whitespace tokenizer)
+    "q_tokens" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+    // text analysis: quality metrics (integer-exact)
+    "q_text_quality" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val toks = split($"text", " ")
+      t(dir, "documents").select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_distinct_words"),
+        array_max(transform(toks, w => length(w))).as("max_word_len"))
+        .orderBy($"doc_id")
+    },
+    // exact dedup: content-hash groupBy, canonical = min id
+    "q_exact_dedup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents").groupBy($"text")
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select($"canonical_id", $"n_copies")
+        .orderBy($"canonical_id")
+    },
+    // document fingerprinting: sha256 over sorted distinct token set
+    "q_fingerprint" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents").select($"doc_id",
+        sha2(concat_ws(" ", array_sort(array_distinct(split($"text", " ")))), 256)
+          .as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    // KG pipeline (not SQL-expressible → rows-only check here; golden
+    // set-equality vs the oracle emitter lives in GoldenSpec)
+    "kg_humans_triples" -> { (s, dir) =>
+      val n = corpusSizeFor(dir)
+      Pipeline.triples(EntityCorpus.generate(s, n).toDF(), loadSpec("humans.json"))
+        .orderBy("subj", "pred", "obj")
+    },
+    "kg_multiplex_examples" -> { (s, dir) =>
+      val n = corpusSizeFor(dir)
+      val specs = Seq("nothing.json", "english-labels.json", "humans.json", "politicians.json")
+        .map(f => f.stripSuffix(".json") -> loadSpec(f))
+      Pipeline.triplesMultiplexed(EntityCorpus.generate(s, n).toDF(), specs)
+        .groupBy(col("specId")).agg(count(lit(1)).as("triples"))
+        .orderBy(col("specId"))
+    }
+  )
+
+  /** scale the synthetic KG corpus with the sf directory */
+  private def corpusSizeFor(dir: String): Long =
+    if (dir.contains("0.001")) 2000L else if (dir.contains("0.01")) 20000L else 200000L
+
+  // ----------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_bestrank_window" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS max_qty
+        |  FROM lineitem) WHERE l_quantity = max_qty
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+    "q_union_keys" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS key FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS INTEGER) AS key FROM supplier)
+        |ORDER BY key""".stripMargin,
+    "q_sample_mod" ->
+      """SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 100 < 37
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_event_counters" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_keyset_page" ->
+      """SELECT event_id, event_type FROM events WHERE event_id > 500
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+    "q_minmax" ->
+      """SELECT MIN(o_orderkey) AS min_id, MAX(o_orderkey) AS max_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders""".stripMargin,
+    "q_sha256_lineage" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q_tokens" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id",
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words,
+        |  CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS max_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }
