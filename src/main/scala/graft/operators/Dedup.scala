@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-aggregate shuffle on the content key;
+  *  - MinHash+LSH: map-side signatures (no shuffle), band-bucket join
+  *    (shuffle on small band keys), exact Jaccard verify only on
+  *    candidates — never the O(n²) cross join;
+  *  - SimHash: map-side 32-bit signature + bit_count XOR verify;
+  *  - n-gram Jaccard: relational token join bounded to a grouping key.
+  *
+  * Two token-id strategies: xxhash64 (the scale path) and a rank-based
+  * id (dense_rank over the sorted global vocabulary) that is exactly
+  * reproducible in portable SQL — the DuckDB oracle uses the latter.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical = min(id) per identical content. */
+  def exact(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.groupBy(content.as("content"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** (docId, token) pairs — distinct tokens per doc. */
+  def docTokens(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(array_distinct(split(text, " "))).as("token"))
+
+  /** Rank-based token ids: dense_rank over the sorted distinct global
+    * vocabulary. One extra shuffle over the (small) vocabulary; portable
+    * to the SQL oracle. */
+  def rankTokenIds(tok: DataFrame): DataFrame = {
+    val vocab = tok.select("token").distinct()
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("token")).cast("long"))
+    tok.join(vocab, "token")
+  }
+
+  /** MinHash signatures with k hash functions.
+    * rankBased=false (scale path): h_i(t) = xxhash64(token, i) — pure
+    * map-side, signature agg is partial-aggregable (min).
+    * rankBased=true (oracle path): h_i(t) = (a_i * token_id + b_i) mod p
+    * over rank token ids — integer-exact in any SQL engine. */
+  val minhashPrime = 1000003L
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3L, 7L * i + 1L))
+
+  def minhash(df: DataFrame, id: Column, text: Column, k: Int = 8,
+              rankBased: Boolean = false): DataFrame = {
+    val tok = docTokens(df, id, text)
+    if (rankBased) {
+      val withIds = rankTokenIds(tok)
+      val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(lit(a) * col("token_id") + lit(b), lit(minhashPrime))).as(s"mh$i")
+      }
+      withIds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    } else {
+      val aggs = (0 until k).map(i => min(xxhash64(col("token"), lit(i))).as(s"mh$i"))
+      tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** LSH banding over a minhash signature: bands of `rowsPerBand`
+    * columns hashed to one bucket key each. Docs sharing any
+    * (band, bucket) become candidate pairs. */
+  def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      sig.select(col("doc_id"), lit(bnd).as("band"), hash(cols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for a pair set (verification stage):
+    * inter/union counts via the token join, integer-exact. */
+  def jaccardVerify(candidates: DataFrame, tok: DataFrame, minPercent: Int): DataFrame = {
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val ta = tok.select(col("doc_id").as("id_a"), col("token"))
+    val tb = tok.select(col("doc_id").as("id_b"), col("token").as("token_b"))
+    val inter = candidates.join(ta, "id_a").join(tb, "id_b")
+      .filter(col("token") === col("token_b")) // pushed into the join by Catalyst
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+      .filter(lit(100) * col("inter") >= lit(minPercent) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signatures → banding → exact
+    * verify. Returns verified near-dup pairs. */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+                      k: Int = 8, rowsPerBand: Int = 2, minJaccardPercent: Int = 60,
+                      rankBased: Boolean = false): DataFrame = {
+    val sig = minhash(df, id, text, k, rankBased)
+    val cand = lshCandidates(sig, k, rowsPerBand)
+    jaccardVerify(cand, docTokens(df, id, text), minJaccardPercent)
+  }
+
+  /** All-pairs n-gram Jaccard within a grouping key (bounded relational
+    * formulation — the group key caps the quadratic blowup). */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, group: Column,
+                   minPercent: Int): DataFrame = {
+    val tok = df.select(id.as("doc_id"), group.as("grp"),
+      explode(array_distinct(split(text, " "))).as("token"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val a = tok.select(col("doc_id").as("id_a"), col("grp"), col("token"))
+    val b = tok.select(col("doc_id").as("id_b"), col("grp").as("grp_b"), col("token").as("token_b"))
+    val inter = a.join(b, col("grp") === col("grp_b") && col("token") === col("token_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+      .filter(lit(100) * col("inter") >= lit(minPercent) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+  }
+
+  /** 32-bit SimHash over rank token ids (portable arithmetic:
+    * h(t) = (token_id * 2654435761) mod 2^32; bit j weighted ±1;
+    * signature bit j set iff the weighted sum is positive). */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    val tok = rankTokenIds(docTokens(df, id, text))
+      .withColumn("h", pmod(col("token_id") * lit(2654435761L), lit(4294967296L)))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(pmod(col("h").divide(lit(1L << j)).cast("long"), lit(2L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between simhash signatures (near-dup when small). */
+  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

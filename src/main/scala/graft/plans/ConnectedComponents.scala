@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components via large-star / small-star
+  * alternation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — public algorithm). Converges in O(log n) rounds on
+  * power-law graphs, each round two shuffles; lineage is truncated with
+  * localCheckpoint so the plan doesn't grow across iterations (the
+  * classic iterative-join OOM at scale).
+  *
+  * Node ids are strings; the component representative is the MINIMUM
+  * node id (lexicographic) — the same semantics a SQL `MIN over
+  * transitive closure` oracle computes, which keeps the operator
+  * DuckDB-checkable.
+  *
+  * North-rule role: entity canonicalization over alias/sameAs edges
+  * (SURVEY §7.1 step 4). The reference's closest analog is
+  * content-identity dedup of reference nodes (D1,
+  * `FilteredRdfSerializer.java:57-58,153`).
+  *
+  * Skew posture: hub nodes (P31/P279-like) produce power-law degree;
+  * large-star is exactly the step that splits high-degree stars, and
+  * AQE skew-join handling covers the join sides. No salting needed
+  * because groupBy(min) is a partial-aggregable operation.
+  */
+object ConnectedComponents {
+
+  /** edges: DataFrame with two string columns (a, b). Returns
+    * (node, component) covering every node that appears in any edge. */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    val a = "a"; val b = "b"
+
+    // normalize: drop self loops + dups, both directions not needed yet
+    var e = edges.toDF(a, b).where(col(a) =!= col(b))
+      .select(col(a), col(b)).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    var prevSig = signature(e)
+    while (!converged && iter < maxIter) {
+      // ---- large-star: for each u, connect strictly-larger neighbors to
+      // min(N(u) ∪ {u})
+      val und = e.union(e.select(col(b).as(a), col(a).as(b)))
+      val mins = und.groupBy(a).agg(least(min(col(b)), first(col(a))).as("m"))
+      val large = und.join(mins, a)
+        .where(col(b) > col(a))
+        .select(col(b).as(a), col("m").as(b))
+        .where(col(a) =!= col(b))
+        .distinct()
+
+      // ---- small-star: orient (max→min), connect all smaller neighbors
+      // and u itself to min(N(u) ∪ {u})
+      val oriented = large.select(greatest(col(a), col(b)).as(a), least(col(a), col(b)).as(b))
+      val mins2 = oriented.groupBy(a).agg(least(min(col(b)), first(col(a))).as("m"))
+      val joined = oriented.join(mins2, a)
+      val small = joined.select(col(b).as(a), col("m").as(b))
+        .union(joined.select(col(a), col("m").as(b)))
+        .where(col(a) =!= col(b))
+        .distinct()
+
+      val next = small.localCheckpoint(true) // truncate lineage, materialize
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+
+    // final state: star graphs node→min. Every edge (a,b) has b = component
+    // of a; the representative itself appears only on the b side.
+    val members = e.select(col(a).as("node"), col(b).as("component"))
+    val reps = e.select(col(b).as("node"), col(b).as("component")).distinct()
+    members.union(reps).distinct()
+  }
+
+  /** order-insensitive edge-set signature for convergence detection
+    * (bit_xor: commutative and overflow-free under ANSI mode) */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

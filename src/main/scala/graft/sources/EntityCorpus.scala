@@ -29,7 +29,8 @@ object EntityCorpus {
     "P50" -> "wikibase-item", "P1082" -> "quantity", "P625" -> "globe-coordinate",
     "P1448" -> "monolingualtext", "P212" -> "string", "P585" -> "time",
     "P1545" -> "string", "P248" -> "wikibase-item", "P854" -> "url",
-    "P22" -> "wikibase-item", "P40" -> "wikibase-item", "P279" -> "wikibase-item"
+    "P22" -> "wikibase-item", "P40" -> "wikibase-item", "P279" -> "wikibase-item",
+    "P460" -> "wikibase-item"
   )
   private val datatypeCycle = Seq("string", "quantity", "time", "wikibase-item", "url", "external-id")
 
@@ -178,6 +179,8 @@ object EntityCorpus {
       if (draw(seed, i, 9010, 6) == 0) addStmt("P40", "normal")
       // deprecated-only group: best-rank must find nothing
       if (draw(seed, i, 9011, 8) == 0) addStmt("P22", "deprecated")
+      // P460 sameAs alias edges (canonicalization input, north-rule step 4)
+      if (draw(seed, i, 9012, 10) == 0) addStmt("P460", "normal")
     }
 
     if (bucket < 90) {

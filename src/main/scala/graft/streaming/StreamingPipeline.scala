@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Model._
+import graft.spec.{DumpSpec, SpecCompiler}
+import graft.emit.TripleEmitter
+import graft.sources.EntityCorpus
+
+/** Structured-Streaming face of the engine (SURVEY §2.9).
+  *
+  * The reference is a push-based streaming pipeline without event time:
+  * per-entity state only, progress on a processing-time timer
+  * (`processors/ProgressReporter.java:24-66`). The faithful Spark shape
+  * is a file-source stream with `Trigger.AvailableNow` driving the same
+  * parse → filter → flatMap emitters — the emitter needs no state across
+  * entities, so the streaming plan is stateless (watermark-free) and
+  * scales like the batch plan.
+  */
+object StreamingPipeline {
+
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("lang", StringType),
+    StructField("content", StringType)))
+
+  /** Streaming triples: same operators as Pipeline.triples over a file
+    * stream. Note: no global dedup here (that needs a batch pass or
+    * watermarked stateful dedup downstream). */
+  def streamTriples(spark: SparkSession, corpusDir: String, spec: DumpSpec,
+                    sites: TripleEmitter.Sites = EntityCorpus.sites): Dataset[Triple] = {
+    import spark.implicits._
+    val raw = spark.readStream.schema(corpusSchema).parquet(corpusDir)
+    val docs = EntityCorpus.parse(raw)
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
+      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+      .select(
+        col("doc.id").as("id"), col("doc.type").as("etype"), col("doc.datatype").as("datatype"),
+        col("doc.labels").as("labels"), col("doc.descriptions").as("descriptions"),
+        col("doc.aliases").as("aliases"), col("doc.sitelinks").as("sitelinks"),
+        col("doc.statements").as("statements"))
+      .as[EntityDoc]
+    docs.flatMap(d => TripleEmitter.emit(spec, graft.Pipeline.normalize(d), sites))
+  }
+
+  /** Windowed event aggregation with watermark (late-data-safe tumbling
+    * window; the A2 progress-count analog as an event-time operator). */
+  def eventWindowCounts(spark: SparkSession, eventsDir: String,
+                        window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
+  case class UserSession(user_id: Long, events: Long, lastTs: Long)
+  case class SessionUpdate(user_id: Long, events: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * counts (the KeyValueGroupedDataset stateful-op surface). */
+  def userRunningCounts(events: Dataset[(Long, java.sql.Timestamp)]): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[UserSession]) =>
+          val prior = state.getOption.getOrElse(UserSession(user, 0L, 0L))
+          var n = prior.events; var last = prior.lastTs
+          rows.foreach { r => n += 1; last = math.max(last, r._2.getTime) }
+          state.update(UserSession(user, n, last))
+          SessionUpdate(user, n)
+      }
+  }
+}

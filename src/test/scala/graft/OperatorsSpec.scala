@@ -1,0 +1,178 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Canonicalize, ConnectedComponents}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.EntityCorpus
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import scala.collection.mutable
+
+  /** reference union-find for CC validation */
+  def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    // canonical = min node id per component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  test("connected components match union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = (1 to n).map(_ => (s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}"))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(edges)
+      val got = ConnectedComponents.run(edges.toDF("a", "b"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial CC mismatch")
+    }
+  }
+
+  test("connected components handle chains (worst case for propagation)") {
+    import spark.implicits._
+    val chain = (0 until 200).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val got = ConnectedComponents.run(chain.toDF("a", "b")).collect()
+    assert(got.length == 201 && got.forall(_.getString(1) == "c000"))
+  }
+
+  test("canonicalization rewrites triples through alias components") {
+    import spark.implicits._
+    val corpus = EntityCorpus.generate(spark, 1000).toDF()
+    val edges = Canonicalize.aliasEdges(EntityCorpus.parse(corpus))
+    assert(edges.count() > 0, "generator must produce P460 alias edges")
+    val mapping = Canonicalize.canonicalMapping(edges).cache()
+    // canonical must be the component min and stable under re-mapping
+    val m = mapping.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    m.values.foreach(c => assert(m.getOrElse(c, c) == c, s"canonical $c not a fixpoint"))
+    // rewrite: no mapped entity remains as subject/object
+    val spec = graft.spec.SpecJson.parse(
+      """{"entities":[],"statements":[{"simple":true}],"labels":true,
+        |"descriptions":false,"aliases":false,"meta":true,"sitelinks":false}""".stripMargin)
+    val triples = Pipeline.triples(corpus, spec)
+    val rewritten = Canonicalize.rewriteTriples(triples, mapping)
+    val nonCanonical = m.filter { case (k, v) => k != v }.keySet
+    if (nonCanonical.nonEmpty) {
+      val bad = rewritten.filter(
+        col("subj").isin(nonCanonical.map(graft.emit.Vocab.WD + _).toSeq: _*)).count()
+      assert(bad == 0, "non-canonical subject survived rewrite")
+    }
+    mapping.unpersist()
+  }
+
+  test("minhash LSH near-dups find exact duplicates and respect jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // exact dup of 1
+      (3L, "a b c d e f g z"),          // near dup
+      (4L, "q r s t u v w x"),          // unrelated
+      (5L, "m n o p"),
+      (6L, "m n o p q")                 // near dup of 5
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+        k = 8, rowsPerBand = 2, minJaccardPercent = 60)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive with 4: $pairs")
+    // verified jaccard >= 60% for all reported pairs (brute check)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    pairs.foreach { case (a, b) =>
+      val j = texts(a).intersect(texts(b)).size.toDouble / texts(a).union(texts(b)).size
+      assert(j >= 0.6, s"pair ($a,$b) jaccard $j below threshold")
+    }
+  }
+
+  test("rank-based minhash matches the portable formula") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a c"), (2L, "c b d")).toDF("doc_id", "text")
+    val sig = Dedup.minhash(docs, col("doc_id"), col("text"), k = 2, rankBased = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // vocab sorted: a=1,b=2,c=3,d=4; h0=(3t+1)%p, h1=(5t+8)%p
+    def h0(t: Long) = (3 * t + 1) % Dedup.minhashPrime
+    def h1(t: Long) = (5 * t + 8) % Dedup.minhashPrime
+    assert(sig(1L) == (Seq(1L, 2L, 3L).map(h0).min, Seq(1L, 2L, 3L).map(h1).min))
+    assert(sig(2L) == (Seq(2L, 3L, 4L).map(h0).min, Seq(2L, 3L, 4L).map(h1).min))
+  }
+
+  test("simhash: identical docs same signature; near dups small hamming") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 zz"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(sig, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0), s"$pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), s"near-dup 1-3 missed: ${pairs.toSeq}")
+  }
+
+  test("similarity: brute-force top-k exact; lsh recall within bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") < 5)
+    val topk = Similarity.bruteForceTopK(df, probes, k = 3).collect()
+    // brute-force check against scala
+    def qd(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) => math.round(x.toDouble * 1000) * math.round(y.toDouble * 1000) }.sum
+    val byId = vecs.toMap
+    (0L until 5L).foreach { q =>
+      val expect = vecs.filter(_._1 != q).map { case (i, v) => (i, qd(byId(q), v)) }
+        .sortBy { case (i, d) => (-d, i) }.take(3).map(_._1)
+      val got = topk.filter(_.getLong(0) == q).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got == expect.toSeq, s"probe $q: $got vs $expect")
+    }
+    // lsh: every reported neighbor shares the probe's bucket and ranking is exact within it
+    val lsh = Similarity.lshTopK(df, probes, k = 1, bits = 4).collect()
+    assert(lsh.forall(_.getInt(3) == 1))
+  }
+
+  test("multimodal: meta + features plumbing is deterministic and typed") {
+    import spark.implicits._
+    val assets = Multimodal.synthesize(spark.range(0, 30).toDF("id"), col("id"))
+    val meta = Multimodal.extractMeta(assets).collect()
+    assert(meta.length == 30)
+    meta.foreach { m =>
+      assert(m.width >= 16 && m.height >= 16 && m.sizeBytes == 76 && m.sha256.length == 64)
+    }
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+    assert(feats.forall(_.features.length == 8))
+    // determinism across runs
+    val feats2 = Multimodal.extractFeatures(
+      Multimodal.synthesize(spark.range(0, 30).toDF("id"), col("id")), dim = 8).collect()
+    assert(feats.sortBy(_.asset_id).zip(feats2.sortBy(_.asset_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("streaming: file-source triples match batch pipeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    EntityCorpus.generate(spark, 300).toDF().write.mode("overwrite").parquet(dir)
+    val spec = graft.spec.SpecJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/resources/specs/humans.json"))))
+    val q = graft.streaming.StreamingPipeline.streamTriples(spark, dir, spec)
+      .writeStream.format("memory").queryName("stream_triples").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_triples")
+      .dropDuplicates("subj", "pred", "obj").count()
+    val batch = Pipeline.triples(spark.read.parquet(dir), spec).count() -
+      graft.emit.TripleEmitter.prologue.size // stream emits no prologue
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+}
