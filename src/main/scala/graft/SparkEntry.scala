@@ -191,6 +191,80 @@ object SparkEntry {
       Pipeline.triplesMultiplexed(EntityCorpus.generate(s, n).toDF(), specs)
         .groupBy(col("specId")).agg(count(lit(1)).as("triples"))
         .orderBy(col("specId"))
+    },
+    // north-rule canonicalization: connected components (large-star/
+    // small-star) over a bipartite graph; oracle = recursive-CTE closure
+    "kg_cc_components" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "events").select(
+        concat(lit("u"), $"user_id".cast("string")).as("a"),
+        concat(lit("t"), $"event_type").as("b")).distinct()
+      graft.plans.ConnectedComponents.run(edges).orderBy("node")
+    },
+    // full KG pipeline + entity canonicalization (rows-only; golden-tested)
+    "kg_canonical_triples" -> { (s, dir) =>
+      val corpus = EntityCorpus.generate(s, corpusSizeFor(dir)).toDF()
+      val mapping = graft.plans.Canonicalize.canonicalMapping(
+        graft.plans.Canonicalize.aliasEdges(EntityCorpus.parse(corpus)))
+      graft.plans.Canonicalize.rewriteTriples(
+        Pipeline.triples(corpus, loadSpec("humans.json")), mapping)
+        .orderBy("subj", "pred", "obj")
+    },
+    // MinHash signatures (rank-based portable path; xxhash64 path is the
+    // scale default, exercised in tests/bench)
+    "q_minhash_rank" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.minhash(t(dir, "documents"), $"doc_id", $"text",
+        k = 4, rankBased = true).orderBy("doc_id")
+    },
+    // MinHash+LSH near-dup pairs with exact Jaccard verification
+    "q_minhash_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.minhashNearDups(t(dir, "documents"), $"doc_id", $"text",
+        k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
+        .orderBy("id_a", "id_b")
+    },
+    // SimHash 32-bit signatures (rank-based portable arithmetic)
+    "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
+        .orderBy("doc_id")
+    },
+    // n-gram Jaccard near-dup pairs bounded by a group key
+    "q_jaccard_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.jaccardPairs(t(dir, "documents"), $"doc_id", $"text",
+        $"source", minPercent = 50).orderBy("id_a", "id_b")
+    },
+    // language ID (stopword-marker heuristic)
+    "q_langid" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    // ANN: brute-force top-1 by quantized-integer dot product
+    "q_ann_dot" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(emb,
+        emb.filter(pmod($"vec_id", lit(100)) === 0), k = 1).drop("rn").orderBy("qid")
+    },
+    // ANN: sign-bit LSH bucketed top-1 (the scale path)
+    "q_ann_lsh" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      graft.operators.Similarity.lshTopK(emb,
+        emb.filter(pmod($"vec_id", lit(100)) === 0), k = 1, bits = 4).drop("rn").orderBy("qid")
+    },
+    // multimodal: binary decode plumbing (stub codec; rows-only check —
+    // the synthetic payload sha256 is not SQL-reproducible)
+    "q_mm_meta" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Multimodal.extractMeta(
+        graft.operators.Multimodal.synthesize(t(dir, "documents"), $"doc_id"))
+        .toDF().orderBy("asset_id")
+    },
+    // Structured Streaming: watermarked tumbling-window agg over the
+    // events stream, complete mode → equals the batch aggregation
+    "q_stream_window" -> { (s, dir) =>
+      val agg = graft.streaming.StreamingPipeline.eventWindowCounts(s, s"$dir/events.parquet")
+      val name = "w" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("total")).orderBy("ws", "event_type")
     }
   )
 
@@ -280,6 +354,137 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "kg_cc_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a, 't' || event_type AS b FROM events),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+        |SELECT src AS node, LEAST(MIN(dst), src) AS component FROM reach GROUP BY src ORDER BY node""".stripMargin,
+    "q_minhash_rank" ->
+      (rankTokenCte +
+        """SELECT doc_id,
+          |  MIN((3*token_id+1) % 1000003) AS mh0,
+          |  MIN((5*token_id+8) % 1000003) AS mh1,
+          |  MIN((7*token_id+15) % 1000003) AS mh2,
+          |  MIN((9*token_id+22) % 1000003) AS mh3
+          |FROM tt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_minhash_pairs" ->
+      (rankTokenCte +
+        """,sig AS (SELECT doc_id,
+          |  MIN((3*token_id+1) % 1000003) AS mh0, MIN((5*token_id+8) % 1000003) AS mh1,
+          |  MIN((7*token_id+15) % 1000003) AS mh2, MIN((9*token_id+22) % 1000003) AS mh3
+          |  FROM tt GROUP BY doc_id),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+          |  ON a.doc_id < b.doc_id AND
+          |     ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tt GROUP BY doc_id),
+          |i AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter FROM cand c
+          |  JOIN tt ta ON ta.doc_id = c.id_a
+          |  JOIN tt tb ON tb.doc_id = c.id_b AND ta.token_id = tb.token_id
+          |  GROUP BY c.id_a, c.id_b)
+          |SELECT i.id_a, i.id_b, i.inter, sa.n_tok AS n_a, sb.n_tok AS n_b
+          |FROM i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+          |WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)
+          |ORDER BY id_a, id_b""".stripMargin),
+    "q_simhash" -> simhashOracleSql,
+    "q_jaccard_pairs" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, source, token FROM
+        |  (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter, sa.n_tok AS n_a, sb.n_tok AS n_b
+        |FROM i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+        |WHERE 100*i.inter >= 50*(sa.n_tok + sb.n_tok - i.inter)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_langid" -> langidOracleSql,
+    "q_ann_dot" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    (SELECT CAST(SUM(CAST(ROUND(CAST(z.x AS DOUBLE)*1000) AS BIGINT) *
+        |                     CAST(ROUND(CAST(z.y AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+        |     FROM (SELECT UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y) z) AS dot
+        |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+        |SELECT qid, nid, dot FROM (
+        |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+        |  FROM pairs) WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "q_ann_lsh" ->
+      ("""WITH b AS (SELECT vec_id, embedding, """ + signBucketSql(4) + """ AS bucket FROM embeddings),
+        |q AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    (SELECT CAST(SUM(CAST(ROUND(CAST(z.x AS DOUBLE)*1000) AS BIGINT) *
+        |                     CAST(ROUND(CAST(z.y AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+        |     FROM (SELECT UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y) z) AS dot
+        |  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+        |SELECT qid, nid, dot FROM (
+        |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+        |  FROM pairs) WHERE rn = 1 ORDER BY qid""").stripMargin,
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
+
+  /** SQL mirror of Similarity.signBucket: sum of sign bits over the
+    * first `bits` dimensions (1-indexed arrays in both engines) */
+  private def signBucketSql(bits: Int): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  /** shared CTE: distinct (doc_id, token_id) with rank-based token ids —
+    * mirrors Dedup.rankTokenIds exactly */
+  private val rankTokenCte: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, token FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+      |vocab AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS token_id
+      |  FROM (SELECT DISTINCT token FROM tok)),
+      |tt AS (SELECT doc_id, token_id FROM tok JOIN vocab USING (token))
+      |""".stripMargin
+
+  /** SQL mirror of Dedup.simhash (32 bits) */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
+    val sig = (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    rankTokenCte +
+      s""",th AS (SELECT doc_id, (token_id * 2654435761) % 4294967296 AS h FROM tt),
+         |bits AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** SQL mirror of TextAnalysis.langId */
+  private def langidOracleSql: String = {
+    import graft.operators.TextAnalysis.langMarkers
+    def occ(m: String) =
+      s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+    val scores = langMarkers.map { case (lang, ms) =>
+      s"(${ms.map(occ).mkString(" + ")}) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkers.map(_._1)
+    // first-wins tie break (mirrors langId's pickFirst fold): lang l wins
+    // iff strictly above every earlier lang, >= every later lang, and > 0
+    val caseExpr = langs.map { l =>
+      val before = langs.takeWhile(_ != l)
+      val after = langs.dropWhile(_ != l).drop(1)
+      val conds = (before.map(o => s"s_$l > s_$o") ++ after.map(o => s"s_$l >= s_$o") :+ s"s_$l > 0")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n  ")
+    s"""SELECT doc_id, CASE
+       |  $caseExpr
+       |  ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |  $scores
+       |  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents) padded) scored
+       |ORDER BY doc_id""".stripMargin
+  }
 }

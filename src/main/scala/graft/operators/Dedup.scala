@@ -70,7 +70,9 @@ object Dedup {
     val nBands = k / rowsPerBand
     val bands = (0 until nBands).map { bnd =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(bnd).as("band"), hash(cols: _*).as("bucket"))
+      // band key = raw signature slice (portable: tuple equality, no
+      // engine-specific hash; a real deployment may hash for key width)
+      sig.select(col("doc_id"), lit(bnd).as("band"), concat_ws("|", cols: _*).as("bucket"))
     }.reduce(_ union _)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -45,10 +45,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val scores = langScores(text)
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val firstBest = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === maxScore, lit(lang)).otherwise(acc)
-    }
-    // foldRight makes later langs win ties — invert: pick FIRST best
+    // first language (marker order) attaining the positive max wins ties
     val pickFirst = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
       when(acc.isNotNull, acc).otherwise(when(s === maxScore && s > 0, lit(lang)))
     }

@@ -53,7 +53,15 @@ object StreamingPipeline {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
+    // the file stream source requires a directory; for a bare parquet
+    // file, stage a symlink inside a temp dir (zero-copy)
+    val base = if (eventsDir.endsWith(".parquet")) {
+      val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("part-0.parquet"), java.nio.file.Paths.get(eventsDir))
+      d.toString
+    } else eventsDir
+    spark.readStream.schema(schema).parquet(base)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
