@@ -168,6 +168,20 @@ object Pipeline {
   def preview(triples: DataFrame, n: Int): DataFrame =
     triples.orderBy("subj", "pred", "obj").limit(n)
 
+  /** A1 counters in one aggregate pass (the observe() values, computed
+    * directly): (includedEntities, includedStatements). Statements are
+    * counted once even if both simple+full are emitted, and BEFORE the
+    * rank gate (reference `FilteredRdfSerializer.java:328-331`). */
+  def counters(corpus: DataFrame, spec: DumpSpec): (Long, Long) = {
+    val docs = parsed(corpus)
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
+      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+    val r = docs.agg(
+      count(lit(1)),
+      coalesce(sum(SpecCompiler.includedStatementsExpr(spec, col("doc")).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** J3: property→datatype side table derived from the corpus itself in
     * a first pass (replaces the reference's mutable PropertyRegister,
     * `FilteredRdfSerializer.java:160-161` — removes scan-order

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.spec._
+import graft.sources.EntityCorpus
+import graft.oracle.OracleEmitter
+
+/** Property-based invariants (FIXTURES.md §5) — checked on the oracle
+  * emitter (pure, fast); the GoldenSpec equality transfers them to the
+  * engine. Deterministic driver over scalacheck Gen (seeded pureApply;
+  * scalatestplus bridge is not in the offline cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = Gen.Parameters.default
+  def forAllN[A](g: Gen[A], n: Int)(f: A => Unit): Unit =
+    (0 until n).foreach(i => f(g.pureApply(params, Seed(i.toLong), retries = 100)))
+  def forAllN2[A, B](ga: Gen[A], gb: Gen[B], n: Int)(f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(ga.pureApply(params, Seed(i.toLong), retries = 100),
+        gb.pureApply(params, Seed(i.toLong + 10000), retries = 100))
+    }
+
+  val contents: Seq[String] = (0L until 120L).map(i => EntityCorpus.contentFor(42L, i))
+
+  val genRank: Gen[RankFilter] =
+    Gen.oneOf(RankFilter.Best, RankFilter.NonDeprecated, RankFilter.All)
+  val genOptions: Gen[StatementOptions] = for {
+    r <- genRank; s <- Gen.prob(0.5); f <- Gen.prob(0.5)
+    re <- Gen.prob(0.4); q <- Gen.prob(0.4)
+  } yield StatementOptions(r, s, f, re, q)
+  val genProps: Gen[Option[Set[String]]] = Gen.option(
+    Gen.nonEmptyContainerOf[Set, String](Gen.oneOf("P31", "P569", "P106", "P1082", "P625")))
+  val genStatementFilter: Gen[StatementFilter] =
+    for { p <- genProps; o <- genOptions } yield StatementFilter(p, o)
+  val genRestriction: Gen[PropertyRestriction] = for {
+    p <- Gen.oneOf("P31", "P569", "P106", "P40")
+    t <- Gen.oneOf(SnakFilterType.Any, SnakFilterType.AnyValue, SnakFilterType.SomeValue,
+      SnakFilterType.NoValue, SnakFilterType.EntityId)
+    v <- Gen.oneOf("Q5", "Q101352", "Q13442814")
+    r <- genRank
+  } yield PropertyRestriction(p, t, if (t == SnakFilterType.EntityId) Some(v) else None, r)
+  val genEntityFilter: Gen[EntityFilter] = for {
+    t <- Gen.oneOf("item", "property", "any")
+    rs <- Gen.listOfN(2, genRestriction).map(_.take(2))
+    n <- Gen.choose(0, 2)
+  } yield EntityFilter(t, rs.take(n))
+  val genSpec: Gen[DumpSpec] = for {
+    ents <- Gen.listOfN(2, genEntityFilter).flatMap(l => Gen.choose(0, 2).map(l.take))
+    stmts <- Gen.listOfN(2, genStatementFilter).flatMap(l => Gen.choose(0, 2).map(l.take))
+    labels <- Gen.prob(0.5); descr <- Gen.prob(0.5); aliases <- Gen.prob(0.5)
+    meta <- Gen.prob(0.5); sl <- Gen.prob(0.5)
+    langs <- Gen.option(Gen.someOf(Seq("en", "de", "fr")).map(_.toSet))
+  } yield DumpSpec("1", ents, stmts, 100, 0L, langs, labels, descr, aliases, meta, sl)
+
+  def emit(spec: DumpSpec): Set[(String, String, String)] =
+    OracleEmitter.run(spec, contents, EntityCorpus.sites).triples
+
+  test("monotonicity: adding a statement filter never shrinks the triple set") {
+    forAllN2(genSpec, genStatementFilter, 25) { (spec, extra) =>
+      val bigger = spec.copy(statements = spec.statements :+ extra)
+      val a = emit(spec); val b = emit(bigger)
+      assert(a.subsetOf(b), s"lost ${(a -- b).take(3)}")
+    }
+  }
+
+  test("monotonicity: widening languages never shrinks the triple set") {
+    forAllN(genSpec, 15) { spec0 =>
+      val spec = spec0.copy(languages = Some(Set("en")))
+      val wider = spec0.copy(languages = Some(Set("en", "de", "fr")))
+      assert(emit(spec).subsetOf(emit(wider)))
+    }
+  }
+
+  test("entity filters are a disjunction: adding a filter never shrinks") {
+    forAllN2(genSpec, genEntityFilter, 20) { (spec0, extra) =>
+      // nonEmpty baseline (empty list means include-all)
+      if (spec0.entities.nonEmpty) {
+        val bigger = spec0.copy(entities = spec0.entities :+ extra)
+        assert(emit(spec0).subsetOf(emit(bigger)))
+      }
+    }
+  }
+
+  test("empty entities ⇒ every serializable document included (DumpSpec.java:120)") {
+    val spec = DumpSpec("1", Nil, Nil, 100, 0, None, false, false, false, false, false)
+    val included = contents.count { c =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(c)
+      OracleEmitter.includeDocument(spec, n)
+    }
+    assert(included == contents.size)
+  }
+
+  test("sampling subset property: pct1 <= pct2 ⇒ sample(pct1) ⊆ sample(pct2), same seed") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    forAllN2(Gen.zip(Gen.choose(0, 100), Gen.choose(0, 100)), Gen.choose(0L, 5L), 20) {
+      case ((p1, p2), seed) =>
+      val (lo, hi) = (math.min(p1, p2), math.max(p1, p2))
+      def sample(p: Int) = {
+        val spec = DumpSpec("1", Nil, Nil, p, seed, None, false, false, false, false, false)
+        contents.filter(c => OracleEmitter.includeDocument(spec, mapper.readTree(c))).toSet
+      }
+      assert(sample(lo).subsetOf(sample(hi)))
+    }
+  }
+
+  test("rank-filter widening never shrinks (union order Best<NonDep<All)") {
+    forAllN(genSpec, 15) { spec0 =>
+      def withRank(r: RankFilter) = spec0.copy(statements =
+        Seq(StatementFilter(None, StatementOptions(r, simple = true, full = true, references = true, qualifiers = true))))
+      val best = emit(withRank(RankFilter.Best))
+      val nd = emit(withRank(RankFilter.NonDeprecated))
+      val all = emit(withRank(RankFilter.All))
+      assert(best.subsetOf(nd) && nd.subsetOf(all))
+    }
+  }
+
+  test("NT escape round-trips") {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 2
+            case '"'  => sb.append('"'); i += 2
+            case 'n'  => sb.append('\n'); i += 2
+            case 'r'  => sb.append('\r'); i += 2
+            case 't'  => sb.append('\t'); i += 2
+            case 'u'  => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c    => sb.append(c); i += 2
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    forAllN(Gen.asciiStr, 200) { s =>
+      assert(unescape(graft.emit.NTriples.escape(s)) == s)
+    }
+    // unicode passthrough + control-char escapes
+    assert(graft.emit.NTriples.escape("a\"b\\c\nd\t\u0001\u00fc") == "a\\\"b\\\\c\\nd\\t\\u0001\u00fc")
+  }
+}
