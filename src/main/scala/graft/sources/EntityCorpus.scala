@@ -66,10 +66,13 @@ object EntityCorpus {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  // ObjectMapper is thread-safe after configuration; one per JVM
+  private val sharedMapper = new ObjectMapper()
+
   /** Build the JSON `content` for global row index i. Pure function of
     * (seed, i) — field order fixed by insertion order. */
   def contentFor(seed: Long, i: Long): String = {
-    val mapper = new ObjectMapper()
+    val mapper = sharedMapper
     val root = mapper.createObjectNode()
     val bucket = i % 100
     val langs = Seq("en", "de", "fr", "en-gb", "es")
@@ -139,7 +142,7 @@ object EntityCorpus {
       var sk = 0
       def addStmt(prop: String, rank: String): Unit = {
         val st = arr.addObject()
-        st.put("id", s"$id$$${sha256Hex(s"$seed|$i|$sk").substring(0, 8)}-stmt")
+        st.put("id", f"$id$$${splitmix64(seed ^ (i * 7919L + sk))}%016x-stmt")
         st.put("property", prop)
         st.put("rank", rank)
         st.set("mainSnak", snak(prop, sk * 10))
