@@ -95,7 +95,10 @@ object Pipeline {
         count(lit(1)).as("includedEntities"),
         sum(SpecCompiler.includedStatementsExpr(spec,
           struct(col("statements").as("statements")))).as("includedStatements"))
-    val emitted = observed.flatMap(d => TripleEmitter.emit(spec, normalize(d), sites))
+    // J2: the site table rides as a broadcast variable (one copy per
+    // executor, not per task — matters at 1000 executors)
+    val sitesB = spark.sparkContext.broadcast(sites)
+    val emitted = observed.flatMap(d => TripleEmitter.emit(spec, normalize(d), sitesB.value))
     val all = emitted.union(spark.createDataset(TripleEmitter.prologue))
     val out = all.toDF("subj", "pred", "obj")
     if (dedup) out.dropDuplicates("subj", "pred", "obj") else out
@@ -118,11 +121,13 @@ object Pipeline {
       .select(struct(docColumns: _*).as("d"), col("inc"))
       .as[(EntityDoc, Seq[Boolean])]
     val specArr = specs.toIndexedSeq
+    val sitesB = spark.sparkContext.broadcast(sites)
     val emitted = rows.flatMap { case (doc, inc) =>
       val nd = normalize(doc)
       specArr.indices.iterator.flatMap { k =>
         if (inc(k) && TripleEmitter.isSerializable(nd))
-          TripleEmitter.emit(specArr(k)._2, nd, sites).map(t => SpecTriple(specArr(k)._1, t.subj, t.pred, t.obj))
+          TripleEmitter.emit(specArr(k)._2, nd, sitesB.value)
+            .map(t => SpecTriple(specArr(k)._1, t.subj, t.pred, t.obj))
         else Iterator.empty
       }
     }
@@ -167,6 +172,43 @@ object Pipeline {
   /** S8: byte-ish preview — first n triples in canonical order. */
   def preview(triples: DataFrame, n: Int): DataFrame =
     triples.orderBy("subj", "pred", "obj").limit(n)
+
+  /** P7 as a pure-Column plan (no object boundary): term triples
+    * straight off the parsed struct via explode + the native nt_escape
+    * expression — one whole-stage-codegen span from scan to output.
+    * Demonstrates the expression-only alternative to the typed flatMap;
+    * semantically identical to the emitter's term path (tested). */
+  def termTriplesSql(corpus: DataFrame, spec: DumpSpec): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.register(spark)
+    val p = parsed(corpus)
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
+      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+    val subj = concat(lit(graft.emit.Vocab.WD), col("doc.id"))
+    // nt_escape resolves through the registry (GraftExtensions.register
+    // above) — public API route to a custom Expression in Spark 4
+    def langTerm(text: Column, lang: Column): Column =
+      concat(lit("\""), call_function("nt_escape", text), lit("\"@"), lang)
+
+    def simpleTerms(field: String, pred: String): DataFrame =
+      p.select(subj.as("subj"), explode(col(s"doc.$field")).as(Seq("lang", "text")))
+        .filter(SpecCompiler.languagePredicate(spec, col("lang")))
+        .select(col("subj"), lit(pred).as("pred"), langTerm(col("text"), col("lang")).as("obj"))
+
+    val parts = Seq(
+      if (spec.labels) Some(simpleTerms("labels", graft.emit.Vocab.RDFS_LABEL)) else None,
+      if (spec.descriptions) Some(simpleTerms("descriptions", graft.emit.Vocab.SCHEMA_DESCRIPTION)) else None,
+      if (spec.aliases) Some(
+        p.select(subj.as("subj"), explode(col("doc.aliases")).as(Seq("lang", "texts")))
+          .filter(SpecCompiler.languagePredicate(spec, col("lang")))
+          .select(col("subj"), explode(col("texts")).as("text"), col("lang"))
+          .select(col("subj"), lit(graft.emit.Vocab.SKOS_ALT_LABEL).as("pred"),
+            langTerm(col("text"), col("lang")).as("obj"))) else None
+    ).flatten
+    parts.reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset(org.apache.spark.sql.Encoders.product[graft.model.Model.Triple]).toDF())
+      .dropDuplicates("subj", "pred", "obj")
+  }
 
   /** A1 counters in one aggregate pass (the observe() values, computed
     * directly): (includedEntities, includedStatements). Statements are

@@ -97,7 +97,10 @@ object EntityCorpus {
       knownProperties.toMap.getOrElse(prop, "string") match {
         case "wikibase-item" =>
           s.put("valueType", "entityid")
-          v.put("id", if (prop == "P31") hubValue(k) else s"Q${1000 + draw(seed, i, 7100 + k, 500)}")
+          // P31 and P106 draw from the hub distribution so every example
+          // spec (humans, politicians, scholarly-*) selects a non-empty set
+          v.put("id", if (prop == "P31" || prop == "P106") hubValue(k)
+                      else s"Q${1000 + draw(seed, i, 7100 + k, 500)}")
         case "time" =>
           s.put("valueType", "time")
           val y = 1800 + draw(seed, i, 7200 + k, 220)
@@ -264,6 +267,37 @@ object EntityCorpus {
   /** Write the corpus as a parquet table partition-friendly for reuse. */
   def writeParquet(spark: SparkSession, n: Long, dir: String, seed: Long = 42L): Unit =
     generate(spark, n, seed).write.mode("overwrite").parquet(dir)
+
+  /** S1: scan a raw MediaWiki-style JSON entity dump (one entity per
+    * line; Wikidata dumps wrap lines in a JSON array with trailing
+    * commas — tolerated and stripped). Compression (gzip/bz2/zstd) is
+    * handled transparently by Spark's text source via the file
+    * extension (reference: `ext/ZstdDumpFile.java:17-23` special-cases
+    * zstd; Spark 4 has the codec built in). Returns the corpus shape
+    * with repo/path derived from the input file. */
+  def readDump(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .select(
+        regexp_replace(trim(col("value")), ",$", "").as("content"),
+        input_file_name().as("path"))
+      .filter(length(col("content")) > 1 && col("content").startsWith("{"))
+      .select(
+        lit("dump").as("repo"),
+        col("path"),
+        sha2(concat(col("path"), col("content")), 256).substr(1, 40).as("commit"),
+        lit("wikidata-json").as("lang"),
+        col("content"))
+  }
+
+  /** test/bench helper: write the synthetic corpus as a compressed
+    * line-JSON dump (the reference's input format). */
+  def writeDump(spark: SparkSession, n: Long, path: String,
+                codec: String = "gzip", seed: Long = 42L): Unit = {
+    import spark.implicits._
+    generate(spark, n, seed).map(_.content)
+      .write.mode("overwrite").option("compression", codec).text(path)
+  }
 
   /** Parse the raw corpus into documents (S2): from_json with the fixed
     * schema (never inferred), carrying the sha256(content) lineage

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.EntityCorpus
+import graft.spec.SpecJson
+import graft.emit.Vocab
+
+class EnginePathsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def specNamed(name: String): graft.spec.DumpSpec =
+    SpecJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"src/test/resources/specs/$name"))))
+
+  test("nt_escape: custom expression works in SQL and codegen") {
+    graft.functions.GraftExtensions.register(spark)
+    val got = spark.sql("""SELECT nt_escape('a"b\\c\nd') AS e""").head().getString(0)
+    assert(got == graft.emit.NTriples.escape("a\"b\\c\nd"))
+    // type check: non-string argument rejected at analysis
+    intercept[Exception](spark.sql("SELECT nt_escape(42)").collect())
+  }
+
+  test("expression-only term path equals the flatMap emitter's term triples") {
+    val corpus = EntityCorpus.generate(spark, 400).toDF().cache()
+    Seq("humans.json", "english-labels.json").foreach { f =>
+      val spec = specNamed(f)
+      val sqlPath = Pipeline.termTriplesSql(corpus, spec)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val termPreds = Set(Vocab.RDFS_LABEL, Vocab.SCHEMA_DESCRIPTION, Vocab.SKOS_ALT_LABEL)
+      val emitterPath = Pipeline.triples(corpus, spec)
+        .filter(col("pred").isin(termPreds.toSeq: _*))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(sqlPath == emitterPath, s"$f: sql-only term path diverges " +
+        s"(${(sqlPath -- emitterPath).take(2)} / ${(emitterPath -- sqlPath).take(2)})")
+    }
+    corpus.unpersist()
+  }
+
+  test("expression-only term path stays whole-stage-codegen (no object boundary)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-termplan").toString
+    EntityCorpus.generate(spark, 50).toDF().write.mode("overwrite").parquet(dir)
+    val plan = Pipeline.termTriplesSql(spark.read.parquet(dir), specNamed("humans.json"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), "term SQL path fell back to objects")
+  }
+
+  test("S1: compressed line-JSON dump scan round-trips (gzip, trailing commas)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dump").toString
+    EntityCorpus.writeDump(spark, 200, s"$dir/plain", "gzip")
+    // Wikidata array framing: [ ... lines with trailing commas ... ]
+    import spark.implicits._
+    val framed = Seq("[") ++
+      (0L until 50L).map(i => EntityCorpus.contentFor(42L, i) + ",") ++ Seq("]")
+    framed.toDF("value").coalesce(1).write.mode("overwrite")
+      .option("compression", "bzip2").text(s"$dir/framed")
+
+    val plain = EntityCorpus.readDump(spark, s"$dir/plain")
+    assert(plain.count() == 200)
+    assert(EntityCorpus.parse(plain).filter(col("doc").isNull).count() == 0)
+    val fr = EntityCorpus.readDump(spark, s"$dir/framed")
+    assert(fr.count() == 50)
+    assert(EntityCorpus.parse(fr).filter(col("doc").isNull ||
+      col("doc.id").isNull).count() == 0)
+    // pipeline over a dump scan == pipeline over the equivalent corpus rows
+    val spec = specNamed("english-labels.json")
+    val fromDump = Pipeline.triples(plain, spec).count()
+    val fromGen = Pipeline.triples(EntityCorpus.generate(spark, 200).toDF(), spec).count()
+    assert(fromDump == fromGen)
+  }
+
+  test("embedding cosine near-dups: finds planted duplicates in buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val vecs = (0L until 30L).map { i =>
+      if (i == 29L) (i, base.map(x => x * 1.0001f)) // near-dup of vec 0
+      else if (i == 0L) (i, base)
+      else (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dot00 = graft.operators.Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0), 1)
+      .head().getLong(2)
+    val dups = graft.operators.Similarity.cosineNearDups(df, minDot = (dot00 * 0.9).toLong, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((0L, 29L)), s"planted near-dup missed: $dups")
+  }
+
+  test("J3: property->datatype side table derived from corpus") {
+    val corpus = EntityCorpus.generate(spark, 1000).toDF()
+    val dt = Pipeline.propertyDatatypes(corpus).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dt.get("P31").contains("wikibase-item"))
+    assert(dt.get("P569").contains("time"))
+    assert(dt.get("P1082").contains("quantity"))
+  }
+}
