@@ -61,6 +61,28 @@ object Backend {
     val runId = "run-" + java.util.UUID.randomUUID.toString.take(8)
     val startedAt = java.time.Instant.now.toString
 
+    // ---- resume from checkpoint (north rule): a spec is DONE iff the
+    // checkpoint manifest records the sha256 of its exact spec JSON and
+    // its per-spec triple partition exists. Re-runs skip completed specs
+    // without recomputation; changing a spec's content invalidates only
+    // that spec. (Deploy-time this is an Iceberg snapshot + REPLACE
+    // PARTITION commit; parquet + manifest stands in here.)
+    def specSha(json: String): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val ckptPath = java.nio.file.Paths.get(s"$outDir/_meta/checkpoint.tsv")
+    val done: Map[String, String] =
+      if (java.nio.file.Files.exists(ckptPath))
+        scala.io.Source.fromFile(ckptPath.toFile).getLines().filter(_.nonEmpty)
+          .map { l => val Array(k, v) = l.split("\t"); k -> v }.toMap
+      else Map.empty
+    val (skipped, pending) = specFiles.partition { case (name, json, _) =>
+      done.get(name).contains(specSha(json)) &&
+        new java.io.File(s"$outDir/triples/specId=$name").exists
+    }
+    skipped.foreach { case (n, _, _) => println(s"[backend] resume: $n already complete, skipping") }
+
     // ---- A2: progress reporter (processing-time timer over listener counts)
     val rowsSeen = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -78,22 +100,44 @@ object Backend {
         || corpusArg.contains("dump")) EntityCorpus.readDump(spark, corpusArg)
       else spark.read.parquet(corpusArg)
 
-    // ---- D3/S3: ONE multiplexed pass serves every claimed spec ----
-    val specs = specFiles.map { case (name, _, spec) => name -> spec }
+    // ---- D3/S3: ONE multiplexed pass serves every pending spec ----
+    val specs = pending.map { case (name, _, spec) => name -> spec }.toSeq
     val t0 = System.nanoTime()
-    val triples = Pipeline.triplesMultiplexed(corpus, specs)
-    triples.repartition(specs.size, col("specId"))
-      .write.mode("overwrite").partitionBy("specId").parquet(s"$outDir/triples")
+    if (specs.nonEmpty) {
+      // dynamic partition overwrite: only pending specId partitions are
+      // replaced, completed ones stay untouched (resume-safe)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val triples = Pipeline.triplesMultiplexed(corpus, specs)
+      triples.repartition(specs.size, col("specId"))
+        .write.mode("overwrite").partitionBy("specId").parquet(s"$outDir/triples")
+    }
 
     // ---- per-spec stats (A1/A5) from the written table + counters ----
     val written = spark.read.parquet(s"$outDir/triples")
     val tripleCounts = written.groupBy("specId").agg(count(lit(1)).as("tripleCount"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prevStats: Map[String, StatsRow] =
+      if (new java.io.File(s"$outDir/_meta/dump_stats").exists)
+        spark.read.parquet(s"$outDir/_meta/dump_stats").as[StatsRow].collect()
+          .map(s => s.dumpId -> s).toMap
+      else Map.empty
     val stats = specs.map { case (name, spec) =>
       val (ents, stmts) = Pipeline.counters(corpus, spec)
       StatsRow(runId, name, ents, stmts, tripleCounts.getOrElse(name, 0L))
-    }
+    } ++ skipped.flatMap { case (name, _, _) => prevStats.get(name) }
     val finishedAt = java.time.Instant.now.toString
+
+    // per-partition lineage manifest for the triple table (resume audit)
+    written.groupBy(col("specId"), spark_partition_id().as("part"))
+      .agg(count(lit(1)).as("triples"), min("subj").as("min_subj"), max("subj").as("max_subj"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_meta/partition_manifest")
+
+    // commit the checkpoint (spec name -> content sha) LAST — crash
+    // before this line means the spec reruns, which is safe (idempotent
+    // partition overwrite)
+    val ckpt = specFiles.map { case (n, j, _) => s"$n\t${specSha(j)}" }.mkString("", "\n", "\n")
+    java.nio.file.Files.createDirectories(ckptPath.getParent)
+    java.nio.file.Files.writeString(ckptPath, ckpt)
 
     // ---- metadata tables (the MariaDB analog; J4/J5 join-able) ----
     specFiles.map { case (n, j, _) => DumpRow(n, j, startedAt) }.toSeq.toDF()
