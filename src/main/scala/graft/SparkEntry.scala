@@ -256,6 +256,21 @@ object SparkEntry {
         graft.operators.Multimodal.synthesize(t(dir, "documents"), $"doc_id"))
         .toDF().orderBy("asset_id")
     },
+    // grouping sets: ROLLUP subtotal lattice (hash agg with grouping ids)
+    "q_rollup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "lineitem").rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n", $"sum_qty")
+        .orderBy("rf", "ls")
+    },
+    // exact distinct aggregation (expand + two-phase agg)
+    "q_count_distinct" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "lineitem").agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    },
     // Structured Streaming: watermarked tumbling-window agg over the
     // events stream, complete mode → equals the batch aggregation
     "q_stream_window" -> { (s, dir) =>
@@ -426,6 +441,13 @@ object SparkEntry {
         |SELECT qid, nid, dot FROM (
         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
         |  FROM pairs) WHERE rn = 1 ORDER BY qid""").stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows FROM lineitem""".stripMargin,
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -41,6 +41,18 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("P/R vs oracle is 1.0 on every spec (north-rule metric, distributive)") {
+    import spark.implicits._
+    specFiles.foreach { file =>
+      val spec = specNamed(file)
+      val oracleDf = OracleEmitter.run(spec, contents, EntityCorpus.sites)
+        .triples.toSeq.toDF("subj", "pred", "obj")
+      val pr = PrecisionRecall.of(Pipeline.triples(corpus, spec), oracleDf)
+      assert(pr.passes(0.95), s"$file: $pr")
+      assert(pr.precision == 1.0 && pr.recall == 1.0, s"$file not exact: $pr")
+    }
+  }
+
   test("sampling (simple-spec 90%/seed 132) is partition-count invariant") {
     val spec = specNamed("simple-spec.json")
     val t1 = Pipeline.triples(corpus, spec).collect().map(_.toString).sorted.toSeq

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.plans.{Canonicalize, ConnectedComponents}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew}
 import graft.sources.EntityCorpus
 
 class OperatorsSpec extends AnyFunSuite {
@@ -158,6 +158,31 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.synthesize(spark.range(0, 30).toDF("id"), col("id")), dim = 8).collect()
     assert(feats.sortBy(_.asset_id).zip(feats2.sortBy(_.asset_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("skew: salted aggregations equal their plain counterparts") {
+    import spark.implicits._
+    // power-law key: one hub with 5000 rows, tail keys with a few
+    val rows = (0 until 5000).map(i => ("hub", i % 97)) ++
+      (0 until 300).map(i => (s"k${i % 30}", i))
+    val df = rows.toDF("k", "v")
+    val plainCount = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plainCount)
+    val plainDistinct = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedDistinct = Skew.saltedCountDistinct(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedDistinct == plainDistinct)
+    // salted join == plain join (small dim side)
+    val dim = Seq(("hub", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
+    val plainJoin = df.join(dim, "k").groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedJoin = Skew.saltedJoin(df, dim, "k").groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedJoin == plainJoin)
   }
 
   test("streaming: file-source triples match batch pipeline") {
