@@ -121,8 +121,11 @@ object Backend {
         spark.read.parquet(s"$outDir/_meta/dump_stats").as[StatsRow].collect()
           .map(s => s.dumpId -> s).toMap
       else Map.empty
-    val stats = specs.map { case (name, spec) =>
-      val (ents, stmts) = Pipeline.counters(corpus, spec)
+    val allCounters =
+      if (specs.nonEmpty) Pipeline.countersMultiplexed(corpus, specs)
+      else Map.empty[String, (Long, Long)]
+    val stats = specs.map { case (name, _) =>
+      val (ents, stmts) = allCounters(name)
       StatsRow(runId, name, ents, stmts, tripleCounts.getOrElse(name, 0L))
     } ++ skipped.flatMap { case (name, _, _) => prevStats.get(name) }
     val finishedAt = java.time.Instant.now.toString

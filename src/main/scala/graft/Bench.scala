@@ -45,8 +45,8 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_join_multi", "q_left_outer", "q_semi_exists", "q_topk",
     "q_bestrank_window", "q_distinct", "q_event_counters", "q_time_window",
-    "q_exact_dedup", "q_fingerprint", "q_tokens", "q_langid", "q_minhash_rank",
-    "q_simhash", "q_ann_lsh", "kg_cc_components")
+    "q_exact_dedup", "q_fingerprint", "q_tokens", "q_langid", "q_minhash_scale",
+    "q_rollup", "q_count_distinct", "q_ann_lsh", "kg_cc_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

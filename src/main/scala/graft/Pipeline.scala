@@ -224,6 +224,26 @@ object Pipeline {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** A1 counters for N specs in ONE corpus pass: per-spec conditional
+    * aggregates (sum(when(include_k, …))) — at 10^12 rows this replaces
+    * N+1 full scans with one. Returns specId → (entities, statements). */
+  def countersMultiplexed(corpus: DataFrame, specs: Seq[(String, DumpSpec)]): Map[String, (Long, Long)] = {
+    val base = parsed(corpus)
+      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
+    val aggs = specs.flatMap { case (_, spec) =>
+      val inc = SpecCompiler.includePredicate(spec, col("doc"))
+      Seq(
+        sum(when(inc, 1L).otherwise(0L)),
+        sum(when(inc, SpecCompiler.includedStatementsExpr(spec, col("doc")).cast("long"))
+          .otherwise(0L)))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    specs.zipWithIndex.map { case ((name, _), k) =>
+      name -> (Option(row.get(2 * k)).fold(0L)(_.asInstanceOf[Long]),
+               Option(row.get(2 * k + 1)).fold(0L)(_.asInstanceOf[Long]))
+    }.toMap
+  }
+
   /** J3: property→datatype side table derived from the corpus itself in
     * a first pass (replaces the reference's mutable PropertyRegister,
     * `FilteredRdfSerializer.java:160-161` — removes scan-order

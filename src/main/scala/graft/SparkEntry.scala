@@ -221,6 +221,13 @@ object SparkEntry {
         k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
         .orderBy("id_a", "id_b")
     },
+    // MinHash scale path: xxhash64 token hashing, pure map-side signature
+    // (no global vocab rank) — rows-only check; equality with the
+    // rank-based formulation is covered in OperatorsSpec
+    "q_minhash_scale" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.minhash(t(dir, "documents"), $"doc_id", $"text",
+        k = 8, rankBased = false).orderBy("doc_id")
+    },
     // SimHash 32-bit signatures (rank-based portable arithmetic)
     "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")

@@ -53,6 +53,14 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass multiplexed counters equal per-spec counters") {
+    val specs = specFiles.map(f => f -> specNamed(f))
+    val multi = Pipeline.countersMultiplexed(corpus, specs)
+    specs.foreach { case (name, spec) =>
+      assert(multi(name) == Pipeline.counters(corpus, spec), s"counters diverge for $name")
+    }
+  }
+
   test("sampling (simple-spec 90%/seed 132) is partition-count invariant") {
     val spec = specNamed("simple-spec.json")
     val t1 = Pipeline.triples(corpus, spec).collect().map(_.toString).sorted.toSeq
