@@ -86,6 +86,22 @@ object Bench {
     val tput32 = scalingN / sec32
     val efficiency = (tput32 / tput8) / (32.0 / 8.0)
 
+    // S3 shared-scan: 4 specs multiplexed over ONE pass — amortization
+    // factor = (4 × single-spec wall) / multiplexed wall
+    val multiSecs = locally {
+      val s = session(32)
+      try {
+        val corpus = s.read.parquet(corpusDir)
+        val specs = Seq("nothing.json", "english-labels.json", "humans.json", "politicians.json")
+          .map { f =>
+            f.stripSuffix(".json") -> graft.spec.SpecJson.parse(new String(
+              getClass.getResourceAsStream(s"/specs/$f").readAllBytes(), "UTF-8"))
+          }
+        time { Pipeline.triplesMultiplexed(corpus, specs).count() } // warm
+        time { Pipeline.triplesMultiplexed(corpus, specs).count() }
+      } finally s.stop()
+    }
+
     // ---- part 2: headline queries at local[32] ----
     val s = session(32)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -102,6 +118,7 @@ object Bench {
       }
       results("kg_pipeline_8t") = sec8
       results("kg_pipeline_32t") = sec32
+      results("kg_multiplex4_32t") = multiSecs
     } finally s.stop()
 
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
