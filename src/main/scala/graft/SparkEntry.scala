@@ -278,6 +278,26 @@ object SparkEntry {
         countDistinct($"l_suppkey").as("n_supps"),
         count(lit(1)).as("n_rows"))
     },
+    // composite training-data filter: quality gates + language ID + exact
+    // dedup (keep min-id canonical) in one declarative pipeline — the
+    // end-to-end "clean a pretraining shard" shape
+    "q_training_filter" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val toks = split($"text", " ")
+      val scored = docs.select(
+        $"doc_id", $"text",
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_distinct"),
+        graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+      val canonical = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      scored.join(canonical, "doc_id") // exact-dup removal: canonical copy only
+        .filter($"n_words" >= 20 &&
+          lit(100) * $"n_distinct" >= lit(40) * $"n_words" && // diversity ≥ 0.40
+          $"lang_pred" === "en")
+        .select($"doc_id", $"n_words", $"n_distinct")
+        .orderBy($"doc_id")
+    },
     // Structured Streaming: watermarked tumbling-window agg over the
     // events stream, complete mode → equals the batch aggregation
     "q_stream_window" -> { (s, dir) =>
@@ -448,6 +468,23 @@ object SparkEntry {
         |SELECT qid, nid, dot FROM (
         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
         |  FROM pairs) WHERE rn = 1 ORDER BY qid""").stripMargin,
+    "q_training_filter" -> {
+      val (scores, caseExpr) = langidParts
+      s"""WITH scored0 AS (
+         |  SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+         |    $scores
+         |  FROM scored0),
+         |labeled AS (SELECT doc_id, n_words, n_distinct, $caseExpr AS lang_pred FROM scored),
+         |canonical AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT l.doc_id, l.n_words, l.n_distinct
+         |FROM labeled l JOIN canonical c ON l.doc_id = c.doc_id
+         |WHERE l.n_words >= 20 AND 100*l.n_distinct >= 40*l.n_words AND l.lang_pred = 'en'
+         |ORDER BY l.doc_id""".stripMargin
+    },
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -488,6 +525,25 @@ object SparkEntry {
          |  $bitSums
          |  FROM th GROUP BY doc_id)
          |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** scores + first-wins CASE shared by the langid oracles */
+  private def langidParts: (String, String) = {
+    import graft.operators.TextAnalysis.langMarkers
+    def occ(m: String) =
+      s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+    val scores = langMarkers.map { case (lang, ms) =>
+      s"(${ms.map(occ).mkString(" + ")}) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkers.map(_._1)
+    val caseExpr = langs.map { l =>
+      val before = langs.takeWhile(_ != l)
+      val after = langs.dropWhile(_ != l).drop(1)
+      val conds = (before.map(o => s"s_$l > s_$o") ++ after.map(o => s"s_$l >= s_$o") :+ s"s_$l > 0")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n  ")
+    (scores, s"CASE\n  $caseExpr\n  ELSE 'und' END")
   }
 
   /** SQL mirror of TextAnalysis.langId */

@@ -67,4 +67,55 @@ object TextAnalysis {
     * (order-insensitive document identity; rolling-hash family). */
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
+
+  /** Rabin-Karp rolling hash over character windows: O(n) for all
+    * positions (each step adds one char, drops one). Used for
+    * containment/overlap detection between documents (shared windows ⇒
+    * shared fingerprints). Winnowing-style selection keeps only hashes
+    * ≡ 0 (mod keep) to bound the fingerprint set size. */
+  def rollingHashes(text: String, window: Int = 16, keep: Int = 8): Array[Long] = {
+    if (text.length < window) return Array(text.hashCode.toLong)
+    val B = 1000003L
+    val M = (1L << 61) - 1
+    // B^(window-1) mod M
+    var bw = 1L
+    (1 until window).foreach(_ => bw = mulMod(bw, B, M))
+    var h = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < text.length) {
+      h = (mulMod(h, B, M) + text.charAt(i)) % M
+      if (i >= window - 1) {
+        if (h % keep == 0) out += h
+        h = (h - mulMod(text.charAt(i - window + 1).toLong, bw, M) % M + M) % M
+      }
+      i += 1
+    }
+    out.distinct.sorted.toArray
+  }
+
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValue()
+
+  /** Distributed rolling-hash fingerprints: (id, fingerprints) per doc. */
+  def rollingFingerprints(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                          window: Int = 16, keep: Int = 8): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), text.as("t")).as[(Long, String)]
+      .map { case (i, t) => (i, rollingHashes(Option(t).getOrElse(""), window, keep)) }
+      .toDF("doc_id", "fingerprints")
+  }
+
+  /** Containment candidates: docs sharing ≥ minShared selected windows
+    * (explode + self-join on fingerprint — shuffle keyed on hash). */
+  def containmentPairs(fp: org.apache.spark.sql.DataFrame, minShared: Int): org.apache.spark.sql.DataFrame = {
+    val ex = fp.select(col("doc_id"), explode(col("fingerprints")).as("h"))
+    val a = ex.select(col("doc_id").as("id_a"), col("h"))
+    val b = ex.select(col("doc_id").as("id_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -67,6 +67,29 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** Streaming dedup with bounded state: duplicates dropped within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * face of D1/exact dedup; state is GC'd as the watermark advances, so
+    * it runs forever on an unbounded stream. */
+  def streamingDedup(spark: SparkSession, eventsDir: String,
+                     keys: Seq[String] = Seq("user_id", "event_type"),
+                     watermark: String = "2 hours"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = if (eventsDir.endsWith(".parquet")) {
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("part-0.parquet"), java.nio.file.Paths.get(eventsDir))
+      d.toString
+    } else eventsDir
+    spark.readStream.schema(schema).parquet(base)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+  }
+
   case class UserSession(user_id: Long, events: Long, lastTs: Long)
   case class SessionUpdate(user_id: Long, events: Long)
 

@@ -185,6 +185,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saltedJoin == plainJoin)
   }
 
+  test("rolling-hash fingerprints detect containment") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"totally different beginning $shared closing words here"),
+      (3L, "unrelated content with no overlap whatsoever in any window zone")
+    ).toDF("doc_id", "text")
+    // pure-function invariants: same substring → same window hashes
+    val h1 = TextAnalysis.rollingHashes(shared, 16, 1).toSet
+    val h2 = TextAnalysis.rollingHashes(s"xyz $shared", 16, 1).toSet
+    assert(h1.intersect(h2).size >= h1.size - 16, "shifted text lost shared windows")
+    val fp = TextAnalysis.rollingFingerprints(docs, col("doc_id"), col("text"), 16, 2)
+    val pairs = TextAnalysis.containmentPairs(fp, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"containment 1-2 missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive with 3: $pairs")
+  }
+
+  test("streaming dedup within watermark equals batch distinct") {
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    val streamed = graft.streaming.StreamingPipeline.streamingDedup(spark, dir)
+    val name = "dedup" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = streamed.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).distinct().count()
+    val want = spark.read.parquet(dir).select("user_id", "event_type").distinct().count()
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("streaming: file-source triples match batch pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
