@@ -221,6 +221,23 @@ object SparkEntry {
         k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
         .orderBy("id_a", "id_b")
     },
+    // batched mention detection + dictionary/alias entity-link scoring
+    // (north-star step 2; dictionary from the KG corpus, broadcast to the
+    // text scan — rows-only: dictionary side not DuckDB-visible)
+    "kg_entity_linking" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val parsed = EntityCorpus.parse(EntityCorpus.generate(s, 2000).toDF())
+      // documents mention entity label surfaces injected deterministically
+      val surfaces = graft.operators.EntityLinking.buildDictionary(parsed)
+        .select("surface").distinct().orderBy("surface").limit(50)
+        .collect().map(_.getString(0))
+      val docs = t(dir, "documents").select($"doc_id",
+        concat_ws(" ", $"text",
+          element_at(lit(surfaces), (pmod($"doc_id", lit(surfaces.length)) + 1).cast("int")))
+          .as("text"))
+      graft.operators.EntityLinking
+        .link(parsed, docs, $"doc_id", $"text", maxGram = 5)
+        .orderBy("doc_id", "pos", "surface")
+    },
     // MinHash scale path: xxhash64 token hashing, pure map-side signature
     // (no global vocab rank) — rows-only check; equality with the
     // rank-based formulation is covered in OperatorsSpec

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EntityLinking
+import graft.sources.EntityCorpus
+
+class EntityLinkingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dictionary: labels outrank aliases; ambiguity splits the prior") {
+    import spark.implicits._
+    val corpus = EntityCorpus.generate(spark, 300).toDF()
+    val dict = EntityLinking.buildDictionary(EntityCorpus.parse(corpus)).cache()
+    assert(dict.count() > 0)
+    // label surfaces ("labels en of Qx") present with prior 2000 (unambiguous)
+    val label = dict.filter($"surface" === "labels en of q1").collect()
+    if (label.nonEmpty) assert(label.head.getLong(2) == 2000L)
+    // every prior positive and <= 2000
+    assert(dict.filter($"prior" <= 0 || $"prior" > 2000).count() == 0)
+    dict.unpersist()
+  }
+
+  test("mention detection finds planted multi-token mentions via broadcast join") {
+    import spark.implicits._
+    val corpus = EntityCorpus.generate(spark, 200).toDF()
+    val parsed = EntityCorpus.parse(corpus)
+    val dict = EntityLinking.buildDictionary(parsed)
+    // plant documents around surfaces that actually exist in the dictionary
+    val surfaces = dict.select("surface").distinct().orderBy("surface")
+      .limit(2).collect().map(_.getString(0))
+    val Array(s1, s2) = surfaces
+    val docs = Seq(
+      (1L, s"we discussed $s1 yesterday"),
+      (2L, "nothing relevant here at all"),
+      (3L, s"both $s1 and $s2 appear")
+    ).toDF("doc_id", "text")
+    val mentions = EntityLinking.detectMentions(docs, $"doc_id", $"text", dict, maxGram = 5)
+    val byDoc = mentions.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.contains(1L) && byDoc.contains(3L), s"mentions missed: $byDoc")
+    assert(!byDoc.contains(2L), s"false mention in doc 2: $byDoc")
+    // doc 3 mentions two distinct entities
+    val d3 = mentions.filter($"doc_id" === 3L).select("entity").distinct().count()
+    assert(d3 >= 2)
+  }
+
+  test("link scoring prefers context-supported candidates deterministically") {
+    import spark.implicits._
+    // synthetic ambiguity: surface "apple" → Q_FRUIT or Q_CORP; doc A has
+    // another fruit mention, doc B a corp mention — context must decide
+    val dict = Seq(
+      ("apple", "Q_CORP", 500L), ("apple", "Q_FRUIT", 500L),
+      ("banana", "Q_BANANA", 1000L), ("iphone", "Q_IPHONE", 1000L)
+    ).toDF("surface", "entity", "prior")
+    val classes = Seq(
+      ("Q_CORP", "C_COMPANY"), ("Q_FRUIT", "C_FRUIT"),
+      ("Q_BANANA", "C_FRUIT"), ("Q_IPHONE", "C_COMPANY")
+    ).toDF("entity", "cls")
+    val docs = Seq(
+      (10L, "apple and banana salad"),
+      (20L, "apple released a new iphone")
+    ).toDF("doc_id", "text")
+    val mentions = EntityLinking.detectMentions(docs, $"doc_id", $"text", dict, maxGram = 1)
+    val linked = EntityLinking.scoreLinks(mentions, classes)
+      .filter($"surface" === "apple")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(linked(10L) == "Q_FRUIT", s"doc 10 linked ${linked(10L)}")
+    assert(linked(20L) == "Q_CORP", s"doc 20 linked ${linked(20L)}")
+  }
+
+  test("end-to-end link over generated corpus + documents table shape") {
+    import spark.implicits._
+    val corpus = EntityCorpus.generate(spark, 300).toDF()
+    val surfaces = EntityLinking.buildDictionary(EntityCorpus.parse(corpus))
+      .select("surface").distinct().orderBy("surface").limit(2).collect().map(_.getString(0))
+    val docs = Seq(
+      (1L, s"report about ${surfaces(0)} and ${surfaces(1)}"),
+      (2L, "no entities at all")).toDF("doc_id", "text")
+    val linked = EntityLinking.link(EntityCorpus.parse(corpus), docs, $"doc_id", $"text", maxGram = 5)
+    assert(linked.filter($"doc_id" === 1L).count() > 0)
+    assert(linked.filter($"doc_id" === 2L).count() == 0)
+    // deterministic across runs
+    val l2 = EntityLinking.link(EntityCorpus.parse(corpus), docs, $"doc_id", $"text", maxGram = 5)
+    assert(linked.collect().map(_.toString).sorted.toSeq == l2.collect().map(_.toString).sorted.toSeq)
+  }
+}
