@@ -273,6 +273,15 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(emb,
         emb.filter(pmod($"vec_id", lit(100)) === 0), k = 1, bits = 4).drop("rn").orderBy("qid")
     },
+    // ANN: IVF (k-means coarse quantizer + probed cells) — rows-only
+    // (the quantizer's float means aren't bit-reproducible in SQL)
+    "q_ann_ivf" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      val centroids = graft.operators.Ivf.train(emb, k = 8, iters = 3)
+      graft.operators.Ivf.search(emb,
+        emb.filter(pmod($"vec_id", lit(100)) === 0), centroids, k = 1, nProbe = 2)
+        .drop("rn").orderBy("qid")
+    },
     // multimodal: binary decode plumbing (stub codec; rows-only check —
     // the synthetic payload sha256 is not SQL-reproducible)
     "q_mm_meta" -> { (s, dir) => implicit val sp = s; import sp.implicits._

@@ -86,6 +86,33 @@ class EnginePathsSpec extends AnyFunSuite {
     assert(dups.contains((0L, 29L)), s"planted near-dup missed: $dups")
   }
 
+  test("IVF ANN: k-means cells + probed search achieve full recall on separated clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // 3 well-separated clusters of 20 vectors each (dim 8)
+    val centers = Seq(Array.fill(8)(10f), Array.fill(8)(-10f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10f else -10f))
+    val vecs = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 20
+    } yield ((ci * 20 + j).toLong, c.map(_ + rnd.nextFloat() * 0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.train(df, k = 3, iters = 3)
+    assert(centroids.count() == 3)
+    // assignment respects clusters: every cluster maps to one cell
+    val cellsByCluster = graft.operators.Ivf.assign(df, centroids)
+      .collect().groupBy(r => r.getLong(0) / 20).map { case (cl, rs) =>
+        cl -> rs.map(_.getInt(1)).toSet }
+    assert(cellsByCluster.values.forall(_.size == 1), s"cluster split: $cellsByCluster")
+    // IVF top-1 with nProbe=1 equals brute-force top-1 for these probes
+    val probes = df.filter($"vec_id" % 20 === 0)
+    val ivf = graft.operators.Ivf.search(df, probes, centroids, k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = graft.operators.Similarity.bruteForceTopK(df, probes, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == brute, s"ivf $ivf vs brute $brute")
+  }
+
   test("J3: property->datatype side table derived from corpus") {
     val corpus = EntityCorpus.generate(spark, 1000).toDF()
     val dt = Pipeline.propertyDatatypes(corpus).collect()
