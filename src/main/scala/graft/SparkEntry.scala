@@ -289,6 +289,20 @@ object SparkEntry {
         graft.operators.Multimodal.synthesize(t(dir, "documents"), $"doc_id"))
         .toDF().orderBy("asset_id")
     },
+    // exact discrete percentiles per group: window rank + positional pick
+    // (integer position logic — engine-independent, unlike interpolation)
+    "q_percentile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      val ranked = t(dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      ranked.filter($"rn" === ceil($"n" * 0.5) || $"rn" === ceil($"n" * 0.9))
+        .groupBy($"l_returnflag")
+        .agg(min(when($"rn" === ceil($"n" * 0.5), $"l_quantity")).as("p50"),
+          min(when($"rn" === ceil($"n" * 0.9), $"l_quantity")).as("p90"))
+        .orderBy($"l_returnflag")
+    },
     // grouping sets: ROLLUP subtotal lattice (hash agg with grouping ids)
     "q_rollup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       t(dir, "lineitem").rollup($"l_returnflag", $"l_linestatus")
@@ -511,6 +525,17 @@ object SparkEntry {
          |WHERE l.n_words >= 20 AND 100*l.n_distinct >= 40*l.n_words AND l.lang_pred = 'en'
          |ORDER BY l.doc_id""".stripMargin
     },
+    "q_percentile" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN rn = CEIL(n * 0.5) THEN l_quantity END) AS p50,
+        |  MIN(CASE WHEN rn = CEIL(n * 0.9) THEN l_quantity END) AS p90
+        |FROM ranked WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.9)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
