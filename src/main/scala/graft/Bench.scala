@@ -68,15 +68,20 @@ object Bench {
         .repartition(256).write.mode("overwrite").parquet(corpusDir)
       finally s.stop()
     }
-    val humans = graft.spec.SpecJson.parse(new String(
-      getClass.getResourceAsStream("/specs/humans.json").readAllBytes(), "UTF-8"))
-    // Honest N-core measurement: fork a child JVM under `taskset -c
-    // 0..N-1` so ALL threads (GC, netty, parquet IO) are cpuset-bounded —
-    // in-process local[N] only bounds task slots and lets the "8-thread"
-    // run borrow the other 24 cores, skewing the ratio. min over reps =
-    // least-noise capability estimate on a shared-tenant box.
+    // Every measured run is a FORKED child JVM (graft.PipelineRunner) so
+    // the parent's heap state (corpus staging, headline queries) can't
+    // pollute the measurement. Two methodologies, both min-over-reps with
+    // LEVEL ALTERNATION (8t and 32t passes interleaved, so a slow ambient
+    // period on this shared-tenant box can't hit one level exclusively):
+    //  - slot-bounded (primary): plain `local[N]` child — task slots
+    //    bounded, JVM helper threads free. Closest to a real N-vs-4N
+    //    executor cluster, where each executor brings its own cores AND
+    //    memory bandwidth.
+    //  - cpuset-bounded (strict): child under `taskset -c 0..N-1` — GC/
+    //    netty/IO threads also confined; exposes the shared-socket DRAM
+    //    ceiling a real cluster doesn't have.
     var triples32 = 0L
-    def forkedRuns(cores: Int, reps: Int): Seq[Double] = {
+    def forkedRuns(cores: Int, reps: Int, cpuset: Boolean): Seq[Double] = {
       val java = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
       val addOpens = Seq(
@@ -86,7 +91,8 @@ object Bench {
         "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
         "java.base/sun.nio.cs", "java.base/sun.security.action",
         "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = Seq("taskset", "-c", s"0-${cores - 1}", java) ++ addOpens ++ Seq(
+      val prefix = if (cpuset) Seq("taskset", "-c", s"0-${cores - 1}") else Seq.empty
+      val cmd = prefix ++ Seq(java) ++ addOpens ++ Seq(
         "-Xmx40g", "-Dspark.ui.enabled=false", "-cp", cp,
         "graft.PipelineRunner", corpusDir, cores.toString, "humans.json", reps.toString)
       val out = scala.sys.process.Process(cmd).!!
@@ -96,27 +102,25 @@ object Bench {
         parts(0).stripPrefix("SECS=").toDouble
       }.toSeq
     }
-    val sec8 = forkedRuns(8, 2).min
-    val sec32 = forkedRuns(32, 3).min // 32t runs are cheap; spares tame tenancy noise
+    // alternation schedule: (cores, cpuset, reps-in-this-fork). Two forks
+    // per (level, methodology) — 3 measured runs each, warm-up excluded
+    // inside every fork.
+    val schedule = Seq(
+      (8, false, 2), (32, false, 2), (8, true, 2), (32, true, 2),
+      (8, false, 1), (32, false, 1), (8, true, 1), (32, true, 1))
+    val measured = collection.mutable.Map.empty[(Int, Boolean), Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    schedule.foreach { case (cores, cpuset, reps) =>
+      measured((cores, cpuset)) = measured((cores, cpuset)) ++ forkedRuns(cores, reps, cpuset)
+    }
+    val slot8 = measured((8, false)).min
+    val slot32 = measured((32, false)).min
+    val cpu8 = measured((8, true)).min
+    val cpu32 = measured((32, true)).min
+    val sec8 = slot8; val sec32 = slot32 // primary numbers = slot-bounded
     val tput8 = scalingN / sec8
     val tput32 = scalingN / sec32
-    val efficiency = (tput32 / tput8) / (32.0 / 8.0)
-
-    // slot-bounded variant (the rule's literal local[8]/local[32] reading):
-    // task slots bounded, JVM helper threads unbounded — what a real
-    // N-vs-4N-executor cluster resembles more closely, since there each
-    // executor brings its own cores AND memory bandwidth (the cpuset run
-    // above shares one socket's DRAM across both levels)
-    def slotRun(cores: Int): Double = {
-      val s = session(cores)
-      try {
-        val corpus = s.read.parquet(corpusDir)
-        time { Pipeline.triples(corpus, humans).count() } // warm
-        time { Pipeline.triples(corpus, humans).count() }
-      } finally s.stop()
-    }
-    val slot8 = slotRun(8)
-    val slot32 = slotRun(32)
+    val efficiency = ((scalingN / cpu32) / (scalingN / cpu8)) / 4.0
     val slotEfficiency = ((scalingN / slot32) / (scalingN / slot8)) / 4.0
 
     // S3 shared-scan: 4 specs multiplexed over ONE pass (fixed 300k-row
@@ -161,6 +165,6 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / sec32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_efficiency_slot_bounded":$slotEfficiency%.3f,"scaling_efficiency_cpuset_bounded":$efficiency%.3f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f}""")
+      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / sec32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_forked_min_of_3","scaling_efficiency_cpuset_bounded":$efficiency%.3f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${measured((8, false)).map(t => f"$t%.2f").mkString("[", ",", "]")},"slot_runs_32t":${measured((32, false)).map(t => f"$t%.2f").mkString("[", ",", "]")}}""")
   }
 }
