@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Model._
 import graft.spec.{DumpSpec, SpecCompiler}
 import graft.emit.TripleEmitter
-import graft.sources.EntityCorpus
+import graft.sources.{DumpFormat, EntityCorpus}
 
 /** End-to-end KG-construction pipeline: corpus → parse → spec filter →
   * triple emission → dedup → partitioned write, with lineage + metrics.
@@ -17,8 +17,17 @@ import graft.sources.EntityCorpus
   * expressions (codegen + pushdown), never closures. The parse happens
   * once per scan even when N specs are multiplexed over it (reference S3
   * `DumpRunner.java:78-86`).
+  *
+  * Parse cost discipline: the include gate runs over a MINIMAL-schema
+  * `from_json` bound once per row through a lambda (DumpFormat.gate), so
+  * excluded rows pay only the pruned parse and predicate pushdown cannot
+  * duplicate it; the full-schema parse happens exactly once, for
+  * surviving rows only. Input dialect (synthetic fixture vs real
+  * Wikidata dump JSON) is a DumpFormat parameter.
   */
 object Pipeline {
+
+  private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   case class ErrorRow(repo: String, path: String, id: String, error: String)
 
@@ -41,8 +50,12 @@ object Pipeline {
   }
 
   /** Parsed-document view of a corpus: columns (repo, path, commit,
-    * content_sha256, doc) — see EntityCorpus.parse. */
-  def parsed(corpus: DataFrame): DataFrame = EntityCorpus.parse(corpus)
+    * content_sha256, doc). */
+  def parsed(corpus: DataFrame, format: DumpFormat = DumpFormat.Fixture): DataFrame =
+    corpus.select(
+      col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("content_sha256"),
+      format.doc(col("content")).as("doc"))
 
   private def docColumns = Seq(
     col("doc.id").as("id"), col("doc.type").as("etype"), col("doc.datatype").as("datatype"),
@@ -51,13 +64,20 @@ object Pipeline {
     col("doc.statements").as("statements"))
 
   /** Included documents for one spec, as a typed Dataset — the F1 gate
-    * runs as a Column predicate BEFORE any deserialization. */
-  def includedDocs(corpus: DataFrame, spec: DumpSpec): Dataset[EntityDoc] = {
+    * runs as a minimal-schema Column predicate BEFORE any full parse or
+    * deserialization (DumpFormat.gate: one pruned `from_json` per row);
+    * the full parse runs once, for survivors only. */
+  def includedDocs(corpus: DataFrame, spec: DumpSpec,
+                   format: DumpFormat = DumpFormat.Fixture,
+                   excludeLexemes: Boolean = false): Dataset[EntityDoc] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    parsed(corpus)
-      .filter(col("doc").isNotNull && col("doc.id").isNotNull)
-      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+    val lexPred: Column => Column =
+      if (excludeLexemes) d => d("type") =!= "lexeme" else _ => lit(true)
+    corpus
+      .filter(format.gate(col("content"),
+        d => lexPred(d) && SpecCompiler.includePredicate(spec, d)))
+      .select(format.doc(col("content")).as("doc"))
       .select(docColumns: _*)
       .as[EntityDoc]
   }
@@ -65,16 +85,17 @@ object Pipeline {
   /** S6 error channel: rows that fail JSON parse, plus included lexeme
     * documents (reference raises NotImplementedException for lexemes and
     * skips the document, `FilteredRdfSerializer.java:89-98`). */
-  def errors(corpus: DataFrame, spec: DumpSpec): Dataset[ErrorRow] = {
+  def errors(corpus: DataFrame, spec: DumpSpec,
+             format: DumpFormat = DumpFormat.Fixture): Dataset[ErrorRow] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val p = parsed(corpus)
-    val parseErrors = p.filter(col("doc").isNull || col("doc.id").isNull)
+    val parseErrors = corpus
+      .filter(!format.gate(col("content"), _ => lit(true)))
       .select(col("repo"), col("path"), lit("").as("id"), lit("malformed document JSON").as("error"))
-    val lexemes = p
-      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") === "lexeme")
-      .filter(SpecCompiler.includePredicate(spec, col("doc")))
-      .select(col("repo"), col("path"), col("doc.id").as("id"),
+    val lexemes = corpus
+      .filter(format.gate(col("content"),
+        d => d("type") === "lexeme" && SpecCompiler.includePredicate(spec, d)))
+      .select(col("repo"), col("path"), format.filterDoc(col("content"))("id").as("id"),
         lit("serialization of lexemes not implemented").as("error"))
     parseErrors.union(lexemes).as[ErrorRow]
   }
@@ -85,13 +106,17 @@ object Pipeline {
     * `Observation` without a second pass. */
   def triples(corpus: DataFrame, spec: DumpSpec,
               sites: TripleEmitter.Sites = EntityCorpus.sites,
-              dedup: Boolean = true): DataFrame = {
+              dedup: Boolean = true,
+              format: DumpFormat = DumpFormat.Fixture): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val docs = includedDocs(corpus, spec)
-      .filter(col("etype") =!= "lexeme") // lexemes → error channel, not output
+    // lexemes → error channel, not output (gated in the cheap pre-filter)
+    val docs = includedDocs(corpus, spec, format, excludeLexemes = true)
+    // unique metric name per instantiation: two triples() plans may be
+    // combined into one query (e.g. equivalence checks via exceptAll),
+    // and Spark rejects duplicate observation names in one plan
     val observed = docs
-      .observe("graft_counters",
+      .observe(s"graft_counters_${Pipeline.observeId.incrementAndGet()}",
         count(lit(1)).as("includedEntities"),
         sum(SpecCompiler.includedStatementsExpr(spec,
           struct(col("statements").as("statements")))).as("includedStatements"))
@@ -110,15 +135,19 @@ object Pipeline {
     * spec) pair is emitted. No caching needed — truly one scan. */
   def triplesMultiplexed(corpus: DataFrame, specs: Seq[(String, DumpSpec)],
                          sites: TripleEmitter.Sites = EntityCorpus.sites,
-                         dedup: Boolean = true): DataFrame = {
+                         dedup: Boolean = true,
+                         format: DumpFormat = DumpFormat.Fixture): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val incArr = array(specs.map { case (_, s) => SpecCompiler.includePredicate(s, col("doc")) }: _*)
-    val rows = parsed(corpus)
-      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
-      .withColumn("inc", incArr)
-      .filter(exists(col("inc"), b => b)) // any spec wants it → deserialize once
-      .select(struct(docColumns: _*).as("d"), col("inc"))
+    // any spec wants it → full-parse + deserialize once; the cheap gate
+    // and the per-spec include bits both run over the minimal parse
+    val rows = corpus
+      .filter(format.gate(col("content"), d => d("type") =!= "lexeme" &&
+        specs.map { case (_, s) => SpecCompiler.includePredicate(s, d) }.reduce(_ || _)))
+      .select(format.doc(col("content")).as("doc"),
+        format.filterDoc(col("content")).as("fdoc"))
+      .select(struct(docColumns: _*).as("d"),
+        array(specs.map { case (_, s) => SpecCompiler.includePredicate(s, col("fdoc")) }: _*).as("inc"))
       .as[(EntityDoc, Seq[Boolean])]
     val specArr = specs.toIndexedSeq
     val sitesB = spark.sparkContext.broadcast(sites)
@@ -178,12 +207,14 @@ object Pipeline {
     * expression — one whole-stage-codegen span from scan to output.
     * Demonstrates the expression-only alternative to the typed flatMap;
     * semantically identical to the emitter's term path (tested). */
-  def termTriplesSql(corpus: DataFrame, spec: DumpSpec): DataFrame = {
+  def termTriplesSql(corpus: DataFrame, spec: DumpSpec,
+                     format: DumpFormat = DumpFormat.Fixture): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftExtensions.register(spark)
-    val p = parsed(corpus)
-      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
-      .filter(SpecCompiler.includePredicate(spec, col("doc")))
+    val p = corpus
+      .filter(format.gate(col("content"),
+        d => d("type") =!= "lexeme" && SpecCompiler.includePredicate(spec, d)))
+      .select(format.doc(col("content")).as("doc"))
     val subj = concat(lit(graft.emit.Vocab.WD), col("doc.id"))
     // nt_escape resolves through the registry (GraftExtensions.register
     // above) — public API route to a custom Expression in Spark 4
@@ -214,22 +245,28 @@ object Pipeline {
     * directly): (includedEntities, includedStatements). Statements are
     * counted once even if both simple+full are emitted, and BEFORE the
     * rank gate (reference `FilteredRdfSerializer.java:328-331`). */
-  def counters(corpus: DataFrame, spec: DumpSpec): (Long, Long) = {
-    val docs = parsed(corpus)
-      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
-      .filter(SpecCompiler.includePredicate(spec, col("doc")))
-    val r = docs.agg(
-      count(lit(1)),
-      coalesce(sum(SpecCompiler.includedStatementsExpr(spec, col("doc")).cast("long")), lit(0L))).head()
+  def counters(corpus: DataFrame, spec: DumpSpec,
+               format: DumpFormat = DumpFormat.Fixture): (Long, Long) = {
+    // the minimal filter-parse carries everything A1 needs
+    // (statements.property for the options when-chain)
+    val r = corpus
+      .filter(format.gate(col("content"),
+        d => d("type") =!= "lexeme" && SpecCompiler.includePredicate(spec, d)))
+      .select(format.filterDoc(col("content")).as("doc"))
+      .agg(
+        count(lit(1)),
+        coalesce(sum(SpecCompiler.includedStatementsExpr(spec, col("doc")).cast("long")), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
 
   /** A1 counters for N specs in ONE corpus pass: per-spec conditional
     * aggregates (sum(when(include_k, …))) — at 10^12 rows this replaces
     * N+1 full scans with one. Returns specId → (entities, statements). */
-  def countersMultiplexed(corpus: DataFrame, specs: Seq[(String, DumpSpec)]): Map[String, (Long, Long)] = {
-    val base = parsed(corpus)
-      .filter(col("doc").isNotNull && col("doc.id").isNotNull && col("doc.type") =!= "lexeme")
+  def countersMultiplexed(corpus: DataFrame, specs: Seq[(String, DumpSpec)],
+                          format: DumpFormat = DumpFormat.Fixture): Map[String, (Long, Long)] = {
+    val base = corpus
+      .filter(format.gate(col("content"), d => d("type") =!= "lexeme"))
+      .select(format.filterDoc(col("content")).as("doc"))
     val aggs = specs.flatMap { case (_, spec) =>
       val inc = SpecCompiler.includePredicate(spec, col("doc"))
       Seq(
@@ -248,9 +285,11 @@ object Pipeline {
     * a first pass (replaces the reference's mutable PropertyRegister,
     * `FilteredRdfSerializer.java:160-161` — removes scan-order
     * dependence). Small by construction → broadcast it at join sites. */
-  def propertyDatatypes(corpus: DataFrame): DataFrame =
-    parsed(corpus)
-      .filter(col("doc.type") === "property" && col("doc.id").isNotNull)
-      .select(col("doc.id").as("property"), col("doc.datatype").as("datatype"))
+  def propertyDatatypes(corpus: DataFrame,
+                        format: DumpFormat = DumpFormat.Fixture): DataFrame =
+    corpus
+      .filter(format.gate(col("content"), d => d("type") === "property"))
+      .select(format.filterDoc(col("content")).as("d"))
+      .select(col("d.id").as("property"), col("d.datatype").as("datatype"))
       .dropDuplicates("property")
 }

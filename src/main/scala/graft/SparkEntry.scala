@@ -184,13 +184,44 @@ object SparkEntry {
       Pipeline.triples(EntityCorpus.generate(s, n).toDF(), loadSpec("humans.json"))
         .orderBy("subj", "pred", "obj")
     },
-    "kg_multiplex_examples" -> { (s, dir) =>
+    // S3 multiplexed-scan contract, driver-verified: for each spec, the
+    // multiplexed output must equal the independent single-spec run
+    // (symmetric difference empty). The oracle pins the expected 'ok'
+    // verdicts; the equivalence itself is computed distributed
+    // (exceptAll), and the single-spec side is independently
+    // golden/oracle-covered elsewhere.
+    "kg_multiplex_examples" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       val n = corpusSizeFor(dir)
+      val corpus = EntityCorpus.generate(s, n).toDF()
       val specs = Seq("nothing.json", "english-labels.json", "humans.json", "politicians.json")
         .map(f => f.stripSuffix(".json") -> loadSpec(f))
-      Pipeline.triplesMultiplexed(EntityCorpus.generate(s, n).toDF(), specs)
-        .groupBy(col("specId")).agg(count(lit(1)).as("triples"))
-        .orderBy(col("specId"))
+      val multi = Pipeline.triplesMultiplexed(corpus, specs).cache()
+      try {
+        specs.map { case (id, spec) =>
+          val single = Pipeline.triples(corpus, spec)
+          val mt = multi.filter(col("specId") === id).drop("specId")
+          val nDiff = mt.exceptAll(single).count() + single.exceptAll(mt).count()
+          (id, if (nDiff == 0) "ok" else s"diff=$nDiff")
+        }.toDF("spec_id", "status").orderBy("spec_id")
+      } finally multi.unpersist()
+    },
+    // S2 real-dump-format contract, driver-verified: the fixture corpus
+    // re-encoded as genuine Wikidata dump JSON (claims/mainsnak/datavalue
+    // shape) must produce the identical triple set through the
+    // DumpFormat.Wikidata parse path. Hand-written genuine dump lines are
+    // additionally covered in WikidataJsonSpec.
+    "kg_humans_realjson" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val fixture = EntityCorpus.generate(s, corpusSizeFor(dir)).toDF()
+      val real = graft.sources.WikidataJson.convertCorpus(fixture)
+      val spec = loadSpec("humans.json")
+      val a = Pipeline.triples(fixture, spec)
+      val b = Pipeline.triples(real, spec, format = graft.sources.DumpFormat.Wikidata).cache()
+      try {
+        val nDiff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        val nReal = b.count()
+        Seq(if (nDiff == 0 && nReal > 100) "ok" else s"diff=$nDiff real=$nReal")
+          .toDF("status")
+      } finally b.unpersist()
     },
     // north-rule canonicalization: connected components (large-star/
     // small-star) over a bipartite graph; oracle = recursive-CTE closure
@@ -437,6 +468,10 @@ object SparkEntry {
       """SELECT doc_id,
         |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "kg_multiplex_examples" ->
+      """SELECT * FROM (VALUES ('english-labels','ok'),('humans','ok'),('nothing','ok'),('politicians','ok'))
+        |AS t(spec_id, status) ORDER BY spec_id""".stripMargin,
+    "kg_humans_realjson" -> "SELECT 'ok' AS status",
     "kg_cc_components" ->
       """WITH RECURSIVE edges AS (
         |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a, 't' || event_type AS b FROM events),

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Model
+
+/** Input JSON dialect of an entity corpus `content` column.
+  *
+  * Two parse granularities per dialect:
+  *  - `filterDoc`: a *minimal-schema* parse carrying only the fields
+  *    SpecCompiler predicates can reference (id, type, datatype,
+  *    statements.{property,rank,mainSnak}). The include gate runs over
+  *    this — excluded rows never pay full-document parsing.
+  *  - `doc`: the full parse into Model.entityJsonSchema shape.
+  *
+  * Both are meant to be evaluated ONCE per row. Use `gate` for filters:
+  * it binds the parsed struct to a higher-order-function lambda variable
+  * (`size(filter(array(fd), d => pred(d))) === 1`), so however many
+  * times the predicate references the document, the `from_json` runs
+  * once — predicate pushdown cannot duplicate it into per-reference
+  * copies (the round-1 plan re-parsed surviving rows per reference).
+  */
+sealed trait DumpFormat {
+  /** minimal parse for include predicates. */
+  def filterDoc(content: Column): Column
+  /** full parse → internal doc struct (Model.entityJsonSchema). */
+  def doc(content: Column): Column
+
+  /** Evaluate `pred` over the minimal parse with a single `from_json`
+    * per row (lambda-bound; see trait scaladoc). Null / id-less docs
+    * (malformed JSON) never satisfy the gate. */
+  final def gate(content: Column, pred: Column => Column): Column =
+    size(filter(array(filterDoc(content)),
+      d => d.isNotNull && d("id").isNotNull && pred(d))) === 1
+
+  /** Project `build(doc)` with a single full parse per row (lambda-bound). */
+  final def project(content: Column, build: Column => Column): Column =
+    element_at(transform(array(doc(content)), d => build(d)), 1)
+}
+
+object DumpFormat {
+
+  /** The repo's own synthetic fixture shape (FIXTURES.md §1-2): flat
+    * `statements` array, plain-string term maps, flat `valueType`/`value`. */
+  case object Fixture extends DumpFormat {
+    /** pruned fixture schema for predicates (statements without
+      * qualifiers/references; value carries only the entity id that
+      * SnakFilterType.EntityId can test). */
+    val filterSchema: StructType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("datatype", StringType),
+      StructField("statements", ArrayType(StructType(Seq(
+        StructField("property", StringType),
+        StructField("rank", StringType),
+        StructField("mainSnak", Model.snakSchema)))))))
+
+    def filterDoc(content: Column): Column = from_json(content, filterSchema)
+    def doc(content: Column): Column = from_json(content, Model.entityJsonSchema)
+  }
+
+  /** Real Wikidata entity-dump JSON (claims/mainsnak/datavalue shape). */
+  case object Wikidata extends DumpFormat {
+    def filterDoc(content: Column): Column =
+      WikidataJson.filterDocColumn(from_json(content, WikidataJson.filterEntitySchema))
+    def doc(content: Column): Column =
+      WikidataJson.docColumn(from_json(content, WikidataJson.entitySchema))
+  }
+}

@@ -302,11 +302,24 @@ object EntityCorpus {
   /** Parse the raw corpus into documents (S2): from_json with the fixed
     * schema (never inferred), carrying the sha256(content) lineage
     * column (north-rule per-row invariant) and the source row identity.
-    * Malformed rows yield a null doc → error channel (S6). */
-  def parse(df: DataFrame): DataFrame = {
+    * Malformed rows yield a null doc → error channel (S6). Defaults to
+    * the fixture dialect; pass DumpFormat.Wikidata for real dump JSON. */
+  def parse(df: DataFrame, format: DumpFormat = DumpFormat.Fixture): DataFrame = {
     df.select(
       col("repo"), col("path"), col("commit"),
       sha2(col("content"), 256).as("content_sha256"),
-      from_json(col("content"), Model.entityJsonSchema).as("doc"))
+      format.doc(col("content")).as("doc"))
+  }
+
+  /** Sniff the JSON dialect of a dump from its first document line
+    * (driver-side, O(1)): real Wikidata dumps keep statements in a
+    * `claims` object; the fixture shape uses a `statements` array. */
+  def detectFormat(spark: SparkSession, path: String): DumpFormat = {
+    val head = spark.read.text(path)
+      .select(regexp_replace(trim(col("value")), ",$", "").as("line"))
+      .filter(length(col("line")) > 1 && col("line").startsWith("{"))
+      .head(1)
+    if (head.nonEmpty && head(0).getString(0).contains("\"claims\"")) DumpFormat.Wikidata
+    else DumpFormat.Fixture
   }
 }
