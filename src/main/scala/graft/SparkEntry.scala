@@ -253,20 +253,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
     // batched mention detection + dictionary/alias entity-link scoring
-    // (north-star step 2; dictionary from the KG corpus, broadcast to the
-    // text scan — rows-only: dictionary side not DuckDB-visible)
+    // (north-star step 2). The driver query runs over a PINNED literal
+    // dictionary + class table (shared verbatim with the DuckDB oracle),
+    // so the hard parts — the n-gram mention scan and the context-aware
+    // prior scoring — are fully hash-verified; building the dictionary
+    // from the KG corpus itself is covered in EntityLinkingSpec.
     "kg_entity_linking" -> { (s, dir) => implicit val sp = s; import sp.implicits._
-      val parsed = EntityCorpus.parse(EntityCorpus.generate(s, 2000).toDF())
-      // documents mention entity label surfaces injected deterministically
-      val surfaces = graft.operators.EntityLinking.buildDictionary(parsed)
-        .select("surface").distinct().orderBy("surface").limit(50)
-        .collect().map(_.getString(0))
+      val dict = elDict.toDF("surface", "entity", "prior")
+      val classes = elClasses.toDF("entity", "cls")
+      val n = elSurfaces.length
+      // inject two deterministic dictionary surfaces per document so
+      // mention context (co-occurring entities) is exercised
       val docs = t(dir, "documents").select($"doc_id",
         concat_ws(" ", $"text",
-          element_at(lit(surfaces), (pmod($"doc_id", lit(surfaces.length)) + 1).cast("int")))
+          element_at(lit(elSurfaces.toArray), (pmod($"doc_id", lit(n)) + 1).cast("int")),
+          element_at(lit(elSurfaces.toArray), (pmod($"doc_id" * 7 + 3, lit(n)) + 1).cast("int")))
           .as("text"))
-      graft.operators.EntityLinking
-        .link(parsed, docs, $"doc_id", $"text", maxGram = 5)
+      val mentions = graft.operators.EntityLinking
+        .detectMentions(docs, $"doc_id", $"text", dict, maxGram = 3)
+      graft.operators.EntityLinking.scoreLinks(mentions, classes)
         .orderBy("doc_id", "pos", "surface")
     },
     // MinHash scale path: xxhash64 token hashing, pure map-side signature
@@ -280,6 +285,11 @@ object SparkEntry {
     "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
         .orderBy("doc_id")
+    },
+    // SimHash near-dup pairs via pigeonhole banding (exact, no cartesian)
+    "q_simhash_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val sig = graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
+      graft.operators.Dedup.simhashPairs(sig, maxHamming = 3).orderBy("id_a", "id_b")
     },
     // n-gram Jaccard near-dup pairs bounded by a group key
     "q_jaccard_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -304,8 +314,10 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(emb,
         emb.filter(pmod($"vec_id", lit(100)) === 0), k = 1, bits = 4).drop("rn").orderBy("qid")
     },
-    // ANN: IVF (k-means coarse quantizer + probed cells) — rows-only
-    // (the quantizer's float means aren't bit-reproducible in SQL)
+    // ANN: IVF (k-means coarse quantizer + probed cells). Fully
+    // oracle-checkable: integer-quantized vectors, half-up integer
+    // centroid means, arithmetic stride init — the DuckDB oracle reruns
+    // the identical quantizer (unrolled Lloyd iterations in SQL)
     "q_ann_ivf" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       val emb = t(dir, "embeddings")
       val centroids = graft.operators.Ivf.train(emb, k = 8, iters = 3)
@@ -313,12 +325,21 @@ object SparkEntry {
         emb.filter(pmod($"vec_id", lit(100)) === 0), centroids, k = 1, nProbe = 2)
         .drop("rn").orderBy("qid")
     },
-    // multimodal: binary decode plumbing (stub codec; rows-only check —
-    // the synthetic payload sha256 is not SQL-reproducible)
+    // multimodal: binary decode plumbing, fully oracle-checked — the
+    // deterministic payload is reconstructable from doc_id in SQL, so
+    // DuckDB re-derives width/height/duration/size AND a payload
+    // integrity fingerprint (sha256 over the lowercase hex of the bytes;
+    // DuckDB v1.0 cannot hash BLOBs directly). The binary-domain sha256
+    // of extractMeta stays covered in OperatorsSpec.
     "q_mm_meta" -> { (s, dir) => implicit val sp = s; import sp.implicits._
-      graft.operators.Multimodal.extractMeta(
-        graft.operators.Multimodal.synthesize(t(dir, "documents"), $"doc_id"))
-        .toDF().orderBy("asset_id")
+      val assets = graft.operators.Multimodal.synthesize(t(dir, "documents"), $"doc_id")
+      val meta = graft.operators.Multimodal.extractMeta(assets).toDF()
+      val payload = assets.toDF().select($"asset_id",
+        sha2(lower(hex($"data")), 256).as("payload_hex_sha"))
+      meta.join(payload, "asset_id")
+        .select($"asset_id", $"kind", $"width", $"height", $"durationMs",
+          $"sizeBytes", $"payload_hex_sha")
+        .orderBy("asset_id")
     },
     // exact discrete percentiles per group: window rank + positional pick
     // (integer position logic — engine-independent, unlike interpolation)
@@ -384,6 +405,29 @@ object SparkEntry {
   /** scale the synthetic KG corpus with the sf directory */
   private def corpusSizeFor(dir: String): Long =
     if (dir.contains("0.001")) 2000L else if (dir.contains("0.01")) 20000L else 200000L
+
+  /** Pinned entity-linking fixture shared verbatim by the Spark query and
+    * the DuckDB oracle: (surface, candidate entity, scaled prior).
+    * Ambiguous surfaces ("turing", "hopper") are split across senses;
+    * context classes decide (Q5 humans vs awards/craters). */
+  private val elDict: Seq[(String, String, Long)] = Seq(
+    ("alan turing", "Q7251", 2000L),
+    ("turing", "Q7251", 1000L),
+    ("turing", "Q163992", 1000L),
+    ("grace hopper", "Q11641", 2000L),
+    ("hopper", "Q11641", 800L),
+    ("hopper", "Q1140419", 800L),
+    ("turing award", "Q185667", 2000L),
+    ("compiler", "Q47506", 1500L),
+    ("enigma", "Q160925", 1500L))
+
+  /** entity → P31-style class for the context-support scoring */
+  private val elClasses: Seq[(String, String)] = Seq(
+    ("Q7251", "Q5"), ("Q11641", "Q5"),
+    ("Q163992", "Q618779"), ("Q185667", "Q618779"),
+    ("Q1140419", "Q55818"), ("Q47506", "Q7397"), ("Q160925", "Q39546"))
+
+  private val elSurfaces: Seq[String] = elDict.map(_._1).distinct.sorted
 
   // ----------------------------------------------------------------------
 
@@ -508,6 +552,8 @@ object SparkEntry {
           |WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)
           |ORDER BY id_a, id_b""".stripMargin),
     "q_simhash" -> simhashOracleSql,
+    "q_simhash_pairs" -> simhashPairsOracleSql,
+    "kg_entity_linking" -> entityLinkingOracleSql,
     "q_jaccard_pairs" ->
       """WITH tok AS (SELECT DISTINCT doc_id, source, token FROM
         |  (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents)),
@@ -543,6 +589,21 @@ object SparkEntry {
         |SELECT qid, nid, dot FROM (
         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
         |  FROM pairs) WHERE rn = 1 ORDER BY qid""").stripMargin,
+    "q_ann_ivf" -> ivfOracleSql(k = 8, iters = 3, nProbe = 2, topK = 1),
+    // mirrors Multimodal.synthesize exactly: 12-byte big-endian header
+    // (width, height, durationMs) + 64 body bytes (i*131 + j*17) % 251
+    "q_mm_meta" ->
+      """WITH m AS (SELECT doc_id AS i, 16 + doc_id%64 AS w, 16 + doc_id%48 AS h,
+        |    1000 + doc_id%9000 AS d FROM documents),
+        |bytes AS (SELECT i, w, h, d,
+        |  list_concat([0,0,0,w, 0,0,0,h, 0,0, d//256, d%256],
+        |    list_transform(range(64), j -> (i*131 + j*17) % 251)) AS bs FROM m)
+        |SELECT i AS asset_id,
+        |  CASE i%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(d AS INTEGER) AS "durationMs", CAST(76 AS INTEGER) AS "sizeBytes",
+        |  sha256(array_to_string(list_transform(bs, b -> printf('%02x', b)), '')) AS payload_hex_sha
+        |FROM bytes ORDER BY asset_id""".stripMargin,
     "q_training_filter" -> {
       val (scores, caseExpr) = langidParts
       s"""WITH scored0 AS (
@@ -584,6 +645,49 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
 
+  /** SQL mirror of the full Ivf pipeline (quantize → stride init → k
+    * unrolled Lloyd iterations with half-up integer means and
+    * empty-cluster carry-forward → cell assignment → nProbe search →
+    * top-k by quantized dot). Pure integer arithmetic end to end. */
+  private def ivfOracleSql(k: Int, iters: Int, nProbe: Int, topK: Int): String = {
+    def iteration(i: Int): String = {
+      val prev = s"cv${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+         |  FROM qv v JOIN $prev c USING (pos) GROUP BY 1,2),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |s$i AS (SELECT a.cid, v.pos,
+         |  CAST(FLOOR((2*SUM(v.v)+COUNT(*))/(2.0*COUNT(*))) AS BIGINT) AS cv
+         |  FROM a$i a JOIN qv v USING (vec_id) GROUP BY 1,2),
+         |cv$i AS (SELECT c.cid, c.pos, COALESCE(s.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN s$i s USING (cid, pos)),""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |p AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) // $k) AS stride),
+       |qv AS (SELECT vec_id, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM q),
+       |cv0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, pos, v AS cv
+       |  FROM qv, p WHERE vec_id % stride = 0 AND vec_id < stride*$k),
+       |${(1 to iters).map(iteration).mkString("\n")}
+       |df AS (SELECT v.vec_id, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+       |  FROM qv v JOIN cv$iters c USING (pos) GROUP BY 1,2),
+       |cells AS (SELECT vec_id AS nid, cid FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+       |  WHERE rn = 1),
+       |pcells AS (SELECT vec_id AS qid, cid FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM df WHERE vec_id % 100 = 0) WHERE rn <= $nProbe),
+       |cand AS (SELECT p.qid, i.nid FROM pcells p JOIN cells i USING (cid) WHERE i.nid <> p.qid),
+       |dots AS (SELECT c.qid, c.nid, CAST(SUM(a.v*b.v) AS BIGINT) AS dot
+       |  FROM cand c JOIN qv a ON a.vec_id = c.qid JOIN qv b ON b.vec_id = c.nid AND b.pos = a.pos
+       |  GROUP BY 1,2)
+       |SELECT qid, nid, dot FROM (
+       |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+       |  FROM dots) WHERE rn <= $topK ORDER BY qid""".stripMargin
+  }
+
   /** SQL mirror of Similarity.signBucket: sum of sign bits over the
     * first `bits` dimensions (1-indexed arrays in both engines) */
   private def signBucketSql(bits: Int): String =
@@ -600,8 +704,9 @@ object SparkEntry {
       |tt AS (SELECT doc_id, token_id FROM tok JOIN vocab USING (token))
       |""".stripMargin
 
-  /** SQL mirror of Dedup.simhash (32 bits) */
-  private def simhashOracleSql: String = {
+  /** shared CTE chain ending in sig(doc_id, simhash) — mirrors
+    * Dedup.simhash (32 bits) */
+  private def simhashSigCte: String = {
     val bitSums = (0 until 32).map(j =>
       s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
     val sig = (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
@@ -609,8 +714,60 @@ object SparkEntry {
       s""",th AS (SELECT doc_id, (token_id * 2654435761) % 4294967296 AS h FROM tt),
          |bits AS (SELECT doc_id,
          |  $bitSums
-         |  FROM th GROUP BY doc_id)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+         |  FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  /** SQL mirror of Dedup.simhash (32 bits) */
+  private def simhashOracleSql: String =
+    simhashSigCte + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  /** SQL mirror of Dedup.simhashPairs: pigeonhole banding (maxHamming=3 →
+    * 4 bands of 8 bits) + exact bit_count verify */
+  private def simhashPairsOracleSql: String =
+    simhashSigCte +
+      """,bands AS (SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS bucket
+        |  FROM sig, (VALUES (0),(1),(2),(3)) bs(band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  /** SQL mirror of the kg_entity_linking query: pinned dictionary VALUES,
+    * n-gram scan with positions, context-support scoring. */
+  private def entityLinkingOracleSql: String = {
+    val dictVals = elDict.map { case (s, e, p) => s"('$s','$e',$p)" }.mkString(",")
+    val clsVals = elClasses.map { case (e, c) => s"('$e','$c')" }.mkString(",")
+    val surfList = elSurfaces.map(s => s"'$s'").mkString("[", ",", "]")
+    val n = elSurfaces.length
+    s"""WITH dict(surface, entity, prior) AS (VALUES $dictVals),
+       |classes(entity, cls) AS (VALUES $clsVals),
+       |docs AS (SELECT doc_id, text || ' ' || ($surfList)[(doc_id % $n)+1]
+       |    || ' ' || ($surfList)[((doc_id*7+3) % $n)+1] AS text FROM documents),
+       |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM docs),
+       |grams AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+n], ' ') AS surface
+       |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS pos FROM toks), (VALUES (1),(2),(3)) ns(n)
+       |  WHERE pos + n <= len(t) AND length(array_to_string(t[pos+1:pos+n], ' ')) > 0),
+       |m AS (SELECT g.doc_id, g.surface, g.pos, d.entity, d.prior
+       |  FROM grams g JOIN dict d USING (surface)),
+       |wc AS (SELECT m.doc_id, m.surface, m.pos, m.entity, m.prior, c.cls
+       |  FROM m LEFT JOIN classes c USING (entity)),
+       |dc AS (SELECT DISTINCT doc_id, surface, cls FROM wc WHERE cls IS NOT NULL),
+       |sup AS (SELECT a.doc_id, a.surface, a.pos, a.entity, a.prior,
+       |    COUNT(b.cls) AS context_support
+       |  FROM wc a LEFT JOIN dc b
+       |    ON a.doc_id = b.doc_id AND a.cls = b.cls AND a.surface <> b.surface
+       |  GROUP BY 1,2,3,4,5),
+       |scored AS (SELECT doc_id, surface, pos, entity,
+       |    prior*(1+context_support) AS score, context_support,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, surface, pos
+       |      ORDER BY prior*(1+context_support) DESC, entity) AS rn
+       |  FROM sup)
+       |SELECT doc_id, surface, CAST(pos AS INTEGER) AS pos, entity,
+       |  CAST(score AS BIGINT) AS score, CAST(context_support AS BIGINT) AS context_support
+       |FROM scored WHERE rn = 1 ORDER BY doc_id, pos, surface""".stripMargin
   }
 
   /** scores + first-wins CASE shared by the langid oracles */

@@ -142,11 +142,30 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Hamming distance between simhash signatures (near-dup when small). */
-  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
-    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+  /** Banded simhash near-dup pairs (Hamming ≤ maxHamming), EXACT and
+    * never all-pairs: the `bits`-bit signature splits into
+    * nBands = maxHamming+1 contiguous bands — a pair within maxHamming
+    * differs in at most maxHamming bands, so by pigeonhole it must agree
+    * on at least one whole band. Candidates come from per-band bucket
+    * equality (shuffle on small band keys), then the cheap bit_count
+    * XOR verify. Same trick as MinHash-LSH but with zero recall loss. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = bits / nBands
+    val bands = (0 until nBands).map { bnd =>
+      val lo = bnd * base
+      val width = if (bnd == nBands - 1) bits - lo else base
+      sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
+        pmod(shiftright(col("simhash"), lo), lit(1L << width)).as("bucket"))
+    }.reduce(_ union _)
+    val a = bands.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // a pair can agree on several bands
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

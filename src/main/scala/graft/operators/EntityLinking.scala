@@ -64,11 +64,16 @@ object EntityLinking {
     }.reduce(_ union _)
   }
 
-  /** Mention detection: n-gram scan ⋈ broadcast dictionary. */
+  /** Mention detection: n-gram scan ⋈ dictionary. The join strategy is
+    * deliberately NOT forced: Spark's planner broadcasts the dictionary
+    * when its size estimate fits autoBroadcastJoinThreshold, and AQE
+    * re-plans from actual runtime sizes — a label/alias dictionary over
+    * a 100M-entity KG exceeds any broadcast budget and must fall back to
+    * a shuffle join (the round-1 unconditional broadcast() did not). */
   def detectMentions(docs: DataFrame, id: Column, text: Column,
                      dictionary: DataFrame, maxGram: Int = 3): DataFrame =
     ngrams(docs, id, text, maxGram)
-      .join(broadcast(dictionary), "surface")
+      .join(dictionary, "surface")
       .select(col("doc_id"), col("surface"), col("pos"), col("gram"),
         col("entity"), col("prior"))
 
@@ -78,7 +83,8 @@ object EntityLinking {
   def scoreLinks(mentions: DataFrame, entityClasses: DataFrame): DataFrame = {
     // entityClasses: (entity, cls) — e.g. P31 values from the corpus
     val m = mentions.alias("m")
-    val withCls = m.join(broadcast(entityClasses).alias("ec"),
+    // size-gated by the planner/AQE, same reasoning as detectMentions
+    val withCls = m.join(entityClasses.alias("ec"),
       col("m.entity") === col("ec.entity"), "left_outer")
       .select(col("m.doc_id"), col("m.surface"), col("m.pos"), col("m.entity"),
         col("m.prior"), col("ec.cls"))

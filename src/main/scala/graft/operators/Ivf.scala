@@ -7,76 +7,120 @@ import org.apache.spark.sql.expressions.Window
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
   * path next to sign-bit LSH (Similarity.lshTopK):
   *
-  *  1. train a coarse quantizer (Lloyd's k-means, a few iterations,
-  *     deterministic stride init) — centroids are tiny and broadcast;
-  *  2. assign every vector to its nearest centroid (one narrow pass:
-  *     broadcast-join + per-row argmin);
+  *  1. train a coarse quantizer (Lloyd's k-means, a few iterations) over
+  *     INTEGER-quantized vectors (round(x*1000), the repo-wide
+  *     determinism convention) — centroid updates use half-up integer
+  *     division, so the whole quantizer is bit-reproducible in any SQL
+  *     engine and across partial-agg orders;
+  *  2. assign every vector to its nearest centroid map-side: the k
+  *     centroids ride as a LITERAL array in the expression tree
+  *     (collected once per iteration, k×dim ints — the model is tiny by
+  *     construction), argmin = array_min over (d2, cid) structs. No
+  *     crossJoin, no per-vector window, zero shuffle;
   *  3. search probes only the `nProbe` nearest cells — candidate volume
-  *     drops k/nProbe-fold vs brute force.
+  *     drops k/nProbe-fold vs brute force; the only shuffles are the
+  *     bounded cid-join and the per-probe top-k.
   *
-  * All distance math is double-precision over float inputs via
-  * higher-order array functions (codegen'd, no UDFs).
+  * Init is a deterministic arithmetic stride over the vec_id space
+  * (window-free — replaces the round-1 global row_number sort, which
+  * single-tasked the whole corpus). Clusters that lose all members
+  * carry their previous centroid forward instead of silently shrinking k.
   */
 object Ivf {
 
-  /** squared L2 distance between two float-array columns (double math) */
-  def dist2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, v) => acc + v)
+  /** shared determinism convention: per-dimension integer quantization */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Lloyd's k-means over (vec_id, embedding). Deterministic init: the k
-    * vectors with the smallest vec_id at stride spacing. Returns
-    * (cid, centroid: array<double>). */
-  def train(vectors: DataFrame, k: Int, iters: Int = 4): DataFrame = {
+  /** integer squared L2 between two quantized (long-array) columns */
+  def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic, window-free init: the k vectors at stride spacing of
+    * the (assumed roughly dense, zero-based) vec_id space. cid = id/stride.
+    * For corpora with arbitrary ids, pre-assign dense ids by any
+    * deterministic map-side rule (e.g. pmod(xxhash64(id), m)) — the
+    * quantizer only needs k spread-out seeds. */
+  def initCentroids(vectors: DataFrame, k: Int): DataFrame = {
     val n = vectors.count()
     val stride = math.max(1L, n / k)
-    var centroids = vectors
-      .withColumn("rn", row_number().over(Window.orderBy("vec_id")) - 1)
-      .filter(col("rn") % stride === 0).limit(k)
-      .select((col("rn") / stride).cast("int").as("cid"),
-        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    vectors
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select((col("vec_id") / stride).cast("int").as("cid"),
+        quantize(col("embedding")).as("centroid"))
+  }
 
+  /** centroids as a literal Column: array<struct<cid:int, centroid:array<long>>> */
+  private def centroidLiteral(centroids: DataFrame): Column = {
+    val rows = centroids.collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Long]](1).toSeq))
+      .sortBy(_._1).toSeq
+    require(rows.nonEmpty, "no centroids")
+    typedlit(rows)
+  }
+
+  /** map-side nearest-cid expression over a quantized embedding column:
+    * array_min of (d2, cid) structs = lexicographic argmin with
+    * deterministic tie-break. */
+  private def distCid(qe: Column, c: Column): Column =
+    // named_struct keeps field names inside HOF lambdas (struct() aliases
+    // are stripped there); (d2, cid) order gives lexicographic argmin
+    call_function("named_struct",
+      lit("d2"), qdist2(qe, c("_2")), lit("cid"), c("_1"))
+
+  private def nearestCid(qe: Column, cLit: Column): Column =
+    array_min(transform(cLit, c => distCid(qe, c)))("cid")
+
+  /** Lloyd's k-means over (vec_id, embedding). Returns
+    * (cid: int, centroid: array<long>) — quantized integer centroids. */
+  def train(vectors: DataFrame, k: Int, iters: Int = 4): DataFrame = {
+    val qv = vectors.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    var centroids = initCentroids(vectors, k).localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      val assigned = assign(vectors, centroids)
-      // new centroid = per-dimension mean over members (posexplode → avg)
-      val next = assigned.join(vectors, "vec_id")
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
-        .groupBy("cid").agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s("m")).as("centroid"))
-      centroids = next.localCheckpoint(true)
+      val cLit = centroidLiteral(centroids)
+      // one shuffle per iteration: groupBy(cid, pos) partial+final agg
+      val sums = qv
+        .select(nearestCid(col("qe"), cLit).as("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("c"))
+        // half-up integer mean: floor((2s + c) / 2c) — exact in double
+        // far beyond any realistic sum magnitude, identical in SQL
+        .select(col("cid"), col("pos"),
+          floor((lit(2) * col("s") + col("c")).cast("double") / (lit(2) * col("c")).cast("double"))
+            .cast("long").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("centroid"))
+      // carry empty clusters forward instead of silently shrinking k
+      centroids = centroids.as("p").join(sums.as("n"), Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("n.centroid"), col("p.centroid")).as("centroid"))
+        .localCheckpoint(true)
     }
     centroids
   }
 
-  /** nearest-centroid assignment: (vec_id, cid). Broadcast the (tiny)
-    * centroid table; per-row argmin with deterministic tie-break. */
+  /** nearest-centroid assignment: (vec_id, cid). Pure map-side (literal
+    * centroids), zero shuffle. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    vectors.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+    val cLit = centroidLiteral(centroids)
+    vectors.select(col("vec_id"),
+      nearestCid(quantize(col("embedding")), cLit).as("cid"))
   }
 
   /** IVF search: probes visit their nProbe nearest cells only; top-k by
-    * quantized dot product (consistent with Similarity). */
+    * quantized dot product (consistent with Similarity.qdot). */
   def search(vectors: DataFrame, probes: DataFrame, centroids: DataFrame,
              k: Int, nProbe: Int = 2): DataFrame = {
-    val cells = assign(vectors, centroids)
-    val indexed = vectors.join(cells, "vec_id")
-      .select(col("vec_id").as("nid"), col("embedding").as("emb_n"), col("cid"))
-    // probe cells: nProbe nearest centroids per probe
-    val wp = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val probeCells = probes.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("emb_q"), col("cid"))
+    val cLit = centroidLiteral(centroids)
+    val indexed = vectors.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
+      nearestCid(quantize(col("embedding")), cLit).as("cid"))
+    // probe cells: nProbe nearest centroids per probe, map-side
+    // (array_sort of the k (d2, cid) structs, slice the prefix)
+    val probeCells = probes
+      .select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
+        explode(slice(array_sort(transform(cLit,
+          c => distCid(quantize(col("embedding")), c))), 1, nProbe)).as("probe"))
+      .select(col("qid"), col("emb_q"), col("probe.cid").as("cid"))
     val wr = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     probeCells.join(indexed, "cid")
       .filter(col("qid") =!= col("nid"))

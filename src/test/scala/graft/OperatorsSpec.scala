@@ -121,6 +121,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), s"near-dup 1-3 missed: ${pairs.toSeq}")
   }
 
+  test("simhashPairs banding is EXACT: equals the all-pairs formulation, no cartesian") {
+    import spark.implicits._
+    val docs = EntityCorpus.generate(spark, 300).toDF()
+      .select(xxhash64(col("path")).as("doc_id"), col("content").as("text"))
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text")).cache()
+    for (maxH <- Seq(2, 3, 5)) {
+      val banded = Dedup.simhashPairs(sig, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+        .filter(col("h") <= maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"maxH=$maxH banded=${banded.size} brute=${brute.size}")
+    }
+    // the plan must contain no cartesian/broadcast-nested-loop join
+    val plan = Dedup.simhashPairs(sig, maxHamming = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    sig.unpersist()
+  }
+
   test("similarity: brute-force top-k exact; lsh recall within bucket") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
