@@ -10,7 +10,13 @@ import graft.spec.SpecJson
   * plan → execute → report counts and wall time.
   *
   * Usage: runMain graft.Cli <spec.json path|classpath name> <outDir>
-  *          [corpusParquetDir|gen:<n>] [cores]
+  *          [corpusParquetDir|gen:<n>|dump:<path>] [cores] [sitesFile]
+  *
+  * `dump:` inputs accept line-JSON dumps (gzip/bz2/zstd) in either the
+  * fixture or the real Wikidata dump dialect — sniffed from the first
+  * line. `sitesFile` loads the sitelink resolution table (JSON lines or
+  * CSV: site, url_pattern, lang) in place of the built-in fixture map
+  * (reference `DumpRunner.java:71`).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -18,6 +24,7 @@ object Cli {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-out"
     val corpusArg = if (args.length > 2) args(2) else "gen:2000"
     val cores = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sitesArg = if (args.length > 4) Some(args(4)) else None
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -40,15 +47,22 @@ object Cli {
       }
     val spec = SpecJson.parse(specJson)
 
-    val corpus =
-      if (corpusArg.startsWith("gen:")) EntityCorpus.generate(spark, corpusArg.drop(4).toLong).toDF()
-      else spark.read.parquet(corpusArg)
+    val (corpus, format) =
+      if (corpusArg.startsWith("gen:"))
+        (EntityCorpus.generate(spark, corpusArg.drop(4).toLong).toDF(),
+          graft.sources.DumpFormat.Fixture: graft.sources.DumpFormat)
+      else if (corpusArg.startsWith("dump:")) {
+        val p = corpusArg.drop(5)
+        (EntityCorpus.readDump(spark, p), EntityCorpus.detectFormat(spark, p))
+      } else (spark.read.parquet(corpusArg),
+        graft.sources.DumpFormat.Fixture: graft.sources.DumpFormat)
+    val sites = sitesArg.map(EntityCorpus.readSites(spark, _)).getOrElse(EntityCorpus.sites)
 
     val t0 = System.nanoTime()
-    val triples = Pipeline.triples(corpus, spec)
+    val triples = Pipeline.triples(corpus, spec, sites = sites, format = format)
     Pipeline.writeNt(triples, outDir + "/nt")
     Pipeline.writeTripleTable(triples, outDir + "/triples")
-    val errs = Pipeline.errors(corpus, spec)
+    val errs = Pipeline.errors(corpus, spec, format)
     errs.write.mode("overwrite").parquet(outDir + "/_errors")
     val nTriples = spark.read.parquet(outDir + "/triples").count()
     val nErrors = spark.read.parquet(outDir + "/_errors").count()

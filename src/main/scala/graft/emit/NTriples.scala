@@ -61,16 +61,71 @@ object NTriples {
 
   // ---- lexical forms (SURVEY §2.8 SC6) ----------------------------------
 
-  /** xsd:decimal canonical-ish form: keep lexical fidelity of the stored
-    * amount, dropping a leading '+' (Wikidata JSON carries "+1.5"). */
-  def decimalLexical(amount: String): String =
-    if (amount.startsWith("+")) amount.substring(1) else amount
+  /** xsd:decimal lexical form: drop the leading '+' (Wikidata JSON
+    * carries "+1.5") and expand any exponent notation to plain decimal
+    * (xsd:decimal has no exponent lexical space); otherwise keep the
+    * stored lexical form — including trailing zeros — for fidelity. */
+  def decimalLexical(amount: String): String = {
+    val s = if (amount.startsWith("+")) amount.substring(1) else amount
+    if (s.indexOf('e') >= 0 || s.indexOf('E') >= 0)
+      try BigDecimal(s).bigDecimal.toPlainString catch { case _: NumberFormatException => s }
+    else s
+  }
 
-  /** xsd:dateTime lexical form: Wikidata time strings are already
-    * "+YYYY…-MM-DDThh:mm:ssZ"; xsd wants no leading '+' and at least a
-    * 4-digit year. */
-  def dateTimeLexical(time: String): String =
-    if (time.startsWith("+")) time.substring(1) else time
+  private val TimeRe = """^([+-])(\d+)-(\d{2})-(\d{2})T(\d{2}:\d{2}:\d{2}Z)$""".r
+
+  /** xsd:dateTime lexical form per the Wikibase RDF convention (the
+    * reference gets this from wdtk's value converters, constructed at
+    * `FilteredRdfSerializer.java:52-58`):
+    *  - no leading '+'; years keep '-' and pad to ≥ 4 digits;
+    *  - zero month/day (precision coarser than day stores "00") clamp
+    *    to 01 so the literal stays lexically valid;
+    *  - Julian-calendar dates (Q1985786) at day precision or finer
+    *    convert to the proleptic Gregorian calendar; the wdv: node keeps
+    *    the raw value + calendar IRI, so no information is lost. */
+  def dateTimeLexical(time: String, precision: Int, calendar: String): String =
+    time match {
+      case TimeRe(sign, ys, ms, ds, rest) =>
+        var y = BigInt(ys) * (if (sign == "-") -1 else 1)
+        var mo = ms.toInt
+        var d = ds.toInt
+        if (mo == 0) mo = 1
+        if (d == 0) d = 1
+        // convert only where the Julian day is meaningful (day precision)
+        // and the JDN arithmetic is safely in range (truncating integer
+        // division needs positive intermediates: y ≥ -4700)
+        if (calendar == "Q1985786" && precision >= 11 && y >= -4700 && y < 100000) {
+          val (gy, gm, gd) = julianToGregorian(y.toInt, mo, d)
+          y = BigInt(gy); mo = gm; d = gd
+        }
+        val yAbs = y.abs.toString
+        val yPad = if (yAbs.length < 4) ("0" * (4 - yAbs.length)) + yAbs else yAbs
+        (if (y < 0) "-" else "") + yPad + f"-$mo%02d-$d%02dT$rest"
+      case _ => if (time.startsWith("+")) time.substring(1) else time
+    }
+
+  /** calendar-precision variant for simple callers (Gregorian, day). */
+  def dateTimeLexical(time: String): String = dateTimeLexical(time, 11, "Q1985727")
+
+  /** Julian calendar date → proleptic Gregorian via Julian Day Number
+    * (standard Fliegel–Van Flandern-style integer arithmetic,
+    * astronomical year numbering). */
+  def julianToGregorian(y: Int, m: Int, d: Int): (Int, Int, Int) = {
+    val a = (14 - m) / 12
+    val y2 = y + 4800 - a
+    val m2 = m + 12 * a - 3
+    val jdn = d.toLong + (153L * m2 + 2) / 5 + 365L * y2 + y2 / 4 - 32083
+    val a2 = jdn + 32044
+    val b = (4 * a2 + 3) / 146097
+    val c = a2 - 146097 * b / 4
+    val d2 = (4 * c + 3) / 1461
+    val e = c - 1461 * d2 / 4
+    val m3 = (5 * e + 2) / 153
+    val day = (e - (153 * m3 + 2) / 5 + 1).toInt
+    val month = (m3 + 3 - 12 * (m3 / 10)).toInt
+    val year = (100 * b + d2 - 4800 + m3 / 10).toInt
+    (year, month, day)
+  }
 
   /** WKT point literal for globe coordinates ("Point(lon lat)"; the
     * Wikibase RDF format prefixes non-Earth globes with the globe IRI). */

@@ -242,7 +242,8 @@ object TripleEmitter {
     case "string"          => (literal(v.str.getOrElse("")), false)
     case "monolingualtext" => (langLiteral(v.text.getOrElse(""), v.lang.getOrElse("")), false)
     case "quantity"        => (typedLiteral(decimalLexical(v.amount.getOrElse("0")), XSD + "decimal"), false)
-    case "time"            => (typedLiteral(dateTimeLexical(v.time.getOrElse("")), XSD + "dateTime"), false)
+    case "time"            => (typedLiteral(dateTimeLexical(v.time.getOrElse(""),
+      v.precision.map(_.toInt).getOrElse(11), v.calendar.getOrElse("Q1985727")), XSD + "dateTime"), false)
     case "globecoordinate" => (typedLiteral(
       wktLexical(v.lat.getOrElse(0.0), v.lon.getOrElse(0.0), v.globe.getOrElse("Q2")),
       "http://www.opengis.net/ont/geosparql#wktLiteral"), false)
@@ -261,7 +262,8 @@ object TripleEmitter {
     case "time" =>
       st.add(nodeIri, RDF_TYPE, iri(WB_TIME_VALUE))
       st.add(nodeIri, WIKIBASE + "timeValue",
-        typedLiteral(dateTimeLexical(v.time.getOrElse("")), XSD + "dateTime"))
+        typedLiteral(dateTimeLexical(v.time.getOrElse(""),
+          v.precision.map(_.toInt).getOrElse(11), v.calendar.getOrElse("Q1985727")), XSD + "dateTime"))
       st.add(nodeIri, WIKIBASE + "timePrecision",
         typedLiteral(v.precision.map(_.toInt).getOrElse(0).toString, XSD + "integer"))
       st.add(nodeIri, WIKIBASE + "timeCalendarModel", iri(WD + v.calendar.getOrElse("Q1985727")))

@@ -107,9 +107,10 @@ object Vocab {
     WB_GLOBE_COORDINATE_VALUE -> OWL_CLASS
   )
 
-  /** Deprecated Wikimedia language-code fixups (reference
+  /** Deprecated / MediaWiki-specific language-code fixups (reference
     * `FilteredRdfSerializer.convertSiteLanguageCode` `:439-448` via wdtk
-    * `WikimediaLanguageCodes`; public MediaWiki deprecated-code list). */
+    * `WikimediaLanguageCodes`; public MediaWiki deprecated-code list +
+    * the sr/zh legacy variant names that aren't BCP-47 subtags). */
   val deprecatedLanguageCodes: Map[String, String] = Map(
     "als" -> "gsw",
     "bat-smg" -> "sgs",
@@ -121,8 +122,24 @@ object Vocab {
     "zh-min-nan" -> "nan",
     "zh-yue" -> "yue",
     "crh" -> "crh-Latn",
+    "sr-ec" -> "sr-Cyrl",
+    "sr-el" -> "sr-Latn",
     "simple" -> "en-simple"
   )
 
-  def fixLanguageCode(code: String): String = deprecatedLanguageCodes.getOrElse(code, code)
+  /** MediaWiki code → BCP-47: explicit fixups above, then generic subtag
+    * casing (script subtags Titlecase, region subtags UPPERCASE) — covers
+    * zh-hans→zh-Hans, kk-cyrl→kk-Cyrl, en-gb→en-GB and the rest of the
+    * script/region family mechanically. Known deviation vs wdtk: the
+    * `-x-` private-use re-spellings of MediaWiki politeness variants
+    * (de-formal, nl-informal) are left as-is. */
+  def fixLanguageCode(code: String): String = {
+    val c = deprecatedLanguageCodes.getOrElse(code, code)
+    c.split('-').zipWithIndex.map {
+      case (s, 0) => s.toLowerCase
+      case (s, _) if s.length == 4 => s.substring(0, 1).toUpperCase + s.substring(1).toLowerCase
+      case (s, _) if s.length == 2 => s.toUpperCase
+      case (s, _) => s.toLowerCase
+    }.mkString("-")
+  }
 }

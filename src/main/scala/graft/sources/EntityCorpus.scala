@@ -106,9 +106,13 @@ object EntityCorpus {
           val y = 1800 + draw(seed, i, 7200 + k, 220)
           val mo = 1 + draw(seed, i, 7300 + k, 12)
           val d = 1 + draw(seed, i, 7400 + k, 28)
-          v.put("time", f"+$y%04d-$mo%02d-$d%02dT00:00:00Z")
-          v.put("precision", 11)
-          v.put("calendar", "Q1985727")
+          // ~1/5 year-precision (zero month/day), ~1/4 Julian calendar —
+          // exercises the SC6 clamping + Julian→Gregorian conversion
+          val prec = if (draw(seed, i, 7450 + k, 5) == 0) 9 else 11
+          if (prec == 9) v.put("time", f"+$y%04d-00-00T00:00:00Z")
+          else v.put("time", f"+$y%04d-$mo%02d-$d%02dT00:00:00Z")
+          v.put("precision", prec)
+          v.put("calendar", if (draw(seed, i, 7460 + k, 4) == 0) "Q1985786" else "Q1985727")
         case "quantity" =>
           s.put("valueType", "quantity")
           v.put("amount", s"+${draw(seed, i, 7500 + k, 1000000)}")
@@ -270,17 +274,22 @@ object EntityCorpus {
 
   /** S1: scan a raw MediaWiki-style JSON entity dump (one entity per
     * line; Wikidata dumps wrap lines in a JSON array with trailing
-    * commas — tolerated and stripped). Compression (gzip/bz2/zstd) is
-    * handled transparently by Spark's text source via the file
-    * extension (reference: `ext/ZstdDumpFile.java:17-23` special-cases
-    * zstd; Spark 4 has the codec built in). Returns the corpus shape
-    * with repo/path derived from the input file. */
+    * commas — tolerated and stripped). gzip/bz2 ride Spark's text source
+    * codecs; `.zst`/`.zstd` files are special-cased through zstd-jni
+    * streams exactly like the reference special-cases them
+    * (`ext/ZstdDumpFile.java:17-23` — Hadoop has no portable zstd text
+    * codec). zstd dumps decode one task per file (the frame format is
+    * not splittable — same constraint as the reference's single-stream
+    * reader; for parallelism, dumps ship as many files). */
   def readDump(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.text(path)
-      .select(
-        regexp_replace(trim(col("value")), ",$", "").as("content"),
-        input_file_name().as("path"))
+    val lines: DataFrame =
+      if (path.endsWith(".zst") || path.endsWith(".zstd") ||
+          zstdFilesIn(path).nonEmpty) readZstdLines(spark, path)
+      else spark.read.text(path)
+        .select(col("value"), input_file_name().as("path"))
+    lines
+      .select(regexp_replace(trim(col("value")), ",$", "").as("content"), col("path"))
       .filter(length(col("content")) > 1 && col("content").startsWith("{"))
       .select(
         lit("dump").as("repo"),
@@ -288,6 +297,64 @@ object EntityCorpus {
         sha2(concat(col("path"), col("content")), 256).substr(1, 40).as("commit"),
         lit("wikidata-json").as("lang"),
         col("content"))
+  }
+
+  private def zstdFilesIn(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().toSeq.map(_.getPath).filter(p => p.endsWith(".zst") || p.endsWith(".zstd"))
+    else if (f.getName.endsWith(".zst") || f.getName.endsWith(".zstd")) Seq(path)
+    else Nil
+  }
+
+  /** (value, path) lines from zstd-compressed dump file(s): binaryFiles +
+    * a streaming ZstdInputStream per file (never materializes the
+    * decompressed payload). */
+  private def readZstdLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = zstdFilesIn(path)
+    require(files.nonEmpty, s"no .zst/.zstd files under $path")
+    spark.sparkContext.parallelize(files, files.size).flatMap { p =>
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.BufferedInputStream(new java.io.FileInputStream(p), 1 << 20))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
+      Iterator.continually(reader.readLine()).takeWhile { l =>
+        if (l == null) reader.close(); l != null
+      }.map(l => (l, p))
+    }.toDF("value", "path")
+  }
+
+  /** test/bench helper: write lines as one .zst file (zstd-jni stream). */
+  def writeZstdDump(lines: Iterator[String], file: String): Unit = {
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 20))
+    val w = new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8)
+    lines.foreach { l => w.write(l); w.write('\n') }
+    w.close()
+  }
+
+  /** Load the sitelink resolution table (J2) from a dump-adjacent file:
+    * JSON lines or CSV with columns (site, url_pattern, lang). The
+    * reference reads this from the dump's own site table
+    * (`controller.getSitesInformation()`, `DumpRunner.java:71`). The
+    * table is inherently tiny (one row per wiki); it is collected and
+    * broadcast at the join site. */
+  def readSites(spark: SparkSession, path: String): Map[String, (String, String)] = {
+    val df =
+      if (path.endsWith(".csv")) spark.read.option("header", "true").csv(path)
+      else spark.read.schema("site STRING, url_pattern STRING, lang STRING").json(path)
+    df.select("site", "url_pattern", "lang").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+  }
+
+  /** write a site table as JSON lines (fixture/export helper). */
+  def writeSites(spark: SparkSession, path: String,
+                 table: Map[String, (String, String)] = sites): Unit = {
+    import spark.implicits._
+    table.toSeq.map { case (s, (u, l)) => (s, u, l) }
+      .toDF("site", "url_pattern", "lang")
+      .coalesce(1).write.mode("overwrite").json(path)
   }
 
   /** test/bench helper: write the synthetic corpus as a compressed
@@ -312,13 +379,12 @@ object EntityCorpus {
   }
 
   /** Sniff the JSON dialect of a dump from its first document line
-    * (driver-side, O(1)): real Wikidata dumps keep statements in a
-    * `claims` object; the fixture shape uses a `statements` array. */
+    * (driver-side, O(1) — take(1) stops the scan after one row): real
+    * Wikidata dumps keep statements in a `claims` object; the fixture
+    * shape uses a `statements` array. Works for gzip/bz2/zstd inputs
+    * (rides readDump's line source). */
   def detectFormat(spark: SparkSession, path: String): DumpFormat = {
-    val head = spark.read.text(path)
-      .select(regexp_replace(trim(col("value")), ",$", "").as("line"))
-      .filter(length(col("line")) > 1 && col("line").startsWith("{"))
-      .head(1)
+    val head = readDump(spark, path).select("content").head(1)
     if (head.nonEmpty && head(0).getString(0).contains("\"claims\"")) DumpFormat.Wikidata
     else DumpFormat.Fixture
   }

@@ -121,4 +121,46 @@ class EnginePathsSpec extends AnyFunSuite {
     assert(dt.get("P569").contains("time"))
     assert(dt.get("P1082").contains("quantity"))
   }
+
+  test("S1: zstd dump scan round-trips via zstd-jni special-case (reference ZstdDumpFile parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zstd-dump").toString
+    val n = 300
+    val lines = (0L until n.toLong).map(i => EntityCorpus.contentFor(42L, i))
+    EntityCorpus.writeZstdDump(lines.iterator, s"$dir/slice.json.zst")
+    val corpus = EntityCorpus.readDump(spark, s"$dir/slice.json.zst")
+    assert(corpus.count() == n)
+    assert(EntityCorpus.detectFormat(spark, s"$dir/slice.json.zst") == graft.sources.DumpFormat.Fixture)
+    // triples from the zstd dump == triples from the in-memory corpus
+    val spec = specNamed("humans.json")
+    val direct = Pipeline.triples(EntityCorpus.generate(spark, n.toLong).toDF(), spec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val viaZstd = Pipeline.triples(corpus, spec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(direct == viaZstd)
+    // real-dump dialect through the same zstd path, auto-detected
+    val realLines = lines.map(graft.sources.WikidataJson.toDumpJson)
+    EntityCorpus.writeZstdDump(realLines.iterator, s"$dir/real.json.zst")
+    assert(EntityCorpus.detectFormat(spark, s"$dir/real.json.zst") == graft.sources.DumpFormat.Wikidata)
+    val viaReal = Pipeline.triples(EntityCorpus.readDump(spark, s"$dir/real.json.zst"), spec,
+      format = graft.sources.DumpFormat.Wikidata)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(direct == viaReal)
+  }
+
+  test("J2: sites table loads from a file and changes sitelink resolution") {
+    val dir = java.nio.file.Files.createTempDirectory("sites").toString
+    EntityCorpus.writeSites(spark, s"$dir/sites")
+    val loaded = EntityCorpus.readSites(spark, s"$dir/sites")
+    assert(loaded == EntityCorpus.sites)
+    // a modified table actually flows into the emitted URLs
+    val custom = EntityCorpus.sites + ("unknownwiki" -> ("https://unknown.example/wiki/$1", "en"))
+    EntityCorpus.writeSites(spark, s"$dir/custom", custom)
+    val corpus = EntityCorpus.generate(spark, 500).toDF()
+    val spec = specNamed("humans.json")
+    val withCustom = Pipeline.triples(corpus, spec,
+        sites = EntityCorpus.readSites(spark, s"$dir/custom"))
+      .filter(org.apache.spark.sql.functions.col("subj").startsWith("https://unknown.example/"))
+    assert(withCustom.count() > 0)
+  }
 }

@@ -140,4 +140,51 @@ class PropertySpec extends AnyFunSuite {
     // unicode passthrough + control-char escapes
     assert(graft.emit.NTriples.escape("a\"b\\c\nd\t\u0001\u00fc") == "a\\\"b\\\\c\\nd\\t\\u0001\u00fc")
   }
+
+  test("SC6: dateTime lexical - Julian->Gregorian, zero clamp, year forms") {
+    import graft.emit.NTriples._
+    // Julian->Gregorian reference pairs (public calendar arithmetic):
+    // the 1582 reform boundary, the 1900 12-day gap, era start, 44 BCE
+    assert(julianToGregorian(1582, 10, 5) == (1582, 10, 15))
+    assert(julianToGregorian(1900, 1, 1) == (1900, 1, 13))
+    assert(julianToGregorian(1700, 2, 19) == (1700, 3, 1))
+    assert(julianToGregorian(1, 1, 1) == (0, 12, 30))
+    assert(julianToGregorian(-43, 3, 15) == (-43, 3, 13))
+    // literal forms
+    assert(dateTimeLexical("+1582-10-05T00:00:00Z", 11, "Q1985786") == "1582-10-15T00:00:00Z")
+    assert(dateTimeLexical("+1952-03-11T00:00:00Z", 11, "Q1985727") == "1952-03-11T00:00:00Z")
+    // zero month/day at coarse precision clamp to 01 (both calendars,
+    // Julian NOT converted below day precision)
+    assert(dateTimeLexical("+1800-00-00T00:00:00Z", 9, "Q1985727") == "1800-01-01T00:00:00Z")
+    assert(dateTimeLexical("+1500-00-00T00:00:00Z", 9, "Q1985786") == "1500-01-01T00:00:00Z")
+    // negative + 5-digit years
+    assert(dateTimeLexical("-0044-03-15T00:00:00Z", 11, "Q1985727") == "-0044-03-15T00:00:00Z")
+    assert(dateTimeLexical("+12000-01-01T00:00:00Z", 11, "Q1985727") == "12000-01-01T00:00:00Z")
+    assert(dateTimeLexical("-13000000000-00-00T00:00:00Z", 0, "Q1985727") ==
+      "-13000000000-01-01T00:00:00Z")
+  }
+
+  test("SC6: decimal lexical - sign strip, exponent expansion, fidelity") {
+    import graft.emit.NTriples._
+    assert(decimalLexical("+1.5") == "1.5")
+    assert(decimalLexical("-2") == "-2")
+    assert(decimalLexical("1.5E-7") == "0.00000015")
+    assert(decimalLexical("-2E3") == "-2000")
+    assert(decimalLexical("+1.50") == "1.50") // trailing zeros preserved
+  }
+
+  test("SC5: language-code canonicalization (deprecated map + BCP-47 casing)") {
+    import graft.emit.Vocab.fixLanguageCode
+    assert(fixLanguageCode("als") == "gsw")
+    assert(fixLanguageCode("sr-ec") == "sr-Cyrl")
+    assert(fixLanguageCode("sr-el") == "sr-Latn")
+    assert(fixLanguageCode("zh-hans") == "zh-Hans")
+    assert(fixLanguageCode("zh-min-nan") == "nan")
+    assert(fixLanguageCode("kk-cyrl") == "kk-Cyrl")
+    assert(fixLanguageCode("en-gb") == "en-GB")
+    assert(fixLanguageCode("pt-br") == "pt-BR")
+    assert(fixLanguageCode("be-x-old") == "be-tarask")
+    assert(fixLanguageCode("en") == "en")
+    assert(fixLanguageCode("de-formal") == "de-formal") // documented deviation
+  }
 }

@@ -197,7 +197,9 @@ object OracleEmitter {
             case "time" =>
               add(node, Vocab.RDF_TYPE, "<" + Vocab.WB_TIME_VALUE + ">")
               add(node, Vocab.WIKIBASE + "timeValue",
-                NTriples.typedLiteral(NTriples.dateTimeLexical(mv.time.getOrElse("")), Vocab.XSD + "dateTime"))
+                NTriples.typedLiteral(NTriples.dateTimeLexical(mv.time.getOrElse(""),
+                  mv.precision.map(_.toInt).getOrElse(11), mv.calendar.getOrElse("Q1985727")),
+                  Vocab.XSD + "dateTime"))
               add(node, Vocab.WIKIBASE + "timePrecision",
                 NTriples.typedLiteral(mv.precision.map(_.toInt).getOrElse(0).toString, Vocab.XSD + "integer"))
               add(node, Vocab.WIKIBASE + "timeCalendarModel", "<" + Vocab.WD + mv.calendar.getOrElse("Q1985727") + ">")
