@@ -47,6 +47,12 @@ object DumpFormat {
     /** pruned fixture schema for predicates (statements without
       * qualifiers/references; value carries only the entity id that
       * SnakFilterType.EntityId can test). */
+    val filterSnakSchema: StructType = StructType(Seq(
+      StructField("property", StringType),
+      StructField("snaktype", StringType),
+      StructField("valueType", StringType),
+      StructField("value", StructType(Seq(StructField("id", StringType))))))
+
     val filterSchema: StructType = StructType(Seq(
       StructField("id", StringType),
       StructField("type", StringType),
@@ -54,7 +60,7 @@ object DumpFormat {
       StructField("statements", ArrayType(StructType(Seq(
         StructField("property", StringType),
         StructField("rank", StringType),
-        StructField("mainSnak", Model.snakSchema)))))))
+        StructField("mainSnak", filterSnakSchema)))))))
 
     def filterDoc(content: Column): Column = from_json(content, filterSchema)
     def doc(content: Column): Column = from_json(content, Model.entityJsonSchema)

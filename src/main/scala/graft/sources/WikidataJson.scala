@@ -194,6 +194,24 @@ object WikidataJson {
       transform(flatten(map_values(raw("claims"))),
         s => statementColumn(s)).as("statements")).cast(Model.entityJsonSchema))
 
+  /** lite snak conversion for the filter parse: only the fields
+    * SpecCompiler predicates read (snaktype, valueType, value.id) — the
+    * one datavalue sub-parse is the entity-id shape. */
+  private def snakColumnLite(s: Column): Column = {
+    val dv = s("datavalue")
+    val isValue = s("snaktype") === "value" && dv.isNotNull
+    val ev = from_json(dv("value"), entityIdValueSchema)
+    struct(
+      s("property").as("property"),
+      s("snaktype").as("snaktype"),
+      when(isValue, valueTypeColumn(dv("type"))).as("valueType"),
+      when(isValue && dv("type") === "wikibase-entityid",
+        struct(coalesce(ev("id"), concat(
+          when(ev("entity-type") === "property", lit("P"))
+            .when(ev("entity-type") === "lexeme", lit("L")).otherwise(lit("Q")),
+          ev("numeric-id").cast("string"))).as("id"))).as("value"))
+  }
+
   /** filter-parse variant: minimal statements (property/rank/mainSnak)
     * from the pruned claims schema. */
   def filterDocColumn(raw: Column): Column =
@@ -204,7 +222,7 @@ object WikidataJson {
       transform(flatten(map_values(raw("claims"))), s => struct(
         s("mainsnak")("property").as("property"),
         s("rank").as("rank"),
-        snakColumn(s("mainsnak")).as("mainSnak"))).as("statements")))
+        snakColumnLite(s("mainsnak")).as("mainSnak"))).as("statements")))
 
   // ---- fixture → real-dump re-encoder (round-trip test/bench helper) ----
 
