@@ -18,7 +18,7 @@ object TextAnalysis {
   /** Occurrences of `needle` in `text` via length arithmetic — portable
     * to any SQL engine (used by the DuckDB oracles). */
   def occurrences(text: Column, needle: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
       lit(needle.length)).cast("int")
 
   /** Stopword-marker language ID: score each language by marker-word
@@ -43,13 +43,16 @@ object TextAnalysis {
   /** predicted language: the first language (in langMarkers order) with
     * the maximal positive score; all-zero → "und" */
   def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first language (marker order) attaining the positive max wins ties
-    val pickFirst = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
-      when(acc.isNotNull, acc).otherwise(when(s === maxScore && s > 0, lit(lang)))
-    }
-    coalesce(pickFirst, lit("und")).as("lang_pred")
+    // argmax via array_position (first index attaining the max): the
+    // score array appears 3× instead of once per WHEN arm — the fold
+    // formulation used before inlined every score tree ~7×, which blew
+    // the janino method limit once composed into larger projections
+    // (q_training_filter) and forced an interpreted-mode fallback.
+    val arr = array(langScores(text).map(_._2): _*)
+    val mx = array_max(arr)
+    when(mx > 0,
+      element_at(lit(langMarkers.map(_._1).toArray), array_position(arr, mx).cast("int")))
+      .otherwise("und").as("lang_pred")
   }
 
   /** Integer-exact quality metrics (chars, words, distinct words, max
