@@ -281,6 +281,13 @@ object SparkEntry {
       graft.operators.Dedup.minhash(t(dir, "documents"), $"doc_id", $"text",
         k = 8, rankBased = false).orderBy("doc_id")
     },
+    // MinHash over polynomial codepoint token hashes: the
+    // oracle-checked SCALE-shaped path — map-side hashing, no global
+    // vocabulary window (unlike q_minhash_rank), partial-aggregable min
+    "q_minhash_poly" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.minhashPoly(t(dir, "documents"), $"doc_id", $"text", k = 8)
+        .orderBy("doc_id")
+    },
     // SimHash 32-bit signatures (rank-based portable arithmetic)
     "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
@@ -551,6 +558,7 @@ object SparkEntry {
           |FROM i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
           |WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)
           |ORDER BY id_a, id_b""".stripMargin),
+    "q_minhash_poly" -> minhashPolyOracleSql(8),
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "kg_entity_linking" -> entityLinkingOracleSql,
@@ -703,6 +711,28 @@ object SparkEntry {
       |  FROM (SELECT DISTINCT token FROM tok)),
       |tt AS (SELECT doc_id, token_id FROM tok JOIN vocab USING (token))
       |""".stripMargin
+
+  /** SQL mirror of Dedup.minhashPoly: polynomial codepoint token hash
+    * (list_reduce fold, init 0 via list_prepend) + the same (a*id+b)%P
+    * min-aggregation, coefficients from Dedup.minhashCoeffs. */
+  private def minhashPolyOracleSql(k: Int): String = {
+    val p = graft.operators.Dedup.minhashPrime
+    val mins = graft.operators.Dedup.minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*token_id+$b) % $p) AS mh$i"
+    }.mkString(",\n  ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+       |tt AS (SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(token)+1),
+       |        i -> CAST(ord(substr(token, CAST(i AS INT), 1)) AS BIGINT))),
+       |    (h, c) -> (h*31 + c) % $p) AS token_id
+       |  FROM tok)
+       |SELECT doc_id,
+       |  $mins
+       |FROM tt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** shared CTE chain ending in sig(doc_id, simhash) — mirrors
     * Dedup.simhash (32 bits) */

@@ -39,6 +39,29 @@ object Dedup {
     tok.join(vocab, "token")
   }
 
+  /** SQL-portable map-side token hash: polynomial codepoint hash
+    * h = fold(h*31 + codepoint) mod P. No global vocabulary state
+    * (unlike rankTokenIds' window) — same zero-shuffle profile as
+    * xxhash64 — while staying integer-reproducible in any SQL engine
+    * (the DuckDB oracle mirrors it with list_reduce/ord). */
+  def polyTokenId(token: Column): Column =
+    when(length(token) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(token)),
+          i => ascii(substr(token, i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => pmod(h * lit(31L) + c, lit(minhashPrime))))
+
+  /** MinHash over poly token ids: the oracle-checkable SCALE path —
+    * map-side hashing, partial-aggregable min, no vocabulary shuffle. */
+  def minhashPoly(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val withIds = docTokens(df, id, text).withColumn("token_id", polyTokenId(col("token")))
+    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("token_id") + lit(b), lit(minhashPrime))).as(s"mh$i")
+    }
+    withIds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash signatures with k hash functions.
     * rankBased=false (scale path): h_i(t) = xxhash64(token, i) — pure
     * map-side, signature agg is partial-aggregable (min).

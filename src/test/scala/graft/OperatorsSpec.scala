@@ -107,6 +107,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sig(2L) == (Seq(2L, 3L, 4L).map(h0).min, Seq(2L, 3L, 4L).map(h1).min))
   }
 
+  test("poly minhash matches a scala reimplementation and plans map-side (no window)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "cat sat mat"), (3L, "中文 text")).toDF("doc_id", "text")
+    val df = Dedup.minhashPoly(docs, col("doc_id"), col("text"), k = 2)
+    // no global-window/vocab shuffle in the plan: single hash aggregate
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in\n$plan")
+    val sig = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def poly(t: String): Long =
+      t.codePoints.toArray.foldLeft(0L)((h, c) => (h * 31 + c) % Dedup.minhashPrime)
+    def mh(tokens: Seq[String], a: Long, b: Long): Long =
+      tokens.map(t => (a * poly(t) + b) % Dedup.minhashPrime).min
+    for ((id, toks) <- Seq(1L -> Seq("the", "cat", "sat"), 2L -> Seq("cat", "sat", "mat"),
+                           3L -> Seq("中文", "text")))
+      assert(sig(id) == (mh(toks, 3, 1), mh(toks, 5, 8)), s"doc $id")
+  }
+
   test("simhash: identical docs same signature; near dups small hamming") {
     import spark.implicits._
     val docs = Seq(
