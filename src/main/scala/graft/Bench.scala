@@ -131,7 +131,24 @@ object Bench {
       (8, false, 1), (32, false, 1), (8, true, 1), (32, true, 1))
     val measured = collection.mutable.Map.empty[(Int, Boolean), Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // Quiet-window gate: this is a shared-tenant box (observed: a
+    // 15s 32t job reading 140-195s under a neighbor's burst, 15-min
+    // loadavg 16+ while our parent sat idle). Before each fork, wait—
+    // bounded—for the 1-min loadavg to drop below a threshold; measuring
+    // through a neighbor's burst tells us about the neighbor, not the
+    // engine. Proceed anyway after the cap so the bench always finishes.
+    def awaitQuiet(maxWaitSec: Int = 300, threshold: Double = 4.0): Unit = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var load = 99.0
+      while ({
+        load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+        load > threshold && System.nanoTime() < deadline
+      }) Thread.sleep(15000)
+      if (load > threshold)
+        System.err.println(f"[bench] proceeding under ambient load $load%.1f (wait cap hit)")
+    }
     schedule.foreach { case (cores, cpuset, reps) =>
+      awaitQuiet()
       measured((cores, cpuset)) = measured((cores, cpuset)) ++ forkedRuns(cores, reps, cpuset)
     }
     val slot8 = measured((8, false)).min

@@ -406,6 +406,21 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table(name).select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("total")).orderBy("ws", "event_type")
+    },
+    // Structured Streaming keyed state (mapGroupsWithState): running
+    // per-user counts in update mode; the final (max) update per user
+    // equals the batch count — robust to any micro-batch split since
+    // counts are monotone
+    "q_stream_state" -> { (s, dir) =>
+      implicit val sp = s; import sp.implicits._
+      val ev = graft.streaming.StreamingPipeline.eventsStream(s, s"$dir/events.parquet")
+        .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      val updates = graft.streaming.StreamingPipeline.userRunningCounts(ev)
+      val name = "st" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = updates.writeStream.format("memory").queryName(name).outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).groupBy($"user_id")
+        .agg(max($"events").as("events")).orderBy("user_id")
     }
   )
 
@@ -650,7 +665,9 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_stream_state" ->
+      "SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id"
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

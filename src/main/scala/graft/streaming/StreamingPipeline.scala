@@ -45,23 +45,28 @@ object StreamingPipeline {
     docs.flatMap(d => TripleEmitter.emit(spec, graft.Pipeline.normalize(d), sites))
   }
 
-  /** Windowed event aggregation with watermark (late-data-safe tumbling
-    * window; the A2 progress-count analog as an event-time operator). */
-  def eventWindowCounts(spark: SparkSession, eventsDir: String,
-                        window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the file stream source requires a directory; for a bare parquet
-    // file, stage a symlink inside a temp dir (zero-copy)
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Events file stream. The file source requires a directory; for a
+    * bare parquet file, stage a symlink inside a temp dir (zero-copy). */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     val base = if (eventsDir.endsWith(".parquet")) {
       val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
       java.nio.file.Files.createSymbolicLink(
         d.resolve("part-0.parquet"), java.nio.file.Paths.get(eventsDir))
       d.toString
     } else eventsDir
-    spark.readStream.schema(schema).parquet(base)
+    spark.readStream.schema(eventsSchema).parquet(base)
+  }
+
+  /** Windowed event aggregation with watermark (late-data-safe tumbling
+    * window; the A2 progress-count analog as an event-time operator). */
+  def eventWindowCounts(spark: SparkSession, eventsDir: String,
+                        window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
@@ -74,17 +79,7 @@ object StreamingPipeline {
   def streamingDedup(spark: SparkSession, eventsDir: String,
                      keys: Seq[String] = Seq("user_id", "event_type"),
                      watermark: String = "2 hours"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val base = if (eventsDir.endsWith(".parquet")) {
-      val d = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("part-0.parquet"), java.nio.file.Paths.get(eventsDir))
-      d.toString
-    } else eventsDir
-    spark.readStream.schema(schema).parquet(base)
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
