@@ -137,7 +137,11 @@ object Bench {
     // bounded—for the 1-min loadavg to drop below a threshold; measuring
     // through a neighbor's burst tells us about the neighbor, not the
     // engine. Proceed anyway after the cap so the bench always finishes.
-    def awaitQuiet(maxWaitSec: Int = 300, threshold: Double = 4.0): Unit = {
+    // Cap and threshold sized so the gate never dominates the bench: our
+    // OWN just-finished 32t fork leaves a 1-min loadavg tail that takes
+    // ~100 s to decay below 6, so the common case waits about that long
+    // and the worst case adds 8×150 s ≈ 20 min, not 40.
+    def awaitQuiet(maxWaitSec: Int = 150, threshold: Double = 6.0): Unit = {
       val deadline = System.nanoTime() + maxWaitSec * 1000000000L
       var load = 99.0
       while ({
