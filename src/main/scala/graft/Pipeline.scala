@@ -184,16 +184,23 @@ object Pipeline {
     ntLines(t).write.mode("overwrite").option("compression", "gzip").text(path)
   }
 
-  /** Partitioned triple-table write (north rule): explicit repartition by
-    * subj-hash for balanced output files + a per-partition lineage
-    * manifest (triple counts per partition) enabling resume checks.
-    * Iceberg is the deploy-time format per input_hint; parquet stands in
-    * here (no Iceberg runtime in the sandbox). */
+  /** Partitioned triple-table write (north rule): an EXPLICIT bucket
+    * column `pmod(xxhash64(subj), buckets)` drives both the shuffle and
+    * the physical layout (`partitionBy("bucket")` → one directory per
+    * bucket), so the per-partition lineage manifest audits the files
+    * 1:1 — manifest row count == bucket-directory count, per-bucket
+    * triple counts == per-directory row counts (resume checks can
+    * verify a directory without reading the others). Balanced output
+    * regardless of subject skew. Iceberg is the deploy-time format per
+    * input_hint; parquet stands in here (no Iceberg runtime in the
+    * sandbox). */
   def writeTripleTable(triples: DataFrame, path: String, buckets: Int = 32): Unit = {
-    val t = triples.repartition(buckets, xxhash64(col("subj")))
-    t.write.mode("overwrite").parquet(path)
+    val t = triples
+      .withColumn("bucket", pmod(xxhash64(col("subj")), lit(buckets.toLong)))
+      .repartition(buckets, col("bucket"))
+    t.write.mode("overwrite").partitionBy("bucket").parquet(path)
     val manifest = t.sparkSession.read.parquet(path)
-      .groupBy(pmod(xxhash64(col("subj")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("triples"), min("subj").as("min_subj"), max("subj").as("max_subj"))
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "_manifest")
   }

@@ -271,7 +271,8 @@ object SparkEntry {
           .as("text"))
       val mentions = graft.operators.EntityLinking
         .detectMentions(docs, $"doc_id", $"text", dict, maxGram = 3)
-      graft.operators.EntityLinking.scoreLinks(mentions, classes)
+      graft.operators.EntityLinking.resolveOverlaps(
+          graft.operators.EntityLinking.scoreLinks(mentions, classes))
         .orderBy("doc_id", "pos", "surface")
     },
     // MinHash scale path: xxhash64 token hashing, pure map-side signature
@@ -731,9 +732,11 @@ object SparkEntry {
 
   /** SQL mirror of Dedup.minhashPoly: polynomial codepoint token hash
     * (list_reduce fold, init 0 via list_prepend) + the same (a*id+b)%P
-    * min-aggregation, coefficients from Dedup.minhashCoeffs. */
+    * min-aggregation, coefficients from Dedup.minhashCoeffs. P is the
+    * LARGE prime (Dedup.minhashBigPrime) — every intermediate stays
+    * exact in BIGINT by the prime's construction. */
   private def minhashPolyOracleSql(k: Int): String = {
-    val p = graft.operators.Dedup.minhashPrime
+    val p = graft.operators.Dedup.minhashBigPrime
     val mins = graft.operators.Dedup.minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a*token_id+$b) % $p) AS mh$i"
     }.mkString(",\n  ")
@@ -811,10 +814,16 @@ object SparkEntry {
        |    prior*(1+context_support) AS score, context_support,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id, surface, pos
        |      ORDER BY prior*(1+context_support) DESC, entity) AS rn
-       |  FROM sup)
+       |  FROM sup),
+       |sel AS (SELECT doc_id, surface, pos, entity, score, context_support,
+       |    len(string_split(surface, ' ')) AS g
+       |  FROM scored WHERE rn = 1)
        |SELECT doc_id, surface, CAST(pos AS INTEGER) AS pos, entity,
        |  CAST(score AS BIGINT) AS score, CAST(context_support AS BIGINT) AS context_support
-       |FROM scored WHERE rn = 1 ORDER BY doc_id, pos, surface""".stripMargin
+       |FROM sel a
+       |WHERE NOT EXISTS (SELECT 1 FROM sel b WHERE b.doc_id = a.doc_id
+       |  AND b.g > a.g AND b.pos <= a.pos AND b.pos + b.g >= a.pos + a.g)
+       |ORDER BY doc_id, pos, surface""".stripMargin
   }
 
   /** scores + first-wins CASE shared by the langid oracles */

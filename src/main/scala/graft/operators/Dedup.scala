@@ -40,24 +40,36 @@ object Dedup {
   }
 
   /** SQL-portable map-side token hash: polynomial codepoint hash
-    * h = fold(h*31 + codepoint) mod P. No global vocabulary state
-    * (unlike rankTokenIds' window) — same zero-shuffle profile as
-    * xxhash64 — while staying integer-reproducible in any SQL engine
-    * (the DuckDB oracle mirrors it with list_reduce/ord). */
+    * h = fold(h*31 + codepoint) mod P over a LARGE prime. No global
+    * vocabulary state (unlike rankTokenIds' window) — same zero-shuffle
+    * profile as xxhash64 — while staying integer-reproducible in any SQL
+    * engine (the DuckDB oracle mirrors it with list_reduce/ord).
+    *
+    * P sizing: with a ~1M-token vocabulary the birthday bound gives
+    * V²/2P expected aliased token pairs; at P≈1e6 that was ~5×10^5 pairs
+    * (pervasive aliasing at exactly the advertised scale), at
+    * P≈1.46×10^17 it is ~3×10^-6 — negligible. P is the largest prime
+    * with both P*31+127 < 2^63 (fold step exact) and 63*P < 2^63
+    * (the a*id+b minhash step exact for k ≤ 30), so every intermediate
+    * stays inside signed-64 arithmetic in Spark AND DuckDB. */
   def polyTokenId(token: Column): Column =
     when(length(token) === 0, lit(0L)).otherwise(
       aggregate(
         transform(sequence(lit(1), length(token)),
           i => ascii(substr(token, i, lit(1))).cast("long")),
         lit(0L),
-        (h, c) => pmod(h * lit(31L) + c, lit(minhashPrime))))
+        (h, c) => pmod(h * lit(31L) + c, lit(minhashBigPrime))))
 
   /** MinHash over poly token ids: the oracle-checkable SCALE path —
-    * map-side hashing, partial-aggregable min, no vocabulary shuffle. */
+    * map-side hashing, partial-aggregable min, no vocabulary shuffle.
+    * The per-function hash stays in the big-prime space: reducing ids to
+    * a small modulus first would alias the SAME token pairs for every
+    * hash function (a(t1−t2)≡0 mod P iff t1≡t2 mod P), defeating the
+    * signature. */
   def minhashPoly(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
     val withIds = docTokens(df, id, text).withColumn("token_id", polyTokenId(col("token")))
     val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("token_id") + lit(b), lit(minhashPrime))).as(s"mh$i")
+      min(pmod(lit(a) * col("token_id") + lit(b), lit(minhashBigPrime))).as(s"mh$i")
     }
     withIds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -68,6 +80,8 @@ object Dedup {
     * rankBased=true (oracle path): h_i(t) = (a_i * token_id + b_i) mod p
     * over rank token ids — integer-exact in any SQL engine. */
   val minhashPrime = 1000003L
+  /** large prime for the poly-hash paths — see polyTokenId scaladoc */
+  val minhashBigPrime = 146402730743726503L
   def minhashCoeffs(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 7L * i + 1L))
 

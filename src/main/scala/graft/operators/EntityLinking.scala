@@ -109,6 +109,26 @@ object EntityLinking {
         col("score"), col("context_support"))
   }
 
+  /** Overlap resolution, longest-match-wins: a linked mention is
+    * suppressed iff a STRICTLY LONGER mention's token span contains its
+    * span in the same document ("alan turing" at pos 4 suppresses
+    * "turing" at pos 5 and "alan" at pos 4). Containment is transitive,
+    * so the rule is declarative — no sequential greedy pass needed. The
+    * anti-join keys on doc_id (hash-partitionable); the span predicate
+    * rides as a residual condition, bounded by mentions-per-document. */
+  def resolveOverlaps(linked: DataFrame): DataFrame = {
+    val withG = linked.withColumn("_g", size(split(col("surface"), " ")))
+    val spans = withG
+      .select(col("doc_id").as("_doc"), col("pos").as("_pos"), col("_g").as("_gb"))
+      .distinct()
+    withG.join(spans,
+        col("doc_id") === col("_doc") && col("_gb") > col("_g") &&
+          col("_pos") <= col("pos") &&
+          col("_pos") + col("_gb") >= col("pos") + col("_g"),
+        "left_anti")
+      .drop("_g")
+  }
+
   /** entity → P31 class table from the parsed corpus (broadcast side). */
   def entityClasses(parsedCorpus: DataFrame): DataFrame =
     parsedCorpus.filter(col("doc").isNotNull && col("doc.id").isNotNull)
@@ -119,11 +139,11 @@ object EntityLinking {
       .distinct()
 
   /** End-to-end: corpus → dictionary + classes; documents → linked
-    * mentions. */
+    * mentions with longest-match overlap resolution. */
   def link(parsedCorpus: DataFrame, docs: DataFrame, id: Column, text: Column,
            lang: String = "en", maxGram: Int = 3): DataFrame = {
     val dict = buildDictionary(parsedCorpus, lang)
     val mentions = detectMentions(docs, id, text, dict, maxGram)
-    scoreLinks(mentions, entityClasses(parsedCorpus))
+    resolveOverlaps(scoreLinks(mentions, entityClasses(parsedCorpus)))
   }
 }

@@ -29,13 +29,22 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** edges: DataFrame with two string columns (a, b). Returns
-    * (node, component) covering every node that appears in any edge. */
+    * (node, component) covering every node that appears in any edge —
+    * including nodes whose only edges are self-loops (each its own
+    * component). Lineage is truncated per round with `checkpoint` when
+    * the SparkContext has a checkpoint dir configured (the cluster
+    * story: survives executor loss, frees the driver of block
+    * ownership), falling back to `localCheckpoint` otherwise. */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     val a = "a"; val b = "b"
+    val truncate: DataFrame => DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
+      else _.localCheckpoint(true)
 
+    val input = edges.toDF(a, b)
     // normalize: drop self loops + dups, both directions not needed yet
-    var e = edges.toDF(a, b).where(col(a) =!= col(b))
+    var e = input.where(col(a) =!= col(b))
       .select(col(a), col(b)).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -63,7 +72,7 @@ object ConnectedComponents {
         .where(col(a) =!= col(b))
         .distinct()
 
-      val next = small.localCheckpoint(true) // truncate lineage, materialize
+      val next = truncate(small) // truncate lineage, materialize
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig
@@ -76,7 +85,13 @@ object ConnectedComponents {
     // of a; the representative itself appears only on the b side.
     val members = e.select(col(a).as("node"), col(b).as("component"))
     val reps = e.select(col(b).as("node"), col(b).as("component")).distinct()
-    members.union(reps).distinct()
+    val connected = members.union(reps).distinct()
+    // nodes whose ONLY edges were self-loops vanished at normalization —
+    // emit each as its own singleton component (left_anti keeps the set
+    // difference distributed; the self-loop set is tiny in practice)
+    val selfOnly = input.where(col(a) === col(b)).select(col(a).as("node")).distinct()
+      .join(connected.select("node"), Seq("node"), "left_anti")
+    connected.union(selfOnly.select(col("node"), col("node").as("component")))
   }
 
   /** order-insensitive edge-set signature for convergence detection

@@ -335,17 +335,81 @@ object EntityCorpus {
   }
 
   /** Load the sitelink resolution table (J2) from a dump-adjacent file:
-    * JSON lines or CSV with columns (site, url_pattern, lang). The
-    * reference reads this from the dump's own site table
-    * (`controller.getSitesInformation()`, `DumpRunner.java:71`). The
-    * table is inherently tiny (one row per wiki); it is collected and
-    * broadcast at the join site. */
+    *  - `*.sql` / `*.sql.gz`: the MediaWiki **sites table dump**
+    *    (`wikidatawiki-YYYYMMDD-sites.sql.gz`) — the exact shape the
+    *    reference consumes via `controller.getSitesInformation()`
+    *    (`DumpRunner.java:71`, wdtk parses the same dump);
+    *  - `*.csv`: header CSV with columns (site, url_pattern, lang);
+    *  - otherwise: JSON lines with the same three fields.
+    * The table is inherently tiny (one row per wiki); it is collected
+    * and broadcast at the join site. */
   def readSites(spark: SparkSession, path: String): Map[String, (String, String)] = {
+    if (path.endsWith(".sql") || path.endsWith(".sql.gz")) return parseSitesSqlDump(path)
     val df =
       if (path.endsWith(".csv")) spark.read.option("header", "true").csv(path)
       else spark.read.schema("site STRING, url_pattern STRING, lang STRING").json(path)
     df.select("site", "url_pattern", "lang").collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+  }
+
+  /** Parse a MediaWiki `sites` table SQL dump into site → (url_pattern,
+    * lang). Public schema (MediaWiki sites table): (site_id,
+    * site_global_key, site_type, site_group, site_source, site_language,
+    * site_protocol, site_domain, site_data, site_forward, site_config) —
+    * the domain is stored REVERSED with a trailing dot
+    * (`.org.wikipedia.en.`), the page path lives in the PHP-serialized
+    * site_data blob (`s:9:"page_path";s:N:"/wiki/$1"`), and the URL
+    * pattern is protocol + un-reversed domain + page_path. Driver-side
+    * parse: the file is a few hundred KB for all of Wikimedia. */
+  def parseSitesSqlDump(path: String): Map[String, (String, String)] = {
+    val raw = new java.io.BufferedInputStream(new java.io.FileInputStream(path), 1 << 16)
+    val in = if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+    val sql = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val pagePathRe = """page_path";s:\d+:"([^"]*)"""".r
+    tuplesIn(sql).flatMap { fields =>
+      if (fields.length < 9) None
+      else {
+        val key = fields(1); val lang = fields(5)
+        val protocol = fields(6).replaceAll("^:+", "") match {
+          case "" => "https" case p => p.stripSuffix(":")
+        }
+        val domain = fields(7).stripPrefix(".").stripSuffix(".")
+          .split('.').reverse.mkString(".")
+        val pagePath = pagePathRe.findFirstMatchIn(fields(8)).map(_.group(1)).getOrElse("/wiki/$1")
+        if (key.isEmpty || domain.isEmpty) None
+        else Some(key -> (s"$protocol://$domain$pagePath", lang))
+      }
+    }.toMap
+  }
+
+  /** All `(...)` tuples in an SQL INSERT body as raw string fields
+    * (single-quote strings with backslash escapes, unquoted literals
+    * kept verbatim). Minimal, tolerant of embedded commas/parens inside
+    * strings. */
+  private def tuplesIn(sql: String): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var i = sql.indexOf("VALUES")
+    if (i < 0) i = 0
+    var fields = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inTuple = false; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < sql.length) { cur.append(sql.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inStr = false
+        else cur.append(c)
+      } else if (!inTuple) {
+        if (c == '(') { inTuple = true; fields = Seq.newBuilder; cur.clear() }
+      } else c match {
+        case '\'' => inStr = true
+        case ',' => fields += cur.toString.trim; cur.clear()
+        case ')' => fields += cur.toString.trim; out += fields.result(); inTuple = false
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** write a site table as JSON lines (fixture/export helper). */

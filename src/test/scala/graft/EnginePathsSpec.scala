@@ -163,4 +163,43 @@ class EnginePathsSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("subj").startsWith("https://unknown.example/"))
     assert(withCustom.count() > 0)
   }
+
+  test("J2: MediaWiki sites-table SQL dump parses to the same table and drives sitelinks") {
+    import org.apache.spark.sql.functions.col
+    // hand-written dump in the genuine MediaWiki `sites` shape (reversed
+    // dotted domain, PHP-serialized page_path, quoted fields with commas)
+    val sql =
+      """-- MySQL dump of table `sites`
+        |DROP TABLE IF EXISTS `sites`;
+        |INSERT INTO `sites` VALUES
+        |(1,'enwiki','mediawiki','wikipedia','local','en',':https','.org.wikipedia.en.','a:1:{s:5:"paths";a:2:{s:9:"file_path";s:5:"/w/$1";s:9:"page_path";s:8:"/wiki/$1";}}',0,'a:0:{}'),
+        |(2,'dewiki','mediawiki','wikipedia','local','de',':https','.org.wikipedia.de.','a:1:{s:5:"paths";a:2:{s:9:"file_path";s:5:"/w/$1";s:9:"page_path";s:8:"/wiki/$1";}}',0,'a:0:{}'),
+        |(3,'frwiki','mediawiki','wikipedia','local','fr',':https','.org.wikipedia.fr.','a:1:{s:5:"paths";a:2:{s:9:"file_path";s:5:"/w/$1";s:9:"page_path";s:8:"/wiki/$1";}}',0,'a:0:{}'),
+        |(4,'zhwiki','mediawiki','wikipedia','local','zh',':https','.org.wikipedia.zh.','a:1:{s:5:"paths";a:2:{s:9:"file_path";s:5:"/w/$1";s:9:"page_path";s:8:"/wiki/$1";}}',0,'a:0:{}'),
+        |(5,'alswiki','mediawiki','wikipedia','local','als',':https','.org.wikipedia.als.','a:1:{s:5:"paths";a:2:{s:9:"file_path";s:5:"/w/$1";s:9:"page_path";s:8:"/wiki/$1";}}',0,'a:0:{}');
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("sites-sql")
+    val plain = dir.resolve("sites.sql")
+    java.nio.file.Files.writeString(plain, sql)
+    val gz = dir.resolve("sites.sql.gz")
+    locally {
+      val o = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+      o.write(sql.getBytes("UTF-8")); o.close()
+    }
+    // both encodings parse to exactly the built-in fixture table
+    assert(EntityCorpus.readSites(spark, plain.toString) == EntityCorpus.sites)
+    assert(EntityCorpus.readSites(spark, gz.toString) == EntityCorpus.sites)
+    // and the parsed table drives sitelink resolution identically to the
+    // built-in table on the sitelink goldens' pipeline path
+    val corpus = EntityCorpus.generate(spark, 500).toDF()
+    val spec = specNamed("humans.json")
+    val builtin = Pipeline.triples(corpus, spec)
+      .collect().map(_.toString).sorted.toSeq
+    val viaSql = Pipeline.triples(corpus, spec,
+        sites = EntityCorpus.readSites(spark, gz.toString))
+      .collect().map(_.toString).sorted.toSeq
+    assert(builtin == viaSql)
+    assert(builtin.exists(_.contains("schema.org")) ||
+      Pipeline.triples(corpus, spec).filter(col("subj").startsWith("https://en.wikipedia.org/")).count() > 0)
+  }
 }

@@ -69,6 +69,31 @@ class EntityLinkingSpec extends AnyFunSuite {
     assert(linked(20L) == "Q_CORP", s"doc 20 linked ${linked(20L)}")
   }
 
+  test("overlap resolution: longer mention suppresses contained shorter ones") {
+    import spark.implicits._
+    val dict = Seq(
+      ("alan turing", "Q7251", 2000L),
+      ("alan", "Q123", 500L),
+      ("turing", "Q7251", 1000L),
+      ("turing", "Q163992", 1000L),
+      ("enigma", "Q160925", 1500L)
+    ).toDF("surface", "entity", "prior")
+    val classes = Seq(("Q7251", "Q5"), ("Q163992", "Q618779")).toDF("entity", "cls")
+    val docs = Seq((1L, "alan turing broke enigma"), (2L, "turing alone here")).toDF("doc_id", "text")
+    val mentions = EntityLinking.detectMentions(docs, $"doc_id", $"text", dict, maxGram = 3)
+    val resolved = EntityLinking.resolveOverlaps(EntityLinking.scoreLinks(mentions, classes))
+      .select("doc_id", "surface", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // doc 1: the bigram "alan turing" [0,2) suppresses "alan" [0,1) and
+    // "turing" [1,2); "enigma" is untouched
+    assert(resolved.contains((1L, "alan turing", 0)), resolved.toString)
+    assert(!resolved.contains((1L, "alan", 0)) && !resolved.contains((1L, "turing", 1)),
+      s"contained mention survived: $resolved")
+    assert(resolved.contains((1L, "enigma", 3)))
+    // doc 2: no longer mention exists → the unigram stands
+    assert(resolved.contains((2L, "turing", 0)))
+  }
+
   test("end-to-end link over generated corpus + documents table shape") {
     import spark.implicits._
     val corpus = EntityCorpus.generate(spark, 300).toDF()

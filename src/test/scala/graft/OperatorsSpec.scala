@@ -48,6 +48,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 201 && got.forall(_.getString(1) == "c000"))
   }
 
+  test("connected components keep self-loop-only nodes as singleton components") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("s", "s"), ("b", "b")).toDF("a", "b")
+    val got = ConnectedComponents.run(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // s has ONLY a self-loop → its own component; b's self-loop is
+    // redundant with the a–b edge
+    assert(got == Map("a" -> "a", "b" -> "a", "s" -> "s"), got.toString)
+  }
+
+  test("connected components use reliable checkpoint when a checkpoint dir is set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val chain = (0 until 40).map(i => (f"k$i%02d", f"k${i + 1}%02d"))
+      val got = ConnectedComponents.run(chain.toDF("a", "b")).collect()
+      assert(got.length == 41 && got.forall(_.getString(1) == "k00"))
+      // the toggle actually wrote reliable checkpoints to the dir
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, "no checkpoint data written")
+    } finally {
+      // unset so other suites keep the localCheckpoint path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("canonicalization rewrites triples through alias components") {
     import spark.implicits._
     val corpus = EntityCorpus.generate(spark, 1000).toDF()
@@ -116,9 +143,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in\n$plan")
     val sig = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     def poly(t: String): Long =
-      t.codePoints.toArray.foldLeft(0L)((h, c) => (h * 31 + c) % Dedup.minhashPrime)
+      t.codePoints.toArray.foldLeft(0L)((h, c) => (h * 31 + c) % Dedup.minhashBigPrime)
     def mh(tokens: Seq[String], a: Long, b: Long): Long =
-      tokens.map(t => (a * poly(t) + b) % Dedup.minhashPrime).min
+      tokens.map(t => (a * poly(t) + b) % Dedup.minhashBigPrime).min
     for ((id, toks) <- Seq(1L -> Seq("the", "cat", "sat"), 2L -> Seq("cat", "sat", "mat"),
                            3L -> Seq("中文", "text")))
       assert(sig(id) == (mh(toks, 3, 1), mh(toks, 5, 8)), s"doc $id")

