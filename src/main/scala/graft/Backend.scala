@@ -5,17 +5,36 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import graft.spec.{DumpSpec, SpecJson}
 import graft.sources.EntityCorpus
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 /** Multi-spec batch worker — the reference's production path
   * (`Backend.java:100-156`): claim pending specs, run them all over ONE
   * shared scan, persist per-spec stats + run metadata, report progress.
   *
-  * The reference's MariaDB job store becomes a `_meta` parquet directory
-  * with `dump` (spec registry), `run`, and `dump_stats` tables; the
-  * claim protocol (S7, `Database.createRun` 3-step token) degenerates to
-  * an atomic rename of the claimed spec list (single worker here; a real
-  * deployment would use a lakehouse table with optimistic commit).
+  * Claim protocol (S7): the reference claims work transactionally in
+  * MariaDB (`Database.createRun` 3-step token, `Database.java:56-103`).
+  * Here the same exactly-once guarantee rides on two filesystem
+  * primitives that are atomic on POSIX and HDFS alike:
+  *
+  *  - CLAIM: `Files.createFile(_meta/claims/<spec>-<sha8>.claim)` —
+  *    atomic create-if-absent; exactly one concurrent worker wins each
+  *    spec. The claim name embeds the spec-content sha, so editing a
+  *    spec re-opens it under a fresh claim.
+  *  - DONE: `_meta/done/<spec>.tsv` (content sha + runId + A1/A5 stats),
+  *    written via temp-file + ATOMIC_MOVE *after* the spec's triple
+  *    partition is fully committed. Crash between claim and done leaves
+  *    a stale claim; workers take over claims older than `staleClaimMs`
+  *    by atomically renaming them aside (rename is the CAS — only one
+  *    taker wins).
+  *
+  * A spec is COMPLETE iff its done marker records the sha256 of its
+  * exact spec JSON and its triple partition exists; re-runs skip
+  * completed specs without recomputation (resume, north rule). Output
+  * uses dynamic partition overwrite, so a re-run of a crashed spec
+  * replaces only that spec's partition. (Deploy-time this is an Iceberg
+  * snapshot + REPLACE PARTITION commit; parquet + markers stand in.)
+  *
   * Progress (A2) comes from a SparkListener counting task rows on a
   * timer, like the reference's `ProgressReporter.java:24-66`.
   *
@@ -23,34 +42,62 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object Backend {
 
-  case class DumpRow(dumpId: String, specJson: String, createdAt: String)
-  case class RunRow(runId: String, startedAt: String, finishedAt: String, count: Long)
   case class StatsRow(runId: String, dumpId: String, entityCount: Long,
                       statementCount: Long, tripleCount: Long)
+  case class RunReport(runId: String, produced: Seq[String], skipped: Seq[String],
+                       stats: Seq[StatsRow])
 
-  def main(args: Array[String]): Unit = {
-    val specsDir = if (args.length > 0) args(0) else "src/main/resources/specs"
-    val corpusArg = if (args.length > 1) args(1) else "gen:20000"
-    val outDir = if (args.length > 2) args(2) else "/tmp/graft-backend"
-    val cores = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+  private def specSha(json: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-backend")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  private def atomicWrite(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** atomic create-if-absent claim; stale claims are taken over via an
+    * atomic rename (exactly one taker can win the rename). */
+  private def tryClaim(claimsDir: Path, name: String, sha: String, runId: String,
+                       staleClaimMs: Long): Boolean = {
+    Files.createDirectories(claimsDir)
+    val claim = claimsDir.resolve(s"$name-${sha.take(8)}.claim")
+    try {
+      Files.createFile(claim)
+      Files.writeString(claim, s"$runId\t${System.currentTimeMillis}\n")
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = try System.currentTimeMillis - Files.getLastModifiedTime(claim).toMillis
+                  catch { case _: Exception => 0L }
+        if (age <= staleClaimMs) false
+        else try { // stale: rename aside (the CAS), then re-claim
+          Files.move(claim, claimsDir.resolve(s"$name-${sha.take(8)}.stale-$runId"),
+            StandardCopyOption.ATOMIC_MOVE)
+          tryClaim(claimsDir, name, sha, runId, staleClaimMs)
+        } catch { case _: Exception => false }
+    }
+  }
+
+  /** One worker pass: claim every pending spec it can, produce the
+    * claimed specs in ONE multiplexed scan, commit done markers.
+    * Safe to run concurrently from any number of workers over the same
+    * specsDir/outDir — each spec is produced exactly once. */
+  def run(spark: SparkSession, specsDir: String, corpusArg: String, outDir: String,
+          staleClaimMs: Long = 30 * 60 * 1000L): RunReport = {
     import spark.implicits._
 
-    // ---- S7: claim pending specs (directory-scan intake) ----
+    // ---- S7 intake: directory-scan of spec JSONs ----
     val specFiles = new java.io.File(specsDir).listFiles()
       .filter(f => f.getName.endsWith(".json"))
       .sortBy(_.getName)
       .flatMap { f =>
-        val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val json = new String(Files.readAllBytes(f.toPath), "UTF-8")
         try Some((f.getName.stripSuffix(".json"), json, SpecJson.parse(json)))
         catch { case e: Exception =>
           System.err.println(s"[backend] skipping unparseable spec ${f.getName}: ${e.getMessage}")
@@ -60,28 +107,27 @@ object Backend {
     require(specFiles.nonEmpty, s"no parseable specs in $specsDir")
     val runId = "run-" + java.util.UUID.randomUUID.toString.take(8)
     val startedAt = java.time.Instant.now.toString
+    val doneDir = Paths.get(s"$outDir/_meta/done")
+    val claimsDir = Paths.get(s"$outDir/_meta/claims")
 
-    // ---- resume from checkpoint (north rule): a spec is DONE iff the
-    // checkpoint manifest records the sha256 of its exact spec JSON and
-    // its per-spec triple partition exists. Re-runs skip completed specs
-    // without recomputation; changing a spec's content invalidates only
-    // that spec. (Deploy-time this is an Iceberg snapshot + REPLACE
-    // PARTITION commit; parquet + manifest stands in here.)
-    def specSha(json: String): String = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      md.digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def doneRecord(name: String): Option[Array[String]] = {
+      val p = doneDir.resolve(s"$name.tsv")
+      if (Files.exists(p)) Some(Files.readString(p).trim.split("\t")) else None
     }
-    val ckptPath = java.nio.file.Paths.get(s"$outDir/_meta/checkpoint.tsv")
-    val done: Map[String, String] =
-      if (java.nio.file.Files.exists(ckptPath))
-        scala.io.Source.fromFile(ckptPath.toFile).getLines().filter(_.nonEmpty)
-          .map { l => val Array(k, v) = l.split("\t"); k -> v }.toMap
-      else Map.empty
-    val (skipped, pending) = specFiles.partition { case (name, json, _) =>
-      done.get(name).contains(specSha(json)) &&
+    // complete = done marker with matching sha AND the partition exists
+    def isComplete(name: String, sha: String): Boolean =
+      doneRecord(name).exists(_.headOption.contains(sha)) &&
         new java.io.File(s"$outDir/triples/specId=$name").exists
-    }
+
+    // ---- claim every pending spec this worker can win ----
+    val (skipped, pending) = specFiles.partition { case (n, j, _) => isComplete(n, specSha(j)) }
     skipped.foreach { case (n, _, _) => println(s"[backend] resume: $n already complete, skipping") }
+    val claimed = pending.filter { case (n, j, _) =>
+      tryClaim(claimsDir, n, specSha(j), runId, staleClaimMs)
+    }
+    pending.diff(claimed).foreach { case (n, _, _) =>
+      println(s"[backend] $n claimed by another worker, skipping")
+    }
 
     // ---- A2: progress reporter (processing-time timer over listener counts)
     val rowsSeen = new AtomicLong()
@@ -100,65 +146,99 @@ object Backend {
         || corpusArg.contains("dump")) EntityCorpus.readDump(spark, corpusArg)
       else spark.read.parquet(corpusArg)
 
-    // ---- D3/S3: ONE multiplexed pass serves every pending spec ----
-    val specs = pending.map { case (name, _, spec) => name -> spec }.toSeq
+    // ---- D3/S3: ONE multiplexed pass serves every claimed spec ----
+    val specs = claimed.map { case (name, _, spec) => name -> spec }.toSeq
     val t0 = System.nanoTime()
     if (specs.nonEmpty) {
-      // dynamic partition overwrite: only pending specId partitions are
-      // replaced, completed ones stay untouched (resume-safe)
+      // dynamic partition overwrite: only claimed specId partitions are
+      // replaced, completed ones stay untouched (resume-safe); Spark
+      // stages concurrent writers under job-unique staging dirs
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val triples = Pipeline.triplesMultiplexed(corpus, specs)
       triples.repartition(specs.size, col("specId"))
         .write.mode("overwrite").partitionBy("specId").parquet(s"$outDir/triples")
     }
 
-    // ---- per-spec stats (A1/A5) from the written table + counters ----
-    val written = spark.read.parquet(s"$outDir/triples")
-    val tripleCounts = written.groupBy("specId").agg(count(lit(1)).as("tripleCount"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val prevStats: Map[String, StatsRow] =
-      if (new java.io.File(s"$outDir/_meta/dump_stats").exists)
-        spark.read.parquet(s"$outDir/_meta/dump_stats").as[StatsRow].collect()
-          .map(s => s.dumpId -> s).toMap
-      else Map.empty
+    // ---- per-spec stats (A1/A5) for the claimed set, then commit the
+    // done markers LAST (data is already durable; crash before a marker
+    // only re-runs that spec, which the idempotent overwrite absorbs)
     val allCounters =
       if (specs.nonEmpty) Pipeline.countersMultiplexed(corpus, specs)
       else Map.empty[String, (Long, Long)]
-    val stats = specs.map { case (name, _) =>
+    val tripleCounts =
+      if (specs.nonEmpty)
+        spark.read.parquet(s"$outDir/triples")
+          .filter(col("specId").isin(specs.map(_._1): _*))
+          .groupBy("specId").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty[String, Long]
+    claimed.foreach { case (name, json, _) =>
       val (ents, stmts) = allCounters(name)
-      StatsRow(runId, name, ents, stmts, tripleCounts.getOrElse(name, 0L))
-    } ++ skipped.flatMap { case (name, _, _) => prevStats.get(name) }
+      atomicWrite(doneDir.resolve(s"$name.tsv"),
+        s"${specSha(json)}\t$runId\t$ents\t$stmts\t${tripleCounts.getOrElse(name, 0L)}\n")
+    }
     val finishedAt = java.time.Instant.now.toString
 
-    // per-partition lineage manifest for the triple table (resume audit)
-    written.groupBy(col("specId"), spark_partition_id().as("part"))
-      .agg(count(lit(1)).as("triples"), min("subj").as("min_subj"), max("subj").as("max_subj"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_meta/partition_manifest")
+    // per-partition lineage manifest for this worker's claimed partitions
+    if (specs.nonEmpty)
+      spark.read.parquet(s"$outDir/triples")
+        .filter(col("specId").isin(specs.map(_._1): _*))
+        .groupBy(col("specId"), spark_partition_id().as("part"))
+        .agg(count(lit(1)).as("triples"), min("subj").as("min_subj"), max("subj").as("max_subj"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_meta/manifests/$runId")
 
-    // commit the checkpoint (spec name -> content sha) LAST — crash
-    // before this line means the spec reruns, which is safe (idempotent
-    // partition overwrite)
-    val ckpt = specFiles.map { case (n, j, _) => s"$n\t${specSha(j)}" }.mkString("", "\n", "\n")
-    java.nio.file.Files.createDirectories(ckptPath.getParent)
-    java.nio.file.Files.writeString(ckptPath, ckpt)
+    // ---- metadata tables (the MariaDB analog), run-scoped so
+    // concurrent workers never overwrite each other's parquet dirs;
+    // the done markers are the authoritative cross-run state
+    specFiles.map { case (n, j, _) => (n, j, startedAt) }.toSeq
+      .toDF("dumpId", "specJson", "createdAt")
+      .write.mode("overwrite").parquet(s"$outDir/_meta/db/$runId/dump")
+    Seq((runId, startedAt, finishedAt, rowsSeen.get)).toDF(
+      "runId", "startedAt", "finishedAt", "count")
+      .write.mode("overwrite").parquet(s"$outDir/_meta/db/$runId/run")
 
-    // ---- metadata tables (the MariaDB analog; J4/J5 join-able) ----
-    specFiles.map { case (n, j, _) => DumpRow(n, j, startedAt) }.toSeq.toDF()
-      .write.mode("overwrite").parquet(s"$outDir/_meta/dump")
-    Seq(RunRow(runId, startedAt, finishedAt, rowsSeen.get)).toDF()
-      .write.mode("overwrite").parquet(s"$outDir/_meta/run")
-    stats.toSeq.toDF().write.mode("overwrite").parquet(s"$outDir/_meta/dump_stats")
-
-    // ---- A5: run-level stats over the joined metadata (dump ⋈ run ⋈ stats)
-    val report = spark.read.parquet(s"$outDir/_meta/dump_stats").as("s")
-      .join(spark.read.parquet(s"$outDir/_meta/run").as("r"), $"s.runId" === $"r.runId")
-      .join(spark.read.parquet(s"$outDir/_meta/dump").as("d"), $"s.dumpId" === $"d.dumpId", "left_outer")
+    // ---- A5: run-level report over ALL done markers (dump ⟕ stats
+    // join in Spark — J4/J5 exercise), including other workers' output
+    val stats = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[StatsRow]
+      if (Files.exists(doneDir))
+        Files.newDirectoryStream(doneDir, "*.tsv").forEach { p =>
+          val f = Files.readString(p).trim.split("\t")
+          if (f.length >= 5)
+            rows += StatsRow(f(1), p.getFileName.toString.stripSuffix(".tsv"),
+              f(2).toLong, f(3).toLong, f(4).toLong)
+        }
+      rows.toSeq.sortBy(_.dumpId)
+    }
+    stats.toDF().write.mode("overwrite").parquet(s"$outDir/_meta/db/$runId/dump_stats")
+    val report = stats.toDF().as("s")
+      .join(specFiles.map(x => (x._1, startedAt)).toSeq.toDF("dumpId", "createdAt").as("d"),
+        $"s.dumpId" === $"d.dumpId", "left_outer")
       .select($"s.dumpId", $"s.entityCount", $"s.statementCount", $"s.tripleCount")
       .orderBy($"s.dumpId")
     timer.cancel()
     val secs = (System.nanoTime() - t0) / 1e9
     report.collect().foreach(r => println(s"[backend] ${r.mkString(" | ")}"))
     println(f"[backend] run=$runId specs=${specs.size} wall=$secs%.1fs out=$outDir")
+    RunReport(runId, specs.map(_._1), skipped.map(_._1).toSeq, stats)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val specsDir = if (args.length > 0) args(0) else "src/main/resources/specs"
+    val corpusArg = if (args.length > 1) args(1) else "gen:20000"
+    val outDir = if (args.length > 2) args(2) else "/tmp/graft-backend"
+    val cores = if (args.length > 3) args(3) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-backend")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, specsDir, corpusArg, outDir)
     spark.stop()
   }
 }

@@ -322,6 +322,14 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(emb,
         emb.filter(pmod($"vec_id", lit(100)) === 0), k = 1, bits = 4).drop("rn").orderBy("qid")
     },
+    // ANN: multi-probe LSH (probe all buckets within Hamming 1 — the
+    // recall knob at fixed bits; candidates dedupe before ranking)
+    "q_ann_lsh_mp" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      graft.operators.Similarity.lshTopK(emb,
+        emb.filter(pmod($"vec_id", lit(100)) === 0), k = 1, bits = 4, probeHamming = 1)
+        .drop("rn").orderBy("qid")
+    },
     // ANN: IVF (k-means coarse quantizer + probed cells). Fully
     // oracle-checkable: integer-quantized vectors, half-up integer
     // centroid means, arithmetic stride init — the DuckDB oracle reruns
@@ -613,6 +621,25 @@ object SparkEntry {
         |SELECT qid, nid, dot FROM (
         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
         |  FROM pairs) WHERE rn = 1 ORDER BY qid""").stripMargin,
+    "q_ann_lsh_mp" -> {
+      val masks = graft.operators.Similarity.probeMasks(4, 1)
+        .map(m => s"($m)").mkString(",")
+      s"""WITH b AS (SELECT vec_id, embedding, ${signBucketSql(4)} AS bucket FROM embeddings),
+         |q0 AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+         |q AS (SELECT q0.vec_id, xor(q0.bucket, m.m) AS bucket
+         |  FROM q0, (VALUES $masks) m(m)),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nid
+         |  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+         |pairs AS (
+         |  SELECT c.qid, c.nid,
+         |    (SELECT CAST(SUM(CAST(ROUND(CAST(z.x AS DOUBLE)*1000) AS BIGINT) *
+         |                     CAST(ROUND(CAST(z.y AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+         |     FROM (SELECT UNNEST(qq.embedding) AS x, UNNEST(e.embedding) AS y) z) AS dot
+         |  FROM cand c JOIN b qq ON qq.vec_id = c.qid JOIN b e ON e.vec_id = c.nid)
+         |SELECT qid, nid, dot FROM (
+         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+         |  FROM pairs) WHERE rn = 1 ORDER BY qid""".stripMargin
+    },
     "q_ann_ivf" -> ivfOracleSql(k = 8, iters = 3, nProbe = 2, topK = 1),
     // mirrors Multimodal.synthesize exactly: 12-byte big-endian header
     // (width, height, durationMs) + 64 body bytes (i*131 + j*17) % 251

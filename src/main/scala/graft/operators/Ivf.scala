@@ -28,6 +28,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ivf {
 
+  /** Corpus-scaled cell count: k = ceil(n / targetCellSize), clamped to
+    * [2, 65536]. The classic IVF heuristic k ≈ √n also works; cell-size
+    * targeting keeps the per-probe candidate volume constant as the
+    * corpus grows, which is what bounds the search-stage shuffle. */
+  def kFor(corpusSize: Long, targetCellSize: Long = 8192L): Int =
+    math.min(65536L, math.max(2L,
+      (corpusSize + targetCellSize - 1) / targetCellSize)).toInt
+
+  /** probe enough cells to cover ~coverage of the corpus on average */
+  def nProbeFor(k: Int, coverage: Double = 0.125): Int =
+    math.max(1, math.ceil(k * coverage).toInt)
+
   /** shared determinism convention: per-dimension integer quantization */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000).cast("long"))

@@ -43,15 +43,49 @@ object Similarity {
     (0 until bits).map(i =>
       when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 
-  /** LSH-bucketed ANN: probes join the corpus only within their bucket.
-    * Recall < 1 by construction (scale/recall tradeoff); k=1 default. */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+  /** Corpus-scaled bucket width: enough bits that the average bucket
+    * holds ~targetBucketSize vectors (candidate volume per probe), so
+    * the same call sites stay right from 10^3 to 10^9 vectors. Clamped
+    * to [2, 24]. */
+  def bitsFor(corpusSize: Long, targetBucketSize: Long = 4096L): Int = {
+    val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(24, math.max(2, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** All XOR masks within Hamming distance `r` of 0 over `bits` bits
+    * (r ≤ 2 supported — 1, bits, or bits(bits−1)/2 extra probes). */
+  def probeMasks(bits: Int, r: Int): Seq[Long] = {
+    require(r >= 0 && r <= 2, s"probeHamming $r not in [0,2]")
+    val singles = if (r >= 1) (0 until bits).map(i => 1L << i) else Nil
+    val pairs = if (r >= 2)
+      for { i <- 0 until bits; j <- (i + 1) until bits } yield (1L << i) | (1L << j)
+    else Nil
+    0L +: (singles ++ pairs)
+  }
+
+  /** LSH-bucketed ANN: probes join the corpus only within their bucket —
+    * plus, with probeHamming ≥ 1, the buckets within that Hamming
+    * distance (multi-probe: the standard recall knob — a boundary
+    * dimension near zero flips one bit, and the true neighbor sits one
+    * bucket over). Candidate volume is (1+bits+…)/2^bits of the corpus;
+    * recall < 1 by construction (scale/recall tradeoff). Recall is only
+    * meaningful when neighbors are actually near (clustered corpora);
+    * on isotropic random vectors no sublinear index can do well. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8,
+              probeHamming: Int = 0): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
       signBucket(col("embedding"), bits).as("bucket"))
+    val masks = probeMasks(bits, probeHamming)
     val p = probes.select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
-      signBucket(col("embedding"), bits).as("bucket"))
-    val pairs = p.join(c, "bucket").filter(col("qid") =!= col("nid"))
-      .withColumn("dot", qdot(col("emb_q"), col("emb_n")))
+        explode(transform(typedlit(masks),
+          m => signBucket(col("embedding"), bits).bitwiseXOR(m))).as("bucket"))
+    val joined = p.join(c, "bucket").filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("emb_q"), col("emb_n"))
+    // a candidate can surface through several probe buckets — dedupe
+    // BEFORE scoring so row_number ranks distinct neighbors (single-
+    // probe can't duplicate, skip the extra shuffle there)
+    val cand = if (probeHamming == 0) joined else joined.dropDuplicates("qid", "nid")
+    val pairs = cand.withColumn("dot", qdot(col("emb_q"), col("emb_n")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rn"))

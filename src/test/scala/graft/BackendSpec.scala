@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** S7 claim protocol: concurrent workers over the same specsDir/outDir
+  * must produce each spec exactly once (the reference's transactional
+  * 3-step claim, `Database.java:56-103`, re-expressed as atomic
+  * create-if-absent claim files + atomic done markers). */
+class BackendSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val specsDir = "src/test/resources/specs"
+  /** parseable specs only — the fixture dir deliberately includes an
+    * unparseable one (family-filter) for the skip path */
+  private def allSpecNames: Set[String] =
+    new java.io.File(specsDir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .filter(f => scala.util.Try(graft.spec.SpecJson.parse(
+        Files.readString(f.toPath))).isSuccess)
+      .map(_.getName.stripSuffix(".json")).toSet
+
+  test("two concurrent workers produce each spec exactly once; third run skips all") {
+    val out = Files.createTempDirectory("graft-backend-claims").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(Backend.run(spark, specsDir, "gen:800", out))
+      val fb = Future(Backend.run(spark, specsDir, "gen:800", out))
+      val ra = Await.result(fa, 10.minutes)
+      val rb = Await.result(fb, 10.minutes)
+      // exactly-once: the produced sets are disjoint and together cover
+      // every spec (each pending spec's claim has exactly one winner)
+      assert(ra.produced.toSet.intersect(rb.produced.toSet).isEmpty,
+        s"double-produced: ${ra.produced.toSet.intersect(rb.produced.toSet)}")
+      assert(ra.produced.toSet ++ rb.produced.toSet == allSpecNames,
+        s"coverage gap: ${allSpecNames -- ra.produced.toSet -- rb.produced.toSet}")
+      // every spec has exactly one triple partition and one done marker
+      allSpecNames.foreach { n =>
+        assert(new java.io.File(s"$out/triples/specId=$n").exists, s"missing partition $n")
+        assert(Files.exists(Paths.get(s"$out/_meta/done/$n.tsv")), s"missing done marker $n")
+      }
+      // resume: a third worker finds nothing pending
+      val rc = Backend.run(spark, specsDir, "gen:800", out)
+      assert(rc.produced.isEmpty && rc.skipped.toSet == allSpecNames)
+      // stats visible to the third worker cover all specs with rows
+      assert(rc.stats.map(_.dumpId).toSet == allSpecNames)
+      assert(rc.stats.exists(_.tripleCount > 0))
+    } finally pool.shutdown()
+  }
+
+  test("editing a spec re-opens only that spec under a fresh claim") {
+    val out = Files.createTempDirectory("graft-backend-edit").toString
+    val mydir = Files.createTempDirectory("graft-backend-specs")
+    // two specs: copy from the fixture dir
+    Seq("humans.json", "nothing.json").foreach { n =>
+      Files.copy(Paths.get(s"$specsDir/$n"), mydir.resolve(n))
+    }
+    val r1 = Backend.run(spark, mydir.toString, "gen:500", out)
+    assert(r1.produced.toSet == Set("humans", "nothing"))
+    // touch one spec's CONTENT (append whitespace changes the sha)
+    Files.writeString(mydir.resolve("nothing.json"),
+      Files.readString(mydir.resolve("nothing.json")) + "\n")
+    val r2 = Backend.run(spark, mydir.toString, "gen:500", out)
+    assert(r2.produced == Seq("nothing") && r2.skipped == Seq("humans"), r2.toString)
+  }
+
+  test("stale claims are taken over; fresh claims are respected") {
+    val out = Files.createTempDirectory("graft-backend-stale").toString
+    val mydir = Files.createTempDirectory("graft-backend-specs2")
+    Files.copy(Paths.get(s"$specsDir/nothing.json"), mydir.resolve("nothing.json"))
+    val json = Files.readString(mydir.resolve("nothing.json"))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val claim = Paths.get(s"$out/_meta/claims/nothing-${sha.take(8)}.claim")
+    Files.createDirectories(claim.getParent)
+    Files.writeString(claim, "run-dead\t0\n")
+    // fresh claim (default staleness) → respected, nothing produced
+    val r1 = Backend.run(spark, mydir.toString, "gen:300", out)
+    assert(r1.produced.isEmpty, r1.toString)
+    // with staleness 0 the dead worker's claim is taken over
+    val r2 = Backend.run(spark, mydir.toString, "gen:300", out, staleClaimMs = 0L)
+    assert(r2.produced == Seq("nothing"), r2.toString)
+  }
+}
