@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line:
   *   {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…, extras…}
@@ -13,6 +14,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     stand-in for the north rule's N→4N executor scaling criterion
   *     (BASELINE.md protocol). Reports entities/sec, triples/sec and
   *     scaling efficiency.
+  *
+  * Scaling methodology (primary): PAIRED adjacent forks. Each pair runs
+  * one 8-thread and one 32-thread child JVM back to back (within-pair
+  * order alternating), so an ambient tenant burst hits both members of
+  * a pair — the pair's 8t/32t ratio cancels it — instead of silently
+  * inflating one level. The efficiency of record is the MEDIAN of the
+  * per-pair ratios divided by 4: robust to a burst that straddles a
+  * pair boundary, unlike the per-level min-over-reps this replaces
+  * (BENCH_r02 recorded a 4.3x spread within one level's three "minima").
+  * Every measured run is a forked child JVM (graft.PipelineRunner) so
+  * the parent's heap (corpus staging, headline queries) can't pollute
+  * the measurement; warm-up inside each fork is excluded.
+  *
+  * Two boundings, reported side by side:
+  *  - slot-bounded (primary): plain `local[N]` child — task slots
+  *    bounded, JVM helper threads free; closest to a real N-vs-4N
+  *    executor cluster, where each executor brings its own cores AND
+  *    memory bandwidth.
+  *  - cpuset-bounded (strict): child under `taskset -c 0..N-1` — GC/
+  *    netty/IO threads also confined; exposes the shared-socket DRAM
+  *    ceiling a real cluster doesn't have.
   */
 object Bench {
 
@@ -46,21 +68,55 @@ object Bench {
     "q1_agg", "q_join_multi", "q_left_outer", "q_semi_exists", "q_topk",
     "q_bestrank_window", "q_distinct", "q_event_counters", "q_time_window",
     "q_exact_dedup", "q_fingerprint", "q_tokens", "q_langid", "q_minhash_scale",
-    "q_rollup", "q_count_distinct", "q_ann_lsh", "kg_cc_components")
+    "q_rollup", "q_count_distinct", "q_ann_lsh", "q_ann_lsh_mp", "kg_cc_components")
+
+  /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
+    * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S
+    * ACTUAL instantaneous idle fraction from /proc/stat deltas — unlike
+    * the 1-min loadavg this bench used before, which kept "seeing" our
+    * own already-exited forks for ~100s and couldn't tell our tail from
+    * a live neighbor. Proceeds after the cap so the bench always
+    * finishes. */
+  private def awaitQuiet(maxWaitSec: Int = 120, minIdleFrac: Double = 0.70): Double = {
+    def cpuLine(): Array[Long] =
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+    def idleFrac(intervalMs: Int): Double = {
+      val a = cpuLine(); Thread.sleep(intervalMs); val b = cpuLine()
+      val d = a.indices.map(i => b(i) - a(i))
+      val total = d.sum.toDouble max 1.0
+      (d(3) + d(4)) / total // idle + iowait
+    }
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var idle = idleFrac(1000)
+    while (idle < minIdleFrac && System.nanoTime() < deadline) {
+      Thread.sleep(4000)
+      idle = idleFrac(1000)
+    }
+    if (idle < minIdleFrac)
+      System.err.println(f"[bench] proceeding at idle=$idle%.2f (wait cap hit)")
+    idle
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val corpusN = sys.env.get("SPARK_GRAFT_CORPUS_N").map(_.toLong)
       .getOrElse(if (sfDir.contains("0.001")) 2000L else if (sfDir.contains("0.01")) 20000L else 200000L)
 
-    // ---- part 1: KG pipeline at two parallelism levels ----
-    // Stage the corpus to parquet once so the measured job is
-    // scan→parse→filter→emit→dedup (generation excluded, like the
+    // ---- stage the scaling corpus to parquet once, so the measured job
+    // is scan→parse→filter→emit→dedup (generation excluded, like the
     // reference reading a pre-built dump slice). 8M rows: the ~1.5-2s
     // fixed planning/stage-startup cost per job is noise only once the
     // fast (32t) level runs well past it — at 2M the 32t run is ~5s and
     // the fixed cost alone caps measurable efficiency at ~0.72; at 8M
-    // (32t ≈ 15s) the cap clears the ≥0.8 gate with margin (cluster
+    // (32t ≈ 15-19s) the cap clears the ≥0.8 gate with margin (cluster
     // jobs are far past this regime anyway).
     val scalingN = math.max(corpusN, sys.env.get("SPARK_GRAFT_SCALING_N").map(_.toLong).getOrElse(8000000L))
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
@@ -70,20 +126,52 @@ object Bench {
         .repartition(256).write.mode("overwrite").parquet(corpusDir)
       finally s.stop()
     }
-    // Every measured run is a FORKED child JVM (graft.PipelineRunner) so
-    // the parent's heap state (corpus staging, headline queries) can't
-    // pollute the measurement. Two methodologies, both min-over-reps with
-    // LEVEL ALTERNATION (8t and 32t passes interleaved, so a slow ambient
-    // period on this shared-tenant box can't hit one level exclusively):
-    //  - slot-bounded (primary): plain `local[N]` child — task slots
-    //    bounded, JVM helper threads free. Closest to a real N-vs-4N
-    //    executor cluster, where each executor brings its own cores AND
-    //    memory bandwidth.
-    //  - cpuset-bounded (strict): child under `taskset -c 0..N-1` — GC/
-    //    netty/IO threads also confined; exposes the shared-socket DRAM
-    //    ceiling a real cluster doesn't have.
+
+    // ---- part 1: headline queries at local[32]. Quiet-gated AFTER the
+    // corpus staging (whose load/GC tail previously leaked into the
+    // first measurements), warm-up run excluded, min over 3 measured
+    // runs (shared-tenant noise showed up as a 20x outlier on a single
+    // run in BENCH_r01's successor, and r2's min-over-2 still let two
+    // unchanged queries drift +53..87%).
+    awaitQuiet()
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    locally {
+      val s = session(32)
+      try {
+        val qs = SparkEntry.queries
+        headline.foreach { name =>
+          val sec = try {
+            force(qs(name)(s, sfDir)) // codegen/listing warm-up
+            (1 to 3).map(_ => time(force(qs(name)(s, sfDir)))).min
+          } catch { case _: Throwable => -1.0 }
+          results(name) = sec
+        }
+        // corpus-scaled ANN parameter points (bitsFor/kFor helpers):
+        // buckets sized to the actual embeddings table, not a constant
+        locally {
+          import org.apache.spark.sql.functions.pmod
+          val emb = s.read.parquet(s"$sfDir/embeddings.parquet").cache()
+          val nEmb = emb.count()
+          val bits = operators.Similarity.bitsFor(nEmb, targetBucketSize = math.max(32L, nEmb / 16))
+          val probes = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+          def lshScaled = operators.Similarity.lshTopK(emb, probes, k = 1, bits = bits, probeHamming = 1)
+          force(lshScaled)
+          results("q_ann_lsh_scaled") = (1 to 3).map(_ => time(force(lshScaled))).min
+          val k = operators.Ivf.kFor(nEmb, targetCellSize = math.max(32L, nEmb / 16))
+          val cents = operators.Ivf.train(emb, k = k, iters = 2).cache()
+          cents.count()
+          def ivfScaled = operators.Ivf.search(emb, probes, cents, k = 1,
+            nProbe = operators.Ivf.nProbeFor(k))
+          force(ivfScaled)
+          results("q_ann_ivf_scaled") = (1 to 3).map(_ => time(force(ivfScaled))).min
+          cents.unpersist(); emb.unpersist()
+        }
+      } finally s.stop()
+    }
+
+    // ---- part 2: paired scaling forks ----
     var triples32 = 0L
-    def forkedRuns(cores: Int, reps: Int, cpuset: Boolean): Seq[Double] = {
+    def forkedRun(cores: Int, cpuset: Boolean): Double = {
       val java = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
       val addOpens = Seq(
@@ -96,74 +184,48 @@ object Bench {
       val prefix = if (cpuset) Seq("taskset", "-c", s"0-${cores - 1}") else Seq.empty
       val cmd = prefix ++ Seq(java) ++ addOpens ++ Seq(
         "-Xmx40g", "-Dspark.ui.enabled=false", "-cp", cp,
-        "graft.PipelineRunner", corpusDir, cores.toString, "humans.json", reps.toString)
+        "graft.PipelineRunner", corpusDir, cores.toString, "humans.json", "1")
       val out = scala.sys.process.Process(cmd).!!
-      out.linesIterator.filter(_.startsWith("SECS=")).map { l =>
+      val runs = out.linesIterator.filter(_.startsWith("SECS=")).map { l =>
         val parts = l.split(" ")
-        triples32 = parts(1).stripPrefix("TRIPLES=").toLong
+        val t = parts(1).stripPrefix("TRIPLES=").toLong
+        if (cores == 32 && !cpuset) {
+          if (triples32 != 0L && triples32 != t)
+            System.err.println(s"[bench] WARNING: triple count drifted across forks: $triples32 vs $t")
+          triples32 = t
+        }
         parts(0).stripPrefix("SECS=").toDouble
       }.toSeq
+      runs.head
     }
-    // ---- headline queries at local[32], BEFORE the fork storm (a
-    // quiet-as-possible box) — warm-up run, then min over 2 measured
-    // runs (shared-tenant noise showed up as a 20x outlier on a single
-    // second-run report in BENCH_r01's successor run) ----
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    locally {
-      val s = session(32)
-      try {
-        val qs = SparkEntry.queries
-        headline.foreach { name =>
-          val sec = try {
-            force(qs(name)(s, sfDir)) // codegen/listing warm-up
-            math.min(time(force(qs(name)(s, sfDir))), time(force(qs(name)(s, sfDir))))
-          } catch { case _: Throwable => -1.0 }
-          results(name) = sec
-        }
-      } finally s.stop()
+    case class Pair(sec8: Double, sec32: Double) { def ratio: Double = sec8 / sec32 }
+    def runPair(idx: Int, cpuset: Boolean): Pair = {
+      awaitQuiet() // gate BETWEEN pairs only: within a pair the members
+                   // stay adjacent so ambient load hits both
+      if (idx % 2 == 0) { val a = forkedRun(8, cpuset); Pair(a, forkedRun(32, cpuset)) }
+      else { val b = forkedRun(32, cpuset); Pair(forkedRun(8, cpuset), b) }
     }
+    val nSlotPairs = sys.env.get("SPARK_GRAFT_SCALING_PAIRS").map(_.toInt).getOrElse(5)
+    val slotPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    (0 until nSlotPairs).foreach(i => slotPairs += runPair(i, cpuset = false))
+    // adaptive top-up: if the pair ratios still disagree wildly the box
+    // is noisy — buy more pairs (bounded) rather than publish a draw
+    def relSpread(xs: Seq[Double]): Double =
+      if (xs.size < 2) 0.0 else (xs.max - xs.min) / median(xs)
+    while (slotPairs.size < nSlotPairs + 3 && relSpread(slotPairs.map(_.ratio).toSeq) > 0.30)
+      slotPairs += runPair(slotPairs.size, cpuset = false)
+    val cpusetPairs = (0 until 2).map(i => runPair(i, cpuset = true))
 
-    // alternation schedule: (cores, cpuset, reps-in-this-fork). Two forks
-    // per (level, methodology) — 3 measured runs each, warm-up excluded
-    // inside every fork.
-    val schedule = Seq(
-      (8, false, 2), (32, false, 2), (8, true, 2), (32, true, 2),
-      (8, false, 1), (32, false, 1), (8, true, 1), (32, true, 1))
-    val measured = collection.mutable.Map.empty[(Int, Boolean), Vector[Double]]
-      .withDefaultValue(Vector.empty)
-    // Quiet-window gate: this is a shared-tenant box (observed: a
-    // 15s 32t job reading 140-195s under a neighbor's burst, 15-min
-    // loadavg 16+ while our parent sat idle). Before each fork, wait—
-    // bounded—for the 1-min loadavg to drop below a threshold; measuring
-    // through a neighbor's burst tells us about the neighbor, not the
-    // engine. Proceed anyway after the cap so the bench always finishes.
-    // Cap and threshold sized so the gate never dominates the bench: our
-    // OWN just-finished 32t fork leaves a 1-min loadavg tail that takes
-    // ~100 s to decay below 6, so the common case waits about that long
-    // and the worst case adds 8×150 s ≈ 20 min, not 40.
-    def awaitQuiet(maxWaitSec: Int = 150, threshold: Double = 6.0): Unit = {
-      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
-      var load = 99.0
-      while ({
-        load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-        load > threshold && System.nanoTime() < deadline
-      }) Thread.sleep(15000)
-      if (load > threshold)
-        System.err.println(f"[bench] proceeding under ambient load $load%.1f (wait cap hit)")
-    }
-    schedule.foreach { case (cores, cpuset, reps) =>
-      awaitQuiet()
-      measured((cores, cpuset)) = measured((cores, cpuset)) ++ forkedRuns(cores, reps, cpuset)
-    }
-    val slot8 = measured((8, false)).min
-    val slot32 = measured((32, false)).min
-    val cpu8 = measured((8, true)).min
-    val cpu32 = measured((32, true)).min
-    val sec8 = slot8; val sec32 = slot32 // primary numbers = slot-bounded
-    val tput8 = scalingN / sec8
-    val tput32 = scalingN / sec32
-    val efficiency = ((scalingN / cpu32) / (scalingN / cpu8)) / 4.0
-    val slotEfficiency = ((scalingN / slot32) / (scalingN / slot8)) / 4.0
+    val slotRatios = slotPairs.map(_.ratio).toSeq
+    val slotEfficiency = median(slotRatios) / 4.0
+    val cpusetEfficiency = median(cpusetPairs.map(_.ratio)) / 4.0
+    val slot8 = slotPairs.map(_.sec8).min
+    val slot32 = slotPairs.map(_.sec32).min
+    val cpu8 = cpusetPairs.map(_.sec8).min
+    val cpu32 = cpusetPairs.map(_.sec32).min
+    def spread(xs: Seq[Double]): Double = if (xs.isEmpty) 0 else (xs.max - xs.min) / xs.min
+    val tput8 = scalingN / slot8
+    val tput32 = scalingN / slot32
 
     // S3 shared-scan: 4 specs multiplexed over ONE pass (fixed 300k-row
     // stage — english-labels emits terms for EVERY doc, so this measures
@@ -185,13 +247,14 @@ object Bench {
       } finally s.stop()
     }
 
-    results("kg_pipeline_8t") = sec8
-    results("kg_pipeline_32t") = sec32
+    results("kg_pipeline_8t") = slot8
+    results("kg_pipeline_32t") = slot32
     results("kg_multiplex4_32t") = multiSecs
 
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / sec32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_forked_min_of_3","scaling_efficiency_cpuset_bounded":$efficiency%.3f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${measured((8, false)).map(t => f"$t%.2f").mkString("[", ",", "]")},"slot_runs_32t":${measured((32, false)).map(t => f"$t%.2f").mkString("[", ",", "]")}}""")
+      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_paired_forks_median_of_${slotPairs.size}","scaling_pair_ratios":${arr(slotRatios)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.sec8).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.sec32).toSeq)},"slot_spread_8t":${spread(slotPairs.map(_.sec8).toSeq)}%.3f,"slot_spread_32t":${spread(slotPairs.map(_.sec32).toSeq)}%.3f}""")
   }
 }

@@ -45,7 +45,8 @@ object Pipeline {
       statements = nz(d.statements).map(s => s.copy(
         mainSnak = nSnak(s.mainSnak),
         qualifiers = nz(s.qualifiers).map(nSnak),
-        references = nz(s.references).map(nz(_).map(nSnak))))
+        references = nz(s.references).map(nz(_).map(nSnak)),
+        refHashes = nz(s.refHashes)))
     )
   }
 

@@ -28,7 +28,11 @@ object PipelineRunner {
     val spec = graft.spec.SpecJson.parse(new String(
       getClass.getResourceAsStream(s"/specs/$specName").readAllBytes(), "UTF-8"))
     val corpus = spark.read.parquet(corpusDir)
-    Pipeline.triples(corpus, spec).count() // warm-up (JIT/codegen)
+    // warm-up (JIT/codegen/parquet footers) on a 10% sample: C2 needs
+    // ~10^4 invocations, a 10% pass provides ~10^5 rows through every
+    // operator at a tenth of the cost of a full warm pass; the measured
+    // run's own plan still pays only its one-off ~100ms janino compile
+    Pipeline.triples(corpus.sample(0.1, 42L), spec).count()
     (1 to reps).foreach { _ =>
       val t0 = System.nanoTime()
       val n = Pipeline.triples(corpus, spec).count()

@@ -177,9 +177,13 @@ object TripleEmitter {
         s.qualifiers.foreach(q => writeSnak(q, stmtIri, QUAL_SIMPLE, st))
       }
     }
-    // P6: references (reference `:373-380`)
-    if (options.references) s.references.foreach { ref =>
-      val hash = referenceHash(ref.map(snakKey))
+    // P6: references (reference `:373-380`). Node id: the dump-provided
+    // reference hash when the input carries one (real Wikidata dump JSON
+    // does; Wikibase RDF uses the same hash in wdref: IRIs — byte parity
+    // for free), else the engine's content hash (fixtures, old dumps).
+    if (options.references) s.references.zipWithIndex.foreach { case (ref, i) =>
+      val hash = s.refHashes.lift(i).filter(h => h != null && h.nonEmpty)
+        .getOrElse(referenceHash(ref.map(snakKey)))
       val refIri = WDREF + hash
       st.add(stmtIri, PROV_DERIVED_FROM, iri(refIri))
       if (st.seenReferences.add(hash)) { // D1: content-addressed, once per entity

@@ -63,14 +63,19 @@ object Model {
 
   /** rank ∈ {preferred, normal, deprecated}. references is a list of
     * reference groups, each a list of snaks (reference
-    * `FilteredRdfSerializer.java:324-364`). */
+    * `FilteredRdfSerializer.java:324-364`). refHashes carries the
+    * dump-provided per-reference content hash (real Wikidata dump JSON
+    * ships one per reference; Wikibase's own RDF uses exactly that hash
+    * in `wdref:` node IRIs) aligned index-wise with `references`; empty
+    * or missing entries fall back to the engine's content hash. */
   case class Statement(
       id: String,
       property: String,
       rank: String,
       mainSnak: Snak,
       qualifiers: Seq[Snak],
-      references: Seq[Seq[Snak]]
+      references: Seq[Seq[Snak]],
+      refHashes: Seq[String] = Nil
   )
 
   case class SiteLink(site: String, title: String, badges: Seq[String])
@@ -126,7 +131,8 @@ object Model {
     StructField("rank", StringType),
     StructField("mainSnak", snakSchema),
     StructField("qualifiers", ArrayType(snakSchema)),
-    StructField("references", ArrayType(ArrayType(snakSchema)))
+    StructField("references", ArrayType(ArrayType(snakSchema))),
+    StructField("refHashes", ArrayType(StringType))
   ))
 
   val sitelinkSchema: StructType = StructType(Seq(

@@ -176,7 +176,11 @@ object WikidataJson {
       transform(
         coalesce(s("references"), array().cast(ArrayType(referenceSchema))),
         r => transform(orderedSnaks(r("snaks"), r("snaks-order")),
-          q => snakColumn(q))).as("references"))
+          q => snakColumn(q))).as("references"),
+      // dump-provided reference hashes (wdref: parity — Model.Statement)
+      transform(
+        coalesce(s("references"), array().cast(ArrayType(referenceSchema))),
+        r => coalesce(r("hash"), lit(""))).as("refHashes"))
 
   /** parsed real-entity struct → internal doc struct
     * (Model.entityJsonSchema shape: what SpecCompiler predicates and the

@@ -144,6 +144,41 @@ class WikidataJsonSpec extends AnyFunSuite {
     assert(errsAll.count(_.id == "L99") == 1)
   }
 
+  test("wdref: node ids use the dump-provided reference hash (Wikibase RDF parity)") {
+    // references-enabled include-all spec; realItem's P31 statement
+    // carries {"hash":"abc"} exactly like genuine dump JSON
+    val spec = SpecJson.parse(
+      """{"version":"1","entities":[],"labels":false,"descriptions":false,"aliases":false,
+        |"meta":false,"sitelinks":false,
+        |"statements":[{"simple":false,"full":true,"rank":"all","references":true,"qualifiers":false}]}"""
+        .stripMargin)
+    val triples = Pipeline.triples(corpusOf(realItem), spec, format = DumpFormat.Wikidata)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val refIris = triples.collect {
+      case (s, p, o) if p == graft.emit.Vocab.PROV_DERIVED_FROM => o
+    }
+    assert(refIris.nonEmpty, s"no reference triples in ${triples.take(5).toSeq}")
+    assert(refIris.forall(_ == "<" + graft.emit.Vocab.WDREF + "abc>"), refIris.toSeq.toString)
+    // the reference node itself is emitted under the dump hash
+    assert(triples.exists(t => t._1 == graft.emit.Vocab.WDREF + "abc" &&
+      t._2 == graft.emit.Vocab.RDF_TYPE))
+    // fixture path (no dump hash) keeps the engine's content hash — the
+    // fallback is still content-addressed and deduplicating
+    val viaFixtureDialect = Pipeline.triples(
+      corpusOf("""{"id":"Q1","type":"item","labels":{},"descriptions":{},"aliases":{},
+        |"sitelinks":[],"statements":[{"id":"Q1$s1","property":"P31","rank":"normal",
+        |"mainSnak":{"property":"P31","snaktype":"value","valueType":"entityid","value":{"id":"Q5"}},
+        |"qualifiers":[],"references":[[{"property":"P854","snaktype":"value","valueType":"string",
+        |"value":{"str":"https://example.org/x"}}]]}]}""".stripMargin.replace("\n", "")),
+      spec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val fallback = viaFixtureDialect.collect {
+      case (s, p, o) if p == graft.emit.Vocab.PROV_DERIVED_FROM => o
+    }
+    assert(fallback.nonEmpty && fallback.forall(o =>
+      o.startsWith("<" + graft.emit.Vocab.WDREF) && !o.contains("abc")))
+  }
+
   test("equivalence: converted real-dump corpus emits the identical triple set per spec") {
     val fixture = EntityCorpus.generate(spark, 500).toDF().cache()
     val real = WikidataJson.convertCorpus(fixture).cache()
