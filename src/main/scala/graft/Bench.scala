@@ -77,7 +77,7 @@ object Bench {
     * own already-exited forks for ~100s and couldn't tell our tail from
     * a live neighbor. Proceeds after the cap so the bench always
     * finishes. */
-  private def awaitQuiet(maxWaitSec: Int = 120, minIdleFrac: Double = 0.70): Double = {
+  private def awaitQuiet(maxWaitSec: Int = 240, minIdleFrac: Double = 0.70): Double = {
     def cpuLine(): Array[Long] =
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
@@ -119,13 +119,19 @@ object Bench {
     // (32t ≈ 15-19s) the cap clears the ≥0.8 gate with margin (cluster
     // jobs are far past this regime anyway).
     val scalingN = math.max(corpusN, sys.env.get("SPARK_GRAFT_SCALING_N").map(_.toLong).getOrElse(8000000L))
-    val corpusDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
-    locally {
+    // SPARK_GRAFT_CORPUS_DIR: reuse an already-staged corpus (repeated
+    // quiet-window hunts skip the ~3-min staging); absent/empty → stage.
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR",
+      java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString)
+    if (!new java.io.File(corpusDir + "/_SUCCESS").exists) {
       val s = session(32)
       try sources.EntityCorpus.generate(s, scalingN).toDF()
         .repartition(256).write.mode("overwrite").parquet(corpusDir)
       finally s.stop()
     }
+    // SPARK_GRAFT_SCALING_ONLY=1: skip headline + multiplex (scaling-
+    // artifact hunts on a busy tenant box; the driver's full run unset)
+    val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
 
     // ---- part 1: headline queries at local[32]. Quiet-gated AFTER the
     // corpus staging (whose load/GC tail previously leaked into the
@@ -133,9 +139,9 @@ object Bench {
     // runs (shared-tenant noise showed up as a 20x outlier on a single
     // run in BENCH_r01's successor, and r2's min-over-2 still let two
     // unchanged queries drift +53..87%).
-    awaitQuiet()
+    if (!scalingOnly) awaitQuiet()
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    locally {
+    if (!scalingOnly) {
       val s = session(32)
       try {
         val qs = SparkEntry.queries
@@ -170,8 +176,25 @@ object Bench {
     }
 
     // ---- part 2: paired scaling forks ----
+    // Three bounding modes per pair (slot / cpuset / executor):
+    //  - Slot: plain local[N] child; Cpuset: taskset-confined child;
+    //  - Executor: `local-cluster[N/8, 8, mem]` — REAL separate executor
+    //    JVMs (own heap + GC each), the north rule's literal
+    //    "N executors vs 4N executors" shape; driver stays tiny.
+    sealed trait Mode { def name: String }
+    case object Slot extends Mode { val name = "slot" }
+    case object Cpuset extends Mode { val name = "cpuset" }
+    case object Executor extends Mode { val name = "executor" }
+    case class Member(sec: Double, util: Double, cpu: Double)
+    case class Pair(m8: Member, m32: Member) { def ratio: Double = m8.sec / m32.sec }
     var triples32 = 0L
-    def forkedRun(cores: Int, cpuset: Boolean): Double = {
+    // executor JVM flags measured on this box: larger G1 young gen cuts
+    // promotion churn of the row-object stream (32t: 12.9→11.7 s), GC
+    // worker cap frees mutator cpu; same flags a cluster deploy would
+    // put in spark.executor.extraJavaOptions
+    val gcFlags = Seq("-XX:+UnlockExperimentalVMOptions", "-XX:G1NewSizePercent=40",
+      "-XX:G1MaxNewSizePercent=60", "-XX:ParallelGCThreads=16")
+    def forkedRun(cores: Int, mode: Mode): Member = {
       val java = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
       val addOpens = Seq(
@@ -181,48 +204,106 @@ object Bench {
         "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
         "java.base/sun.nio.cs", "java.base/sun.security.action",
         "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val prefix = if (cpuset) Seq("taskset", "-c", s"0-${cores - 1}") else Seq.empty
-      val cmd = prefix ++ Seq(java) ++ addOpens ++ Seq(
-        "-Xmx40g", "-Dspark.ui.enabled=false", "-cp", cp,
+      val prefix = if (mode == Cpuset) Seq("taskset", "-c", s"0-${cores - 1}") else Seq.empty
+      val heap = if (mode == Executor) Seq("-Xmx4g") else Seq("-Xmx40g")
+      val cmd = prefix ++ Seq(java) ++ addOpens ++ gcFlags ++ heap ++ Seq(
+        "-Dspark.ui.enabled=false", "-cp", cp,
         "graft.PipelineRunner", corpusDir, cores.toString, "humans.json", "1")
-      val out = scala.sys.process.Process(cmd).!!
+      val extraEnv: Seq[(String, String)] =
+        if (mode == Executor) Seq(
+          "SPARK_GRAFT_MASTER" -> s"local-cluster[${cores / 8},8,9216]",
+          "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+          "SPARK_SCALA_VERSION" -> "2.13",
+          "SPARK_GRAFT_EXEC_JAVA_OPTS" -> (addOpens ++ gcFlags).mkString(" "))
+        else Seq.empty
+      val out = scala.sys.process.Process(cmd, None, extraEnv: _*).!!
       val runs = out.linesIterator.filter(_.startsWith("SECS=")).map { l =>
         val parts = l.split(" ")
         val t = parts(1).stripPrefix("TRIPLES=").toLong
-        if (cores == 32 && !cpuset) {
+        if (cores == 32 && mode == Slot) {
           if (triples32 != 0L && triples32 != t)
             System.err.println(s"[bench] WARNING: triple count drifted across forks: $triples32 vs $t")
           triples32 = t
         }
-        parts(0).stripPrefix("SECS=").toDouble
+        val secs = parts(0).stripPrefix("SECS=").toDouble
+        val procCpu = parts.lift(2).map(_.stripPrefix("CPUSECS=").toDouble).getOrElse(0.0)
+        val taskCpu = parts.lift(3).map(_.stripPrefix("TASKCPU=").toDouble).getOrElse(0.0)
+        // executor mode: the work (and its GC) happens in executor JVMs —
+        // use task-level cpu; local modes: whole-process cpu (incl. GC)
+        val cpu = if (mode == Executor) taskCpu else procCpu
+        Member(secs, cpu / (secs * cores), cpu)
       }.toSeq
       runs.head
     }
-    case class Pair(sec8: Double, sec32: Double) { def ratio: Double = sec8 / sec32 }
-    def runPair(idx: Int, cpuset: Boolean): Pair = {
+    def runPair(idx: Int, mode: Mode): Pair = {
       awaitQuiet() // gate BETWEEN pairs only: within a pair the members
                    // stay adjacent so ambient load hits both
-      if (idx % 2 == 0) { val a = forkedRun(8, cpuset); Pair(a, forkedRun(32, cpuset)) }
-      else { val b = forkedRun(32, cpuset); Pair(forkedRun(8, cpuset), b) }
+      if (idx % 2 == 0) { val a = forkedRun(8, mode); Pair(a, forkedRun(32, mode)) }
+      else { val b = forkedRun(32, mode); Pair(forkedRun(8, mode), b) }
     }
     val nSlotPairs = sys.env.get("SPARK_GRAFT_SCALING_PAIRS").map(_.toInt).getOrElse(5)
+    val maxAttempts = sys.env.get("SPARK_GRAFT_SCALING_MAX_ATTEMPTS").map(_.toInt)
+      .getOrElse(nSlotPairs + 6)
     val slotPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
-    (0 until nSlotPairs).foreach(i => slotPairs += runPair(i, cpuset = false))
-    // adaptive top-up: if the pair ratios still disagree wildly the box
-    // is noisy — buy more pairs (bounded) rather than publish a draw
+    // Contention taint, two independent signals per member (measuring a
+    // tainted pair reports the tenant neighbor, not the engine):
+    //  - achieved utilization (child cpu·s / wall / cores): a neighbor
+    //    STEALING cores shows as low utilization — the 32t member
+    //    collapses first since it needs all 32 cores;
+    //  - cpu·seconds vs the run's best 8t member (the job's intrinsic
+    //    cost): a neighbor saturating MEMORY BANDWIDTH leaves cores
+    //    "busy" while every instruction stalls — observed here as the
+    //    same job burning 887 cpu·s at 32t vs its intrinsic 346 cpu·s,
+    //    and an 8t member inflating 346→591 cpu·s at u=0.98. Wall time
+    //    and utilization are blind to it; the cpu·s blow-up is not.
+    //    (A healthy 32t run costs ~1.1-1.6× the 8t cpu·s: GC + shuffle
+    //    + straggler overhead of wider parallelism.)
+    // The intrinsic baseline is the minimum 8t cpu·s seen this run, so
+    // taint is re-evaluated as better pairs arrive. Tainted pairs are
+    // retried (bounded) and published separately; the efficiency of
+    // record is the median over CLEAN pair ratios when ≥3 exist, else
+    // over all pairs.
+    def intrinsic8: Double = slotPairs.map(_.m8.cpu).min
+    def isClean(p: Pair): Boolean =
+      p.m8.util >= 0.80 && p.m32.util >= 0.60 &&
+        p.m8.cpu <= 1.25 * intrinsic8 && p.m32.cpu <= 1.60 * intrinsic8
+    def cleanPairs = slotPairs.filter(isClean)
     def relSpread(xs: Seq[Double]): Double =
       if (xs.size < 2) 0.0 else (xs.max - xs.min) / median(xs)
-    while (slotPairs.size < nSlotPairs + 3 && relSpread(slotPairs.map(_.ratio).toSeq) > 0.30)
-      slotPairs += runPair(slotPairs.size, cpuset = false)
-    val cpusetPairs = (0 until 2).map(i => runPair(i, cpuset = true))
+    // collect until nSlotPairs CLEAN pairs with agreeing ratios, bounded
+    while (slotPairs.size < maxAttempts &&
+           (cleanPairs.size < nSlotPairs ||
+            relSpread(cleanPairs.map(_.ratio).toSeq) > 0.30)) {
+      slotPairs += runPair(slotPairs.size, Slot)
+      val p = slotPairs.last
+      System.err.println(f"[bench] pair ${slotPairs.size}: " +
+        f"8t=${p.m8.sec}%.1fs(u=${p.m8.util}%.2f,cpu=${p.m8.cpu}%.0f) " +
+        f"32t=${p.m32.sec}%.1fs(u=${p.m32.util}%.2f,cpu=${p.m32.cpu}%.0f) " +
+        f"ratio=${p.ratio}%.2f clean=${isClean(p)}")
+    }
+    val cpusetPairs = (0 until 2).map(i => runPair(i, Cpuset))
+    // executor-scaling evidence: 1 × 8-core executor JVM vs 4 × 8-core
+    // executor JVMs (the rule's literal N→4N executors)
+    val executorPairs = (0 until 2).map { i =>
+      val p = runPair(i, Executor)
+      System.err.println(f"[bench] executor pair ${i + 1}: 1x8=${p.m8.sec}%.1fs " +
+        f"4x8=${p.m32.sec}%.1fs ratio=${p.ratio}%.2f")
+      p
+    }
 
-    val slotRatios = slotPairs.map(_.ratio).toSeq
+    // efficiency of record: NEVER mix tainted pairs into the median when
+    // any clean pair exists — a tainted ratio measures the neighbor.
+    // With zero clean pairs the all-pair median ships, flagged contended.
+    val usable = if (cleanPairs.nonEmpty) cleanPairs.toSeq else slotPairs.toSeq
+    val boxContended = cleanPairs.size < 3
+    val slotRatios = usable.map(_.ratio)
     val slotEfficiency = median(slotRatios) / 4.0
     val cpusetEfficiency = median(cpusetPairs.map(_.ratio)) / 4.0
-    val slot8 = slotPairs.map(_.sec8).min
-    val slot32 = slotPairs.map(_.sec32).min
-    val cpu8 = cpusetPairs.map(_.sec8).min
-    val cpu32 = cpusetPairs.map(_.sec32).min
+    val executorEfficiency = median(executorPairs.map(_.ratio)) / 4.0
+    val slot8 = usable.map(_.m8.sec).min
+    val slot32 = usable.map(_.m32.sec).min
+    val cpu8 = cpusetPairs.map(_.m8.sec).min
+    val cpu32 = cpusetPairs.map(_.m32.sec).min
     def spread(xs: Seq[Double]): Double = if (xs.isEmpty) 0 else (xs.max - xs.min) / xs.min
     val tput8 = scalingN / slot8
     val tput32 = scalingN / slot32
@@ -230,7 +311,7 @@ object Bench {
     // S3 shared-scan: 4 specs multiplexed over ONE pass (fixed 300k-row
     // stage — english-labels emits terms for EVERY doc, so this measures
     // the all-inclusive case without blowing the bench budget)
-    val multiSecs = locally {
+    val multiSecs = if (scalingOnly) -1.0 else {
       val s = session(32)
       try {
         val multiDir = java.nio.file.Files.createTempDirectory("graft-bench-multi").toString
@@ -255,6 +336,6 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_paired_forks_median_of_${slotPairs.size}","scaling_pair_ratios":${arr(slotRatios)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.sec8).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.sec32).toSeq)},"slot_spread_8t":${spread(slotPairs.map(_.sec8).toSeq)}%.3f,"slot_spread_32t":${spread(slotPairs.map(_.sec32).toSeq)}%.3f}""")
+      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_paired_forks_median_of_${usable.size}_clean","scaling_pair_ratios":${arr(slotRatios)},"scaling_pairs_attempted":${slotPairs.size},"scaling_pairs_clean":${cleanPairs.size},"scaling_box_contended":$boxContended,"scaling_tainted_ratios":${arr(slotPairs.filterNot(isClean).map(_.ratio).toSeq)},"scaling_utils_8t":${arr(slotPairs.map(_.m8.util).toSeq)},"scaling_utils_32t":${arr(slotPairs.map(_.m32.util).toSeq)},"scaling_cpusecs_8t":${arr(slotPairs.map(_.m8.cpu).toSeq)},"scaling_cpusecs_32t":${arr(slotPairs.map(_.m32.cpu).toSeq)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"scaling_efficiency_executor_mode":$executorEfficiency%.3f,"executor_pair_ratios":${arr(executorPairs.map(_.ratio))},"executor_sec_1x8":${executorPairs.map(_.m8.sec).min}%.2f,"executor_sec_4x8":${executorPairs.map(_.m32.sec).min}%.2f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.m8.sec).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.m32.sec).toSeq)},"slot_spread_8t":${spread(usable.map(_.m8.sec))}%.3f,"slot_spread_32t":${spread(usable.map(_.m32.sec))}%.3f}""")
   }
 }

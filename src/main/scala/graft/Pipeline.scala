@@ -50,6 +50,15 @@ object Pipeline {
     )
   }
 
+  /** union scan pre-gate for a multiplexed pass: a row can serve SOME
+    * spec only if it passes SOME spec's pre-gate; usable only when
+    * EVERY spec has one (an include-all spec gates nothing). */
+  private def prefilterMulti(specs: Seq[DumpSpec], format: DumpFormat): Column = {
+    val all = specs.map(SpecCompiler.prefilterTokens(_, format))
+    if (all.exists(_.isEmpty)) lit(true)
+    else all.flatMap(_.get).distinct.map(t => col("content").contains(t)).reduce(_ || _)
+  }
+
   /** Parsed-document view of a corpus: columns (repo, path, commit,
     * content_sha256, doc). */
   def parsed(corpus: DataFrame, format: DumpFormat = DumpFormat.Fixture): DataFrame =
@@ -76,8 +85,11 @@ object Pipeline {
     val lexPred: Column => Column =
       if (excludeLexemes) d => d("type") =!= "lexeme" else _ => lit(true)
     corpus
-      .filter(format.gate(col("content"),
-        d => lexPred(d) && SpecCompiler.includePredicate(spec, d)))
+      // scan pre-gate first: And short-circuits in codegen, so rows
+      // failing the cheap raw-substring test never pay the gate parse
+      .filter(SpecCompiler.prefilter(spec, col("content"), format) &&
+        format.gate(col("content"),
+          d => lexPred(d) && SpecCompiler.includePredicate(spec, d)))
       .select(format.doc(col("content")).as("doc"))
       .select(docColumns: _*)
       .as[EntityDoc]
@@ -143,8 +155,9 @@ object Pipeline {
     // any spec wants it → full-parse + deserialize once; the cheap gate
     // and the per-spec include bits both run over the minimal parse
     val rows = corpus
-      .filter(format.gate(col("content"), d => d("type") =!= "lexeme" &&
-        specs.map { case (_, s) => SpecCompiler.includePredicate(s, d) }.reduce(_ || _)))
+      .filter(prefilterMulti(specs.map(_._2), format) &&
+        format.gate(col("content"), d => d("type") =!= "lexeme" &&
+          specs.map { case (_, s) => SpecCompiler.includePredicate(s, d) }.reduce(_ || _)))
       .select(format.doc(col("content")).as("doc"),
         format.filterDoc(col("content")).as("fdoc"))
       .select(struct(docColumns: _*).as("d"),
@@ -220,8 +233,9 @@ object Pipeline {
     val spark = corpus.sparkSession
     graft.functions.GraftExtensions.register(spark)
     val p = corpus
-      .filter(format.gate(col("content"),
-        d => d("type") =!= "lexeme" && SpecCompiler.includePredicate(spec, d)))
+      .filter(SpecCompiler.prefilter(spec, col("content"), format) &&
+        format.gate(col("content"),
+          d => d("type") =!= "lexeme" && SpecCompiler.includePredicate(spec, d)))
       .select(format.doc(col("content")).as("doc"))
     val subj = concat(lit(graft.emit.Vocab.WD), col("doc.id"))
     // nt_escape resolves through the registry (GraftExtensions.register
@@ -258,8 +272,9 @@ object Pipeline {
     // the minimal filter-parse carries everything A1 needs
     // (statements.property for the options when-chain)
     val r = corpus
-      .filter(format.gate(col("content"),
-        d => d("type") =!= "lexeme" && SpecCompiler.includePredicate(spec, d)))
+      .filter(SpecCompiler.prefilter(spec, col("content"), format) &&
+        format.gate(col("content"),
+          d => d("type") =!= "lexeme" && SpecCompiler.includePredicate(spec, d)))
       .select(format.filterDoc(col("content")).as("doc"))
       .agg(
         count(lit(1)),
@@ -272,8 +287,11 @@ object Pipeline {
     * N+1 full scans with one. Returns specId → (entities, statements). */
   def countersMultiplexed(corpus: DataFrame, specs: Seq[(String, DumpSpec)],
                           format: DumpFormat = DumpFormat.Fixture): Map[String, (Long, Long)] = {
+    // rows failing every spec's pre-gate contribute zero to every
+    // conditional aggregate — exclude them before any parse
     val base = corpus
-      .filter(format.gate(col("content"), d => d("type") =!= "lexeme"))
+      .filter(prefilterMulti(specs.map(_._2), format) &&
+        format.gate(col("content"), d => d("type") =!= "lexeme"))
       .select(format.filterDoc(col("content")).as("doc"))
     val aggs = specs.flatMap { case (_, spec) =>
       val inc = SpecCompiler.includePredicate(spec, col("doc"))

@@ -37,6 +37,14 @@ sealed trait DumpFormat {
   /** Project `build(doc)` with a single full parse per row (lambda-bound). */
   final def project(content: Column, build: Column => Column): Column =
     element_at(transform(array(doc(content)), d => build(d)), 1)
+
+  /** Raw-content substring tokens whose presence is NECESSARY for a doc
+    * to carry an entity-id value `id` in this dialect (scan pre-gate:
+    * a cheap `contains` runs before any JSON parse; false positives
+    * fine, false negatives never). */
+  def entityValueTokens(id: String): Seq[String]
+  /** Same, for a doc to mention property `p` at all. */
+  final def propertyTokens(p: String): Seq[String] = Seq("\"" + p + "\"")
 }
 
 object DumpFormat {
@@ -64,6 +72,8 @@ object DumpFormat {
 
     def filterDoc(content: Column): Column = from_json(content, filterSchema)
     def doc(content: Column): Column = from_json(content, Model.entityJsonSchema)
+    /** fixture values always serialize the id as a quoted token */
+    def entityValueTokens(id: String): Seq[String] = Seq("\"" + id + "\"")
   }
 
   /** Real Wikidata entity-dump JSON (claims/mainsnak/datavalue shape). */
@@ -72,5 +82,11 @@ object DumpFormat {
       WikidataJson.filterDocColumn(from_json(content, WikidataJson.filterEntitySchema))
     def doc(content: Column): Column =
       WikidataJson.docColumn(from_json(content, WikidataJson.entitySchema))
+    /** new dumps carry `"id":"Q5"`; old dumps only the numeric form —
+      * either token is necessarily present (the numeric alternative can
+      * over-match, e.g. numeric-id 55; false positives are fine) */
+    def entityValueTokens(id: String): Seq[String] =
+      Seq("\"" + id + "\"") ++
+        id.drop(1).toLongOption.map(n => "\"numeric-id\":" + n).toSeq
   }
 }

@@ -84,6 +84,44 @@ object SpecCompiler {
         snak("value")("id") === lit(r.value.get)
   }
 
+  /** Scan pre-gate (zone-map-style): a conservative substring condition
+    * over the RAW content string that is NECESSARY for
+    * `includePredicate` — rows failing it are excluded without paying
+    * ANY JSON parse. Derivation: the include filter is a disjunction of
+    * conjunctive branches; for each branch pick one conjunct with a
+    * derivable raw token (an entity-id value's dialect tokens, else the
+    * property-name token of any restriction); the OR of the chosen
+    * branch tokens is then implied by every included document. Branches
+    * with no selective token (type-only / include-all) make the
+    * pre-gate impossible → None (the gate parse runs as before).
+    *
+    * Motivation (measured): the minimal gate parse of every row is the
+    * pipeline's single biggest memory-bandwidth consumer — at 32
+    * threads on one socket it saturates DRAM (the shuffle-free stage
+    * burned 1.36× the 8-thread cpu·s). A selective byte-level
+    * `contains` ahead of it cuts that traffic for the ~80-90% of rows a
+    * selective spec excludes. False positives only — never false
+    * negatives (tested: pre-gated pipeline ≡ ungated on every example
+    * spec and the micro-spec sweep). */
+  def prefilterTokens(spec: DumpSpec, format: graft.sources.DumpFormat): Option[Seq[String]] = {
+    if (spec.entities.isEmpty) return None
+    val perBranch: Seq[Option[Seq[String]]] = spec.entities.map { f =>
+      f.properties.collectFirst {
+        case r if r.ptype == SnakFilterType.EntityId => format.entityValueTokens(r.value.get)
+      }.orElse(f.properties.headOption.map(r => format.propertyTokens(r.property)))
+    }
+    if (perBranch.exists(_.isEmpty)) None
+    else Some(perBranch.flatMap(_.get).distinct)
+  }
+
+  /** prefilterTokens as a Column over raw content (None → lit(true)) */
+  def prefilter(spec: DumpSpec, content: Column,
+                format: graft.sources.DumpFormat): Column =
+    prefilterTokens(spec, format) match {
+      case None         => lit(true)
+      case Some(tokens) => tokens.map(t => content.contains(t)).reduce(_ || _)
+    }
+
   /** F8: language filter as an expression (null languages → all). */
   def languagePredicate(spec: DumpSpec, lang: Column): Column =
     spec.languages match {

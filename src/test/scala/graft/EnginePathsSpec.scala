@@ -189,6 +189,15 @@ class EnginePathsSpec extends AnyFunSuite {
     // both encodings parse to exactly the built-in fixture table
     assert(EntityCorpus.readSites(spark, plain.toString) == EntityCorpus.sites)
     assert(EntityCorpus.readSites(spark, gz.toString) == EntityCorpus.sites)
+    // tokenizer edge cases: escaped quotes, commas and parens inside
+    // quoted fields, http protocol, rows on one line
+    val tricky = """INSERT INTO `sites` VALUES (9,'xwiki','mediawiki','wiki\'s, (group)','local','x',':http','.org.example.x.','a:1:{s:5:"paths";a:1:{s:9:"page_path";s:9:"/view/$1";}}',0,'a:0:{}'),(10,'ywiki','mediawiki','g','local','y','','.org.example.y.','junk-without-path',0,'a:0:{}');"""
+    val trickyPath = dir.resolve("tricky.sql")
+    java.nio.file.Files.writeString(trickyPath, tricky)
+    val parsed = EntityCorpus.readSites(spark, trickyPath.toString)
+    assert(parsed("xwiki") == ("http://x.example.org/view/$1", "x"), parsed.toString)
+    // missing page_path falls back to /wiki/$1; empty protocol → https
+    assert(parsed("ywiki") == ("https://y.example.org/wiki/$1", "y"), parsed.toString)
     // and the parsed table drives sitelink resolution identically to the
     // built-in table on the sitelink goldens' pipeline path
     val corpus = EntityCorpus.generate(spark, 500).toDF()

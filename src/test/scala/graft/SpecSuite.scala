@@ -11,6 +11,42 @@ class SpecSuite extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"src/test/resources/specs/$name")), "UTF-8")
 
+  test("scan pre-gate token derivation (conservative, per-dialect)") {
+    import graft.sources.DumpFormat
+    // humans: item AND P31=Q5 → the entity-id value token(s)
+    val humans = SpecJson.parse(fixture("humans.json"))
+    assert(SpecCompiler.prefilterTokens(humans, DumpFormat.Fixture) == Some(Seq("\"Q5\"")))
+    assert(SpecCompiler.prefilterTokens(humans, DumpFormat.Wikidata) ==
+      Some(Seq("\"Q5\"", "\"numeric-id\":5")))
+    // include-all spec (entities empty) → no pre-gate possible
+    val all = SpecJson.parse(fixture("english-labels.json"))
+    assert(SpecCompiler.prefilterTokens(all, DumpFormat.Fixture).isEmpty)
+    // non-entityid restriction → property-name token
+    val someval = SpecJson.parse(
+      """{"entities":[{"type":"item","properties":[
+        |{"type":"somevalue","property":"P40"}]}],
+        |"statements":[],"labels":false,"descriptions":false,"aliases":false,
+        |"meta":false,"sitelinks":false}""".stripMargin)
+    assert(SpecCompiler.prefilterTokens(someval, DumpFormat.Fixture) == Some(Seq("\"P40\"")))
+    // disjunction: one token per branch, OR'd
+    val disj = SpecJson.parse(
+      """{"entities":[
+        |{"type":"item","properties":[{"type":"entityid","property":"P31","value":"Q5"}]},
+        |{"type":"item","properties":[{"type":"somevalue","property":"P22"}]}],
+        |"statements":[],"labels":false,"descriptions":false,"aliases":false,
+        |"meta":false,"sitelinks":false}""".stripMargin)
+    assert(SpecCompiler.prefilterTokens(disj, DumpFormat.Fixture) ==
+      Some(Seq("\"Q5\"", "\"P22\"")))
+    // a type-only branch poisons the whole pre-gate (no selective token)
+    val typeOnly = SpecJson.parse(
+      """{"entities":[
+        |{"type":"item","properties":[{"type":"entityid","property":"P31","value":"Q5"}]},
+        |{"type":"property","properties":[]}],
+        |"statements":[],"labels":false,"descriptions":false,"aliases":false,
+        |"meta":false,"sitelinks":false}""".stripMargin)
+    assert(SpecCompiler.prefilterTokens(typeOnly, DumpFormat.Fixture).isEmpty)
+  }
+
   test("simple-spec parses to the expected typed model (DumpSpecTest.java:27-63)") {
     val s = SpecJson.parse(fixture("simple-spec.json"))
     assert(s.version == "1")

@@ -144,6 +144,22 @@ class WikidataJsonSpec extends AnyFunSuite {
     assert(errsAll.count(_.id == "L99") == 1)
   }
 
+  test("scan pre-gate never drops an old-dump doc whose entity value is numeric-only") {
+    // P31=Q5 carried ONLY as numeric-id (no "id" string): the Wikidata
+    // dialect's pre-gate must include it via the numeric token
+    val oldStyle =
+      """{"type":"item","id":"Q77","labels":{"en":{"language":"en","value":"old style"}},
+        |"descriptions":{},"aliases":{},
+        |"claims":{"P31":[{"mainsnak":{"snaktype":"value","property":"P31","datatype":"wikibase-item",
+        |  "datavalue":{"value":{"entity-type":"item","numeric-id":5},"type":"wikibase-entityid"}},
+        |  "type":"statement","id":"Q77$1","rank":"normal"}]},"sitelinks":{}}"""
+        .stripMargin.replace("\n", "")
+    val spec = specNamed("humans.json")
+    val triples = Pipeline.triples(corpusOf(oldStyle), spec, format = DumpFormat.Wikidata)
+    assert(triples.filter(org.apache.spark.sql.functions.col("subj")
+      .endsWith("Q77")).count() > 0, "old-dump numeric-only P31=Q5 doc was dropped")
+  }
+
   test("wdref: node ids use the dump-provided reference hash (Wikibase RDF parity)") {
     // references-enabled include-all spec; realItem's P31 statement
     // carries {"hash":"abc"} exactly like genuine dump JSON
