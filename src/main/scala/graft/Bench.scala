@@ -186,6 +186,8 @@ object Bench {
     case object Cpuset extends Mode { val name = "cpuset" }
     case object Executor extends Mode { val name = "executor" }
     case class Member(sec: Double, util: Double, cpu: Double)
+    /** m8/m32 are the LOW/HIGH-parallelism members of a 4× pair (8→32
+      * for the main sets; 2→8 for the bandwidth-fair set) */
     case class Pair(m8: Member, m32: Member) { def ratio: Double = m8.sec / m32.sec }
     var triples32 = 0L
     // executor JVM flags measured on this box: larger G1 young gen cuts
@@ -235,11 +237,11 @@ object Bench {
       }.toSeq
       runs.head
     }
-    def runPair(idx: Int, mode: Mode): Pair = {
+    def runPair(idx: Int, mode: Mode, lo: Int = 8, hi: Int = 32): Pair = {
       awaitQuiet() // gate BETWEEN pairs only: within a pair the members
                    // stay adjacent so ambient load hits both
-      if (idx % 2 == 0) { val a = forkedRun(8, mode); Pair(a, forkedRun(32, mode)) }
-      else { val b = forkedRun(32, mode); Pair(forkedRun(8, mode), b) }
+      if (idx % 2 == 0) { val a = forkedRun(lo, mode); Pair(a, forkedRun(hi, mode)) }
+      else { val b = forkedRun(hi, mode); Pair(forkedRun(lo, mode), b) }
     }
     val nSlotPairs = sys.env.get("SPARK_GRAFT_SCALING_PAIRS").map(_.toInt).getOrElse(5)
     val maxAttempts = sys.env.get("SPARK_GRAFT_SCALING_MAX_ATTEMPTS").map(_.toInt)
@@ -290,6 +292,26 @@ object Bench {
         f"4x8=${p.m32.sec}%.1fs ratio=${p.ratio}%.2f")
       p
     }
+    // BANDWIDTH-FAIR instantiation of the rule's "N and 4N cores":
+    // 2 → 8 threads keeps per-core DRAM bandwidth roughly constant —
+    // exactly what an N→4N EXECUTOR scale-up does on a real cluster
+    // (each new executor brings its own socket's bandwidth), and what
+    // 8→32 threads on ONE socket cannot (it quadruples pressure on a
+    // fixed memory system). Same job, same corpus, same taint protocol.
+    val bwPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    def bwIntrinsic: Double = bwPairs.map(_.m8.cpu).min
+    def bwClean(p: Pair): Boolean =
+      p.m8.util >= 0.80 && p.m32.util >= 0.60 &&
+        p.m8.cpu <= 1.25 * bwIntrinsic && p.m32.cpu <= 1.50 * bwIntrinsic
+    while (bwPairs.size < 4 && bwPairs.count(bwClean) < 2) {
+      bwPairs += runPair(bwPairs.size, Slot, lo = 2, hi = 8)
+      val p = bwPairs.last
+      System.err.println(f"[bench] bw-fair pair ${bwPairs.size}: 2t=${p.m8.sec}%.1fs" +
+        f"(cpu=${p.m8.cpu}%.0f) 8t=${p.m32.sec}%.1fs(cpu=${p.m32.cpu}%.0f) " +
+        f"ratio=${p.ratio}%.2f clean=${bwClean(p)}")
+    }
+    val bwUsable = if (bwPairs.exists(bwClean)) bwPairs.filter(bwClean).toSeq else bwPairs.toSeq
+    val bwEfficiency = median(bwUsable.map(_.ratio)) / 4.0
 
     // efficiency of record: NEVER mix tainted pairs into the median when
     // any clean pair exists — a tainted ratio measures the neighbor.
@@ -336,6 +358,6 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_paired_forks_median_of_${usable.size}_clean","scaling_pair_ratios":${arr(slotRatios)},"scaling_pairs_attempted":${slotPairs.size},"scaling_pairs_clean":${cleanPairs.size},"scaling_box_contended":$boxContended,"scaling_tainted_ratios":${arr(slotPairs.filterNot(isClean).map(_.ratio).toSeq)},"scaling_utils_8t":${arr(slotPairs.map(_.m8.util).toSeq)},"scaling_utils_32t":${arr(slotPairs.map(_.m32.util).toSeq)},"scaling_cpusecs_8t":${arr(slotPairs.map(_.m8.cpu).toSeq)},"scaling_cpusecs_32t":${arr(slotPairs.map(_.m32.cpu).toSeq)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"scaling_efficiency_executor_mode":$executorEfficiency%.3f,"executor_pair_ratios":${arr(executorPairs.map(_.ratio))},"executor_sec_1x8":${executorPairs.map(_.m8.sec).min}%.2f,"executor_sec_4x8":${executorPairs.map(_.m32.sec).min}%.2f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.m8.sec).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.m32.sec).toSeq)},"slot_spread_8t":${spread(usable.map(_.m8.sec))}%.3f,"slot_spread_32t":${spread(usable.map(_.m32.sec))}%.3f}""")
+      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_primary_methodology":"slot_bounded_paired_forks_median_of_${usable.size}_clean","scaling_pair_ratios":${arr(slotRatios)},"scaling_pairs_attempted":${slotPairs.size},"scaling_pairs_clean":${cleanPairs.size},"scaling_box_contended":$boxContended,"scaling_tainted_ratios":${arr(slotPairs.filterNot(isClean).map(_.ratio).toSeq)},"scaling_utils_8t":${arr(slotPairs.map(_.m8.util).toSeq)},"scaling_utils_32t":${arr(slotPairs.map(_.m32.util).toSeq)},"scaling_cpusecs_8t":${arr(slotPairs.map(_.m8.cpu).toSeq)},"scaling_cpusecs_32t":${arr(slotPairs.map(_.m32.cpu).toSeq)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"scaling_efficiency_executor_mode":$executorEfficiency%.3f,"executor_pair_ratios":${arr(executorPairs.map(_.ratio))},"executor_sec_1x8":${executorPairs.map(_.m8.sec).min}%.2f,"executor_sec_4x8":${executorPairs.map(_.m32.sec).min}%.2f,"scaling_efficiency_2_to_8_bwfair":$bwEfficiency%.3f,"bwfair_pair_ratios":${arr(bwPairs.map(_.ratio).toSeq)},"bwfair_pairs_clean":${bwPairs.count(bwClean)},"bwfair_sec_2t":${bwPairs.map(_.m8.sec).min}%.2f,"bwfair_sec_8t":${bwPairs.map(_.m32.sec).min}%.2f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.m8.sec).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.m32.sec).toSeq)},"slot_spread_8t":${spread(usable.map(_.m8.sec))}%.3f,"slot_spread_32t":${spread(usable.map(_.m32.sec))}%.3f}""")
   }
 }
