@@ -55,7 +55,7 @@ object Pipeline {
     * EVERY spec has one (an include-all spec gates nothing). */
   private def prefilterMulti(specs: Seq[DumpSpec], format: DumpFormat): Column = {
     val all = specs.map(SpecCompiler.prefilterTokens(_, format))
-    if (all.exists(_.isEmpty)) lit(true)
+    if (all.isEmpty || all.exists(_.isEmpty)) lit(true)
     else all.flatMap(_.get).distinct.map(t => col("content").contains(t)).reduce(_ || _)
   }
 
