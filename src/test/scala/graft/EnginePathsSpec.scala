@@ -13,6 +13,41 @@ class EnginePathsSpec extends AnyFunSuite {
     SpecJson.parse(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"src/test/resources/specs/$name"))))
 
+  test("scan pre-gate plans as a Contains BEFORE the JSON gate parse, same filter") {
+    val corpus = EntityCorpus.generate(spark, 200).toDF()
+    val plan = Pipeline.includedDocs(corpus, specNamed("humans.json"))
+      .queryExecution.executedPlan.toString
+    // one Filter carries both; And short-circuits left-to-right in
+    // codegen, so WITHIN the Filter line the Contains must precede the
+    // gate's from_json (the plan string is top-down: the survivors'
+    // full-schema parse legitimately prints above the Filter)
+    val filterLine = plan.linesIterator.find(_.contains("Filter "))
+      .getOrElse(fail(s"no Filter in plan:\n$plan"))
+    val iContains = filterLine.indexOf("Contains(content")
+    val iParse = filterLine.indexOf("from_json")
+    assert(iContains >= 0, s"pre-gate Contains missing from filter:\n$filterLine")
+    assert(iParse > iContains, s"gate parse not behind the pre-gate:\n$filterLine")
+    // include-all spec: no pre-gate Contains at all
+    val planAll = Pipeline.includedDocs(corpus, specNamed("english-labels.json"))
+      .queryExecution.executedPlan.toString
+    assert(!planAll.contains("Contains(content"), planAll)
+  }
+
+  test("overlap resolution plans as an equi-anti-join on doc_id (no nested loop)") {
+    import spark.implicits._
+    val dict = Seq(("alan turing", "Q7251", 2000L), ("turing", "Q7251", 1000L))
+      .toDF("surface", "entity", "prior")
+    val classes = Seq(("Q7251", "Q5")).toDF("entity", "cls")
+    val docs = Seq((1L, "alan turing here")).toDF("doc_id", "text")
+    val mentions = graft.operators.EntityLinking.detectMentions(docs, $"doc_id", $"text", dict)
+    val plan = graft.operators.EntityLinking
+      .resolveOverlaps(graft.operators.EntityLinking.scoreLinks(mentions, classes))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"span anti-join fell to a nested loop:\n$plan")
+  }
+
   test("nt_escape: custom expression works in SQL and codegen") {
     graft.functions.GraftExtensions.register(spark)
     val got = spark.sql("""SELECT nt_escape('a"b\\c\nd') AS e""").head().getString(0)
