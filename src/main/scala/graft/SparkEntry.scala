@@ -406,6 +406,25 @@ object SparkEntry {
         .select($"doc_id", $"n_words", $"n_distinct")
         .orderBy($"doc_id")
     },
+    // event sessionization (gaps-and-islands): new session after a
+    // >1h silence per user; two ordered windows + one hash agg —
+    // partitioned by user_id, so it shuffles once and scales with users
+    "q_sessionize" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ts is TIMESTAMP_NTZ: epoch seconds via timestamp (session tz is
+      // UTC, matching DuckDB's naive-timestamp epoch())
+      val tsec = $"ts".cast("timestamp").cast("long")
+      t(dir, "events").select($"user_id", $"ts", $"event_id")
+        .withColumn("prev", lag(tsec, 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull || tsec - $"prev" > 3600L, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(run))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"session_id")
+    },
     // Structured Streaming: watermarked tumbling-window agg over the
     // events stream, complete mode → equals the batch aggregation
     "q_stream_window" -> { (s, dir) =>
@@ -690,6 +709,19 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |f AS (SELECT user_id, ts, event_id, tsec,
+        |    LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR tsec - prev > 3600 THEN 1 ELSE 0 END AS new_s FROM f),
+        |h AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
