@@ -425,6 +425,36 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy($"user_id", $"session_id")
     },
+    // Structured Streaming sessionization (flatMapGroupsWithState,
+    // event-time timeout): the closed sessions of the whole events
+    // stream must equal batch gaps-and-islands sessionization — the
+    // strongest check a custom streaming state machine can get. Two
+    // sentinel files advance the watermark so final sessions flush.
+    "q_stream_sessions" -> { (s, dir) =>
+      implicit val sp = s; import sp.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qss").toString
+      // stage as TIMESTAMP (session tz UTC): the fixture column is NTZ
+      s.read.parquet(s"$dir/events.parquet")
+        .select($"user_id", $"ts".cast("timestamp").as("ts"))
+        .write.parquet(s"$tmp/f1")
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val maxTs = s.read.parquet(s"$tmp/f1").agg(max($"ts")).head().getTimestamp(0).getTime
+      val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(s"$tmp/f*/")
+        .withWatermark("ts", "0 seconds").as[(Long, java.sql.Timestamp)]
+      val sessions = graft.streaming.StreamingPipeline.userSessions(stream, gapSec = 3600L)
+      val name = "qss" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
+      q.processAllAvailable()
+      Seq((-1L, ts(maxTs + 86400000L))).toDF("user_id", "ts").write.parquet(s"$tmp/f2")
+      q.processAllAvailable()
+      Seq((-1L, ts(maxTs + 2 * 86400000L))).toDF("user_id", "ts").write.parquet(s"$tmp/f3")
+      q.processAllAvailable(); q.stop()
+      val w = Window.partitionBy($"user_id").orderBy($"session_start")
+      s.table(name).filter($"user_id" >= 0)
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select($"user_id", $"session_id", $"session_start", $"session_end", $"n_events")
+        .orderBy($"user_id", $"session_id")
+    },
     // Structured Streaming: watermarked tumbling-window agg over the
     // events stream, complete mode → equals the batch aggregation
     "q_stream_window" -> { (s, dir) =>
@@ -721,6 +751,24 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // same islands as q_sessionize; timestamps truncated to seconds
+    // (the streaming state keeps epoch seconds)
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    event_id FROM events),
+        |f AS (SELECT user_id, tsec, event_id,
+        |    LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |g AS (SELECT user_id, tsec, event_id,
+        |    CASE WHEN prev IS NULL OR tsec - prev > 3600 THEN 1 ELSE 0 END AS new_s FROM f),
+        |h AS (SELECT user_id, tsec,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  make_timestamp(MIN(tsec)*1000000) AS session_start,
+        |  make_timestamp(MAX(tsec)*1000000) AS session_end,
+        |  COUNT(*) AS n_events
         |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,

@@ -88,6 +88,58 @@ object StreamingPipeline {
   case class UserSession(user_id: Long, events: Long, lastTs: Long)
   case class SessionUpdate(user_id: Long, events: Long)
 
+  case class SessState(startSec: Long, endSec: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState (the batch
+    * analog is q_sessionize's gaps-and-islands): per-user sessions close
+    * after `gapSec` of event-time silence and are emitted exactly once —
+    * either when a later event observes the gap, or when the EVENT-TIME
+    * TIMEOUT fires as the watermark passes session_end + gap (so idle
+    * users' last sessions still flush and their state is dropped —
+    * bounded state on an unbounded stream). Events are sorted per
+    * invocation; correctness across micro-batches holds for data within
+    * the watermark like every event-time operator here. */
+  def userSessions(events: Dataset[(Long, java.sql.Timestamp)],
+                   gapSec: Long = 3600L): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def close(user: Long, s: SessState): ClosedSession =
+      ClosedSession(user, new java.sql.Timestamp(s.startSec * 1000),
+        new java.sql.Timestamp(s.endSec * 1000), s.n)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed end+gap: the open session is final
+            val out = state.getOption.map(close(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endSec > gapSec =>
+                  closed += close(user, s)
+                  cur = Some(SessState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessState(s.startSec, math.max(s.endSec, t), s.n + 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endSec + gapSec) * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counts (the KeyValueGroupedDataset stateful-op surface). */
   def userRunningCounts(events: Dataset[(Long, java.sql.Timestamp)]): Dataset[SessionUpdate] = {

@@ -321,6 +321,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) closes sessions by gap and timeout") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessions").toString
+    // u1: events at 0,10,50 min (one session: gaps < 1h) then 230 min
+    // (second session); u2: single event — closes only via TIMEOUT
+    Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(50)), (1L, ts(230)), (2L, ts(5)))
+      .toDF("user_id", "ts").repartition(1).write.parquet(s"$dir/f1")
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*/")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.StreamingPipeline.userSessions(stream, gapSec = 3600L)
+    val name = "sess" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    // two sentinel files advance the watermark twice: first so the
+    // timeout registers past the data, second so it FIRES
+    Seq((-1L, ts(10000))).toDF("user_id", "ts").write.parquet(s"$dir/f2")
+    q.processAllAvailable()
+    Seq((-1L, ts(20000))).toDF("user_id", "ts").write.parquet(s"$dir/f3")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter($"user_id" >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val want = Set(
+      (1L, ts(0), ts(50), 3L),     // closed by the observed 3h gap
+      (1L, ts(230), ts(230), 1L),  // closed by event-time timeout
+      (2L, ts(5), ts(5), 1L))      // closed by event-time timeout
+    assert(got == want, s"sessions $got vs $want")
+  }
+
   test("streaming: file-source triples match batch pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
