@@ -152,6 +152,25 @@ object SparkEntry {
         .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
         .orderBy($"doc_id")
     },
+    // text analysis: BPE-ish pre-tokenizer count (letter runs / digit
+    // runs / single punctuation — the GPT-2-style pre-split shape,
+    // restricted to ASCII classes whose semantics Java and RE2 share)
+    "q_tokens_bpe" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents").select($"doc_id",
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+    // text analysis: stopword counts (quality-scoring input; integers
+    // only — ratios derive exactly downstream)
+    "q_stopword_ratio" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val stops = typedlit(stopwords)
+      val toks = split($"text", " ")
+      t(dir, "documents").select($"doc_id",
+        size(toks).as("n_tokens"),
+        size(filter(toks, w => array_contains(stops, w))).as("n_stopwords"))
+        .orderBy($"doc_id")
+    },
     // text analysis: quality metrics (integer-exact)
     "q_text_quality" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       val toks = split($"text", " ")
@@ -509,6 +528,11 @@ object SparkEntry {
 
   private val elSurfaces: Seq[String] = elDict.map(_._1).distinct.sorted
 
+  /** pinned stopword list shared verbatim with the DuckDB oracle */
+  private val stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+    "is", "it", "of", "on", "or", "that", "the", "to", "with")
+
   // ----------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -578,6 +602,19 @@ object SparkEntry {
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
     "q_tokens" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id",
+    "q_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stopword_ratio" -> {
+      val stops = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($stops, w))) AS INTEGER) AS n_stopwords
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,
