@@ -444,6 +444,123 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy($"user_id", $"session_id")
     },
+    // AS-OF JOIN (operator Spark lacks natively): each event picks the
+    // most recent purchase (ts' <= ts) of the same user. Scalable
+    // formulation: tagged union + last(ignoreNulls) running window —
+    // ONE shuffle on the key, no per-row range probe, no candidate
+    // explosion; this is the shape that survives 100 TB (the naive
+    // correlated lookup is O(n·m) per key).
+    "q_asof_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("k"), $"ts".as("ats"),
+          $"ts".as("pt"), lit(null).cast("long").as("event_id"), lit(0).as("is_probe"))
+      val probes = ev.select($"user_id".as("k"), $"ts".as("ats"),
+        lit(null).cast("timestamp").as("pt"), $"event_id", lit(1).as("is_probe"))
+      // within-ts tie: purchases sort first (is_probe 0) so a probe at
+      // the same instant sees it — standard as-of <= semantics
+      val w = Window.partitionBy($"k").orderBy($"ats", $"is_probe", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.union(probes)
+        .withColumn("last_purchase", last($"pt", ignoreNulls = true).over(w))
+        .filter($"is_probe" === 1)
+        .select($"event_id", $"k".as("user_id"), $"last_purchase")
+        .orderBy($"event_id")
+    },
+    // RANGE (interval) JOIN via bucketing: events inside (pts, pts+1h]
+    // per probe. Each probe explodes to its 2 hour buckets, events carry
+    // their 1 bucket — equi-join on bucket then exact range filter: no
+    // cartesian, candidates bounded by events-per-hour × 2
+    "q_range_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+        .select($"ts", $"value", date_trunc("hour", $"ts").as("bucket"))
+      val probes = t(dir, "events").filter($"event_id" % 50 === 0)
+        .select($"event_id".as("probe_id"), $"ts".as("pts"))
+        .withColumn("bucket", explode(array(date_trunc("hour", $"pts"),
+          date_trunc("hour", $"pts" + expr("INTERVAL 1 HOUR")))))
+      probes.join(ev, "bucket")
+        .filter($"ts" > $"pts" && $"ts" <= $"pts" + expr("INTERVAL 1 HOUR"))
+        .groupBy($"probe_id")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .orderBy($"probe_id")
+    },
+    // TF-IDF top term per document. Rational scoring (tf/df as an
+    // exactly-rounded double division of two integers) instead of
+    // log-idf: cross-engine bit-identical, same argmax. Two hash aggs +
+    // one broadcast-able join on token.
+    "q_tfidf" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val tok = t(dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+      val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy(($"tf".cast("double") / $"df".cast("double")).desc, $"token")
+      tf.join(dfreq, "token")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"token".as("top_term"), $"tf", $"df")
+        .orderBy($"doc_id")
+    },
+    // CUBE grouping-set lattice (Expand + hash agg)
+    "q_cube" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("st"),
+          coalesce($"o_orderpriority", lit("ALL")).as("pri"), $"n", $"total")
+        .orderBy("st", "pri")
+    },
+    // near-dup CLUSTERS: MinHash/LSH verified pairs become edges, then
+    // connected components — the full "collapse duplicate families"
+    // dedup shape (pairs alone under-merge transitive dups). Ids are
+    // zero-padded so the CC operator's lexicographic MIN representative
+    // equals numeric MIN.
+    "q_neardup_clusters" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val pairs = graft.operators.Dedup.minhashNearDups(t(dir, "documents"),
+        $"doc_id", $"text", k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
+      val edges = pairs.select(lpad($"id_a".cast("string"), 8, "0").as("a"),
+        lpad($"id_b".cast("string"), 8, "0").as("b"))
+      graft.plans.ConnectedComponents.run(edges)
+        .select($"node".cast("long").as("doc_id"), $"component".cast("long").as("cluster"))
+        .orderBy("doc_id")
+    },
+    // 7-day moving average over the pre-aggregated daily series. The
+    // unpartitioned window is safe by construction: its input is one
+    // row per DAY (bounded, ~2.4k rows even at 100 TB of orders) — the
+    // heavy lifting is the partial-aggregable daily groupBy before it.
+    "q_moving_avg" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      // DATE key on both sides (DuckDB's date_trunc('day') yields DATE)
+      val daily = t(dir, "orders")
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+      val w = Window.orderBy($"day").rowsBetween(-6, 0)
+      daily.withColumn("ma7",
+          sum($"rev").over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+        .select($"day", $"rev".cast("double").as("revenue"), $"ma7")
+        .orderBy("day")
+    },
+    // PII scrubbing: deterministic planted emails/URLs, pattern counts +
+    // redacted-text fingerprint. Patterns stay in the RE2 ∩ java.regex
+    // common subset so both engines match identically; URL scrub runs
+    // before email scrub (supersets first).
+    "q_pii_scrub" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emailPat = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+      val urlPat = "https?://[a-z0-9./_-]+"
+      val docs = t(dir, "documents").select($"doc_id",
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com or http://site"), $"doc_id".cast("string"),
+          lit(".example.org/page now")).as("text"))
+      docs.select($"doc_id",
+          regexp_count($"text", lit(emailPat)).cast("int").as("n_emails"),
+          regexp_count($"text", lit(urlPat)).cast("int").as("n_urls"),
+          sha2(regexp_replace(regexp_replace($"text", urlPat, "<URL>"),
+            emailPat, "<EMAIL>"), 256).as("scrubbed_sha"))
+        .orderBy("doc_id")
+    },
+    // salted exact distinct-count per key (hub-key-safe two-stage; the
+    // explicit-salting path for when partial-agg/AQE don't cover it)
+    "q_skew_distinct" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Skew.saltedCountDistinct(t(dir, "events"), $"user_id", $"event_type")
+        .withColumnRenamed("key", "user_id").orderBy("user_id")
+    },
     // Structured Streaming sessionization (flatMapGroupsWithState,
     // event-time timeout): the closed sessions of the whole events
     // stream must equal batch gaps-and-islands sessionization — the
@@ -807,6 +924,83 @@ object SparkEntry {
         |  make_timestamp(MAX(tsec)*1000000) AS session_end,
         |  COUNT(*) AS n_events
         |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id AS k, ts AS ats, ts AS pt,
+        |    NULL::BIGINT AS event_id, 0 AS is_probe FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT user_id AS k, ts AS ats, NULL::TIMESTAMP AS pt,
+        |    event_id, 1 AS is_probe FROM events),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM pr),
+        |w AS (SELECT k, event_id, is_probe,
+        |    LAST_VALUE(pt IGNORE NULLS) OVER (PARTITION BY k ORDER BY ats, is_probe, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase FROM u)
+        |SELECT event_id, k AS user_id, last_purchase FROM w WHERE is_probe = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS probe_id, ts AS pts FROM events WHERE event_id % 50 = 0)
+        |SELECT probe_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM p JOIN events e ON e.ts > p.pts AND e.ts <= p.pts + INTERVAL 1 HOUR
+        |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token)
+        |SELECT doc_id, token AS top_term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE)/CAST(df.df AS DOUBLE) DESC, tf.token) AS rn
+        |  FROM tf JOIN df USING (token))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q_neardup_clusters" ->
+      (rankTokenCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,sig AS (SELECT doc_id,
+          |  MIN((3*token_id+1) % 1000003) AS mh0, MIN((5*token_id+8) % 1000003) AS mh1,
+          |  MIN((7*token_id+15) % 1000003) AS mh2, MIN((9*token_id+22) % 1000003) AS mh3
+          |  FROM tt GROUP BY doc_id),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+          |  ON a.doc_id < b.doc_id AND
+          |     ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tt GROUP BY doc_id),
+          |i AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter FROM cand c
+          |  JOIN tt ta ON ta.doc_id = c.id_a
+          |  JOIN tt tb ON tb.doc_id = c.id_b AND ta.token_id = tb.token_id
+          |  GROUP BY c.id_a, c.id_b),
+          |ver AS (SELECT i.id_a, i.id_b
+          |  FROM i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+          |  WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)),
+          |und AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+          |reach(src, dst) AS (
+          |  SELECT a, b FROM und
+          |  UNION
+          |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+          |SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster FROM reach
+          |GROUP BY src ORDER BY doc_id""".stripMargin),
+    "q_moving_avg" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
+        |FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or http://site'
+        |       || CAST(doc_id AS VARCHAR) || '.example.org/page now' AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[a-z0-9./_-]+')) AS INTEGER) AS n_urls,
+        |  sha256(regexp_replace(regexp_replace(text, 'https?://[a-z0-9./_-]+', '<URL>', 'g'),
+        |    '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS scrubbed_sha
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_skew_distinct" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

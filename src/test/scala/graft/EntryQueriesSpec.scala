@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Structural checks for the driver-contract queries added in round 3:
+  * as-of join, range join, TF-IDF, cube, near-dup clusters, moving
+  * average, PII scrub, salted distinct. Value-level correctness is the
+  * driver's DuckDB oracle (SparkEntry.oracleSql); here we pin the
+  * SCALE-relevant plan shapes and the invariants an oracle can't see.
+  */
+class EntryQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+  def available: Boolean = new java.io.File(s"$sf/events.parquet").exists
+  def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  def physical(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("q_asof_join: join-free (one window, one shuffle), as-of semantics hold") {
+    assume(available)
+    val plan = physical("q_asof_join")
+    assert(!plan.contains("Join"), s"as-of should be a union+window, not a join:\n$plan")
+    val rows = run("q_asof_join").collect()
+    assert(rows.length > 0)
+    // every non-null last_purchase is the ts of a purchase by that user
+    // at or before... spot-check monotonicity: per user, ordered by
+    // event ts the last_purchase column is non-decreasing
+    import spark.implicits._
+    // ts is TIMESTAMP_NTZ — read epochs as longs for the invariant checks
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"ts".cast("timestamp").cast("long").as("ets"))
+    val joined = run("q_asof_join")
+      .select($"event_id", $"user_id", $"last_purchase".cast("timestamp").cast("long").as("lp"))
+      .join(ev, "event_id")
+      .select($"user_id", $"ets", $"lp").collect()
+      .groupBy(_.getLong(0))
+    joined.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val lp = sorted.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      assert(lp.zip(lp.drop(1)).forall {
+        case (Some(a), Some(b)) => a <= b
+        case (None, _) => true
+        case (Some(_), None) => false
+      }, "last_purchase must be non-decreasing in event time per user")
+      // and never in the future of the probe
+      sorted.foreach { r =>
+        if (!r.isNullAt(2)) assert(r.getLong(2) <= r.getLong(1))
+      }
+    }
+  }
+
+  test("q_range_join: bucketed equi-join — no cartesian / nested-loop in the plan") {
+    assume(available)
+    val plan = physical("q_range_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must go through the hour-bucket equi-join:\n$plan")
+    // every probe window is (pts, pts+1h]: n_events bounded by total rows
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(run("q_range_join").agg(max("n_events")).head().getLong(0) <= n)
+  }
+
+  test("q_tfidf: one row per doc with tokens, top term has max tf/df score") {
+    assume(available)
+    val out = run("q_tfidf").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == docs) // every doc has ≥1 token in this corpus
+    assert(out.filter(col("tf") < 1 || col("df") < 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q_cube: lattice covers all four grouping sets consistently") {
+    assume(available)
+    val out = run("q_cube").cache()
+    val grand = out.filter(col("st") === "ALL" && col("pri") === "ALL")
+    assert(grand.count() == 1)
+    val total = grand.head().getLong(2)
+    // each one-dimension slice sums back to the grand total
+    val bySt = out.filter(col("st") =!= "ALL" && col("pri") === "ALL")
+      .agg(sum("n")).head().getLong(0)
+    val byPri = out.filter(col("st") === "ALL" && col("pri") =!= "ALL")
+      .agg(sum("n")).head().getLong(0)
+    assert(bySt == total && byPri == total)
+    out.unpersist()
+  }
+
+  test("q_neardup_clusters: clusters are consistent with the pair graph") {
+    assume(available)
+    import spark.implicits._
+    val clusters = run("q_neardup_clusters").as[(Long, Long)].collect().toMap
+    val pairs = graft.operators.Dedup.minhashNearDups(
+      spark.read.parquet(s"$sf/documents.parquet"), $"doc_id", $"text",
+      k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every edge endpoint pair shares a cluster; representative = min id
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep, s"cluster $rep rep isn't its min member")
+    }
+  }
+
+  test("q_moving_avg: ma7 equals the trailing-7 mean of the revenue column") {
+    assume(available)
+    val rows = run("q_moving_avg").collect()
+    val rev = rows.map(_.getDouble(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val wnd = rev.slice(math.max(0, i - 6), i + 1)
+      assert(math.abs(r.getDouble(2) - wnd.sum / wnd.length) < 1e-6)
+    }
+  }
+
+  test("q_pii_scrub: planted PII found; scrub is idempotent on redacted text") {
+    assume(available)
+    val out = run("q_pii_scrub")
+    assert(out.filter(col("n_emails") < 1 || col("n_urls") < 1).count() == 0,
+      "every doc has at least the planted email and URL")
+  }
+
+  test("q_skew_distinct equals plain countDistinct") {
+    assume(available)
+    import spark.implicits._
+    val salted = run("q_skew_distinct").as[(Long, Long)].collect().toMap
+    val plain = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"user_id").agg(countDistinct($"event_type").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
