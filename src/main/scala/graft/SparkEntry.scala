@@ -615,6 +615,28 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table(name).groupBy($"user_id")
         .agg(max($"events").as("events")).orderBy("user_id")
+    },
+    // bounded-depth transitive closure (the Wikidata P279*-style
+    // "reachable within k hops" query): BFS frontier joins with a
+    // visited-set anti-join (plans.Closure) — per-round work is
+    // proportional to NEWLY discovered pairs, cycles terminate, every
+    // pair carries its minimal hop count. Edge table: the deterministic
+    // halving tree over event user ids.
+    "q_closure" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "events").filter($"user_id" > 0)
+        .select($"user_id".as("src"), expr("user_id div 2").as("dst"))
+      plans.Closure.transitive(edges, "src", "dst", maxDepth = 4)
+        .orderBy($"src", $"dst")
+    },
+    // PageRank in scaled-integer fixed point (plans.PageRank): integer
+    // sums are order-independent, so ranks are bit-identical across
+    // partitionings AND engines — DuckDB re-derives them exactly with
+    // unrolled integer SQL (float PageRank could never hash-match).
+    // Graph: customer→(orderkey mod 1000) links from orders.
+    "q_pagerank" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "orders")
+        .select($"o_custkey".as("src"), ($"o_orderkey" % 1000).as("dst"))
+      plans.PageRank.run(s, edges, iters = 3).orderBy($"id")
     }
   )
 
@@ -1006,7 +1028,45 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_stream_state" ->
-      "SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id"
+      "SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id",
+    // min-depth over ALL path lengths == BFS minimal hop count (the
+    // engine's visited-set BFS); UNION keeps recursion finite, depth
+    // bound matches maxDepth = 4
+    "q_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT user_id AS src, user_id // 2 AS dst FROM events WHERE user_id > 0),
+        |reach(src, dst, depth) AS (
+        |  SELECT src, dst, 1 FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.src
+        |  WHERE r.depth < 4)
+        |SELECT src, dst, MIN(depth) AS depth FROM reach GROUP BY src, dst
+        |ORDER BY src, dst""".stripMargin,
+    // 3 PageRank iterations unrolled in scaled-integer arithmetic;
+    // `//` (floor div) on positives == Spark's `div`, so ranks are
+    // bit-exact across engines
+    "q_pagerank" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 1000 AS dst FROM orders),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM(r0.r // d.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r0 ON e.src = r0.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |    + (85 * COALESCE(c1.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM(r1.r // d.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |    + (85 * COALESCE(c2.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON nodes.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(SUM(r2.r // d.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r2 ON e.src = r2.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |    + (85 * COALESCE(c3.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

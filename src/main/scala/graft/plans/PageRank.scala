@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank in fixed-point (scaled-integer) arithmetic — entity
+  * importance over the KG link graph (the reference has no graph
+  * analytics at all; this joins [[ConnectedComponents]] and [[Closure]]
+  * in the graph suite).
+  *
+  * All arithmetic is integer: ranks live in units of `1/scale`,
+  * per-edge contributions are `rank div out_degree`, damping is
+  * `(85 * sum) div 100`. Integer sums are order-independent, so the
+  * result is bit-identical across partitionings, re-runs, AND engines —
+  * DuckDB re-derives the identical ranks with `//` in unrolled SQL
+  * (floating-point PageRank could never hash-match: float sum order
+  * differs per plan). Rounding loss per node per iteration is < 1 unit
+  * of 1e-12 — irrelevant for ranking, essential for verification.
+  *
+  * Scale shape per iteration: one equi-join rank⨝edges (shuffle on
+  * src; degree table joined map-side by AQE/broadcast when small), one
+  * hash-agg on dst (partial+final, map-side combine), one left join
+  * back to the node list. Dangling-node mass is dropped (documented;
+  * both engines agree). Lineage truncated per iteration.
+  */
+object PageRank {
+
+  /** @param edges  (src, dst) pairs; duplicates ignored
+    * @return (id, rank_scaled) — rank in units of 1/scale */
+  def run(spark: SparkSession, edges: DataFrame, iters: Int,
+          scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (scale * 15L) / (100L * n)
+    var rank = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("r").as("rank_scaled"))
+  }
+}

@@ -119,6 +119,31 @@ class EntryQueriesSpec extends AnyFunSuite {
       "every doc has at least the planted email and URL")
   }
 
+  test("q_closure: edges ⊂ closure, depths within bound, halving-tree invariant") {
+    assume(available)
+    import spark.implicits._
+    val out = run("q_closure").as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty && out.forall { case (_, _, d) => d >= 1 && d <= 4 })
+    val byPair = out.map { case (s, t, d) => (s, t) -> d }.toMap
+    assert(byPair.size == out.length, "one row per (src,dst)")
+    // halving tree: the depth-d ancestor of src is src >> d
+    byPair.foreach { case ((s, t), d) => assert((s >> d) == t, s"($s,$t,$d)") }
+  }
+
+  test("q_pagerank: no cartesian, one row per node, mass bounded by scale") {
+    assume(available)
+    val plan = physical("q_pagerank")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pagerank iterations must stay equi-joins:\n$plan")
+    import spark.implicits._
+    val out = run("q_pagerank").as[(Long, Long)].collect()
+    val nodes = out.map(_._1)
+    assert(nodes.distinct.length == nodes.length)
+    // floor rounding + dangling-mass drop only ever LOSE mass
+    assert(out.map(_._2).sum <= 1000000000000L)
+    assert(out.forall(_._2 > 0))
+  }
+
   test("q_skew_distinct equals plain countDistinct") {
     assume(available)
     import spark.implicits._

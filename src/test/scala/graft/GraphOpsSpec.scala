@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Closure, PageRank}
+
+/** Transitive closure + PageRank: hand-checked small graphs, cycle
+  * safety, determinism, and mass accounting. */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("closure: diamond graph yields min-depth per pair") {
+    import spark.implicits._
+    // a→b, a→c, b→d, c→d, d→e : (a,d) reachable via two length-2 paths,
+    // (a,e) at depth 3
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val got = Closure.transitive(edges, "src", "dst", maxDepth = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val expected = Map(
+      ("a", "b") -> 1, ("a", "c") -> 1, ("b", "d") -> 1, ("c", "d") -> 1,
+      ("d", "e") -> 1, ("a", "d") -> 2, ("b", "e") -> 2, ("c", "e") -> 2,
+      ("a", "e") -> 3)
+    assert(got == expected)
+  }
+
+  test("closure: cycle terminates and self-reachability appears at cycle length") {
+    import spark.implicits._
+    val edges = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val got = Closure.transitive(edges, "src", "dst", maxDepth = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // 3-cycle: every ordered pair reachable; self at depth 3, others 1 or 2
+    assert(got.size == 9)
+    assert(got(("x", "x")) == 3 && got(("y", "y")) == 3 && got(("z", "z")) == 3)
+    assert(got(("x", "y")) == 1 && got(("x", "z")) == 2)
+  }
+
+  test("closure: depth bound caps discovery") {
+    import spark.implicits._
+    val chain = (1 to 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val d2 = Closure.transitive(chain, "src", "dst", maxDepth = 2).count()
+    // 6 direct edges + 5 length-2 pairs
+    assert(d2 == 11)
+  }
+
+  test("pagerank: mass conserved within floor-rounding; sink-dominated ranking") {
+    import spark.implicits._
+    // star into a hub: hub collects all rank
+    val edges = (1 to 9).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val scale = 1000000000000L
+    val ranks = PageRank.run(spark, edges, iters = 3, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 10)
+    val hub = ranks(0L); val leaf = ranks(1L)
+    assert(hub > leaf * 5, s"hub $hub should dominate leaf $leaf")
+    assert((1L to 9L).map(ranks).distinct.size == 1, "symmetric leaves must tie")
+    // total mass ≤ scale and within rounding slack of the damped total;
+    // dangling hub drops its mass (documented), leaves keep base only
+    assert(ranks.values.sum <= scale)
+    assert(ranks.values.min >= (scale * 15L) / (100L * 10L))
+  }
+
+  test("pagerank: deterministic across repartitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = PageRank.run(spark, edges.repartition(1), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = PageRank.run(spark, edges.repartition(13), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b, "integer PageRank must be partitioning-invariant")
+  }
+}
