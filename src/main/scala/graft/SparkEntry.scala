@@ -637,6 +637,21 @@ object SparkEntry {
       val edges = t(dir, "orders")
         .select($"o_custkey".as("src"), ($"o_orderkey" % 1000).as("dst"))
       plans.PageRank.run(s, edges, iters = 3).orderBy($"id")
+    },
+    // Iceberg-style snapshot table (sources.SnapshotTable): commit the
+    // documents table partitioned by lang, then REPLACE the `en`
+    // partition with its long-document subset, and read the CURRENT
+    // snapshot. Exercises atomic manifest commit + replace-partitions +
+    // snapshot read end-to-end; the oracle re-derives the final state
+    // relationally (untouched partitions ∪ rewritten partition).
+    "q_snapshot_read" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft-snap-q").toString
+      val docs = t(dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      sources.SnapshotTable.commit(docs, table, "lang")
+      sources.SnapshotTable.commit(
+        docs.filter($"lang" === "en" && $"n_chars" >= 300), table, "lang", replace = true)
+      sources.SnapshotTable.read(s, table)
+        .select($"doc_id", $"lang", $"n_chars").orderBy($"doc_id")
     }
   )
 
@@ -1066,7 +1081,14 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, (1000000000000 * 15) // (100 * (SELECT n FROM nn))
         |    + (85 * COALESCE(c3.sc, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
-        |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin
+        |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin,
+    // final state after REPLACE PARTITION (lang='en') = untouched
+    // partitions ∪ the rewritten en subset
+    "q_snapshot_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 300
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

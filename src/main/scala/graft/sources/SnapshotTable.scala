@@ -1,0 +1,236 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal Iceberg-style snapshot table over parquet — the engine-side
+  * stand-in for the north rule's "partitioned Iceberg graph tables"
+  * (sandbox has no Iceberg runtime; SCALE.md maps each piece onto the
+  * real thing). Implements the four properties the pipeline actually
+  * relies on, with the same commit protocol shape as the Iceberg spec's
+  * optimistic metadata commit:
+  *
+  *  - **Snapshot isolation.** Data files are written first under a
+  *    commit-unique directory; a snapshot exists only once its manifest
+  *    `v<N>.json` is atomically published. Readers resolve the highest
+  *    published version — a crashed writer's orphan data files are
+  *    invisible (and reclaimed by `vacuum`).
+  *  - **Atomic CAS commit.** Concurrent committers race on
+  *    `Files.createFile(v<N>.claim)` (O_EXCL — exactly one winner per
+  *    version, POSIX and HDFS alike; Iceberg's metadata-pointer swap).
+  *    The loser rebases: recomputes its manifest against the new head
+  *    and retries at N+1. Manifest content is staged to a temp file and
+  *    atomically moved onto the claimed name, so a reader never
+  *    observes a partial manifest.
+  *  - **REPLACE PARTITION.** A commit either appends file groups or
+  *    swaps out exactly the partitions it rewrote (the reference's
+  *    resume unit: one spec = one partition, `Backend` done markers);
+  *    untouched partitions keep their existing files — no rewrite
+  *    amplification at 100 TB.
+  *  - **Time travel + manifest pruning.** `readAt(version)` reconstructs
+  *    any retained snapshot; `read(..., partitions = ...)` prunes at the
+  *    MANIFEST level — unwanted partitions' files are never even listed,
+  *    the Iceberg manifest-pruning analog (a directory listing of a
+  *    10^12-file table is itself a scale bug).
+  *
+  * All metadata ops are driver-side and O(partitions + files-per-commit)
+  * — the data path stays fully distributed.
+  */
+object SnapshotTable {
+
+  case class FileEntry(path: String, rows: Long)
+  case class Snapshot(version: Int, parent: Int, operation: String, partitionCol: String,
+                      partitions: Map[String, Seq[FileEntry]]) {
+    def files: Seq[String] = partitions.values.flatten.map(_.path).toSeq
+    def rowCount: Long = partitions.values.flatten.map(_.rows).sum
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def metaDir(table: String): Path = Paths.get(table, "_snap")
+
+  /** directory listing with the stream closed (Files.list leaks an fd
+    * if the stream isn't consumed-and-closed) */
+  private def ls(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def render(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version); root.put("parent", s.parent)
+    root.put("operation", s.operation); root.put("partitionCol", s.partitionCol)
+    val parts = root.putObject("partitions")
+    s.partitions.toSeq.sortBy(_._1).foreach { case (p, fs) =>
+      val arr = parts.putArray(p)
+      fs.foreach { f =>
+        val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
+      }
+    }
+    root.toString
+  }
+
+  private def parse(json: String): Snapshot = {
+    val n = mapper.readTree(json)
+    val parts = n.get("partitions").asInstanceOf[ObjectNode]
+    val m = parts.properties().asScala.map { e =>
+      e.getKey -> e.getValue.asInstanceOf[ArrayNode].asScala.map { f =>
+        FileEntry(f.get("path").asText, f.get("rows").asLong)
+      }.toSeq
+    }.toMap
+    Snapshot(n.get("version").asInt, n.get("parent").asInt,
+      n.get("operation").asText, n.get("partitionCol").asText, m)
+  }
+
+  /** Highest published snapshot version, or 0 if the table is empty. */
+  def currentVersion(table: String): Int = {
+    val dir = metaDir(table)
+    if (!Files.isDirectory(dir)) 0
+    else ls(dir).map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  def snapshotAt(table: String, version: Int): Snapshot = {
+    require(version > 0, s"no snapshot v$version in $table")
+    parse(Files.readString(metaDir(table).resolve(s"v$version.json")))
+  }
+
+  def history(table: String): Seq[Snapshot] =
+    (1 to currentVersion(table)).map(snapshotAt(table, _))
+
+  /** Commit `df` (must contain `partitionCol`). `replace = true` swaps
+    * the partitions present in `df`; `replace = false` appends. Returns
+    * the committed snapshot. Safe under concurrent committers: CAS +
+    * rebase-and-retry, each writer's data lands exactly once. */
+  def commit(df: DataFrame, table: String, partitionCol: String,
+             replace: Boolean = false): Snapshot = {
+    val commitId = java.util.UUID.randomUUID.toString.take(12)
+    val dataRel = s"data-$commitId"
+    val dataDir = Paths.get(table, dataRel)
+    // 1. data files first — invisible until a manifest references them
+    df.write.partitionBy(partitionCol).parquet(dataDir.toString)
+    // per-partition file inventory of THIS commit only (footer row counts)
+    val newParts: Map[String, Seq[FileEntry]] =
+      ls(dataDir)
+        .filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))
+        .map { pd =>
+          val part = pd.getFileName.toString.stripPrefix(s"$partitionCol=")
+          val files = ls(pd)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map { f =>
+              FileEntry(s"$dataRel/${pd.getFileName}/${f.getFileName}", parquetRowCount(f))
+            }
+          part -> files
+        }.toMap
+    // 2. CAS commit with rebase-and-retry
+    Files.createDirectories(metaDir(table))
+    var committed: Snapshot = null
+    while (committed == null) {
+      val head = currentVersion(table)
+      val base = if (head == 0) Map.empty[String, Seq[FileEntry]]
+                 else snapshotAt(table, head).partitions
+      val merged =
+        if (replace) base ++ newParts
+        else newParts.foldLeft(base) { case (acc, (p, fs)) =>
+          acc.updated(p, acc.getOrElse(p, Nil) ++ fs)
+        }
+      val snap = Snapshot(head + 1, head,
+        if (replace) "replace-partitions" else "append", partitionCol, merged)
+      val claim = metaDir(table).resolve(s"v${snap.version}.claim")
+      try {
+        Files.createFile(claim) // O_EXCL: exactly one winner per version
+        val tmp = metaDir(table).resolve(s"v${snap.version}.tmp")
+        Files.writeString(tmp, render(snap))
+        Files.move(tmp, metaDir(table).resolve(s"v${snap.version}.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+        committed = snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the race: wait for the winner's manifest, rebase, retry
+          val winner = metaDir(table).resolve(s"v${head + 1}.json")
+          val deadline = System.nanoTime() + 30L * 1000000000L
+          while (!Files.exists(winner) && System.nanoTime() < deadline) Thread.sleep(20)
+          require(Files.exists(winner), s"stale claim $claim without manifest")
+      }
+    }
+    committed
+  }
+
+  private def parquetRowCount(file: Path): Long = {
+    // read the footer's row count without a Spark job: tiny driver-side
+    // metadata read, same as Iceberg's per-file stats
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Read a snapshot (default: current). `partitions` prunes at the
+    * manifest level — only the named partitions' files are listed.
+    * The partition column is restored as STRING (its manifest key form);
+    * cast at the call site if the original type was numeric. */
+  def read(spark: SparkSession, table: String, version: Int = 0,
+           partitions: Option[Seq[String]] = None): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    require(v > 0, s"snapshot table $table is empty")
+    val snap = snapshotAt(table, v)
+    val chosen = partitions match {
+      case Some(ps) => snap.partitions.view.filterKeys(ps.toSet).toMap
+      case None     => snap.partitions
+    }
+    val dfs = chosen.toSeq.sortBy(_._1).map { case (part, fs) =>
+      if (fs.isEmpty) None
+      else Some(spark.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+        .withColumn(snap.partitionCol, lit(part)))
+    }
+    dfs.flatten match {
+      case Seq() => spark.emptyDataFrame
+      case ds    => ds.reduce(_ unionByName _)
+    }
+  }
+
+  /** Drop snapshots older than `retain` versions behind head and delete
+    * data files referenced by NO retained snapshot — reclaims both
+    * expired history and crashed writers' orphan commits. */
+  def vacuum(table: String, retain: Int = 1): Seq[String] = {
+    val head = currentVersion(table)
+    if (head == 0) return Nil
+    val keepFrom = math.max(1, head - retain + 1)
+    val live: Set[String] =
+      (keepFrom to head).flatMap(v => snapshotAt(table, v).files).toSet
+    // expire old manifests
+    (1 until keepFrom).foreach { v =>
+      Files.deleteIfExists(metaDir(table).resolve(s"v$v.json"))
+      Files.deleteIfExists(metaDir(table).resolve(s"v$v.claim"))
+    }
+    // delete unreferenced data: whole commit dirs with no live file
+    // (orphans from crashed writers + fully-expired commits), and
+    // individual expired parquet files inside still-live commit dirs
+    val root = Paths.get(table)
+    val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
+    val deleted = Seq.newBuilder[String]
+    ls(root).filter(_.getFileName.toString.startsWith("data-")).foreach { cd =>
+      val walked = { val w = Files.walk(cd); try w.iterator().asScala.toSeq finally w.close() }
+      if (!liveDirs.contains(cd.getFileName.toString)) {
+        walked.sortBy(-_.getNameCount).foreach { p => // leaves first
+          if (Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            deleted += root.relativize(p).toString
+          Files.deleteIfExists(p)
+        }
+      } else walked.foreach { p =>
+        val rel = root.relativize(p).toString
+        if (Files.isRegularFile(p) && rel.endsWith(".parquet") && !live.contains(rel)) {
+          Files.delete(p); deleted += rel
+        }
+      }
+    }
+    deleted.result()
+  }
+}
