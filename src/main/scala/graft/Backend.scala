@@ -29,11 +29,16 @@ import java.util.concurrent.atomic.AtomicLong
   *    taker wins).
   *
   * A spec is COMPLETE iff its done marker records the sha256 of its
-  * exact spec JSON and its triple partition exists; re-runs skip
-  * completed specs without recomputation (resume, north rule). Output
-  * uses dynamic partition overwrite, so a re-run of a crashed spec
-  * replaces only that spec's partition. (Deploy-time this is an Iceberg
-  * snapshot + REPLACE PARTITION commit; parquet + markers stand in.)
+  * exact spec JSON and its triple partition is live in the snapshot
+  * table's current manifest; re-runs skip completed specs without
+  * recomputation (resume, north rule). Output is an Iceberg-style
+  * snapshot table (`sources.SnapshotTable`, `$outDir/triples`): each
+  * worker pass is ONE atomic REPLACE-PARTITIONS commit swapping exactly
+  * the specs it claimed, so a re-run of a crashed spec replaces only
+  * that spec's partition, a crash before commit leaves only invisible
+  * orphan files (vacuumable), every run is a time-travelable snapshot
+  * version, and per-spec triple counts come free from the manifest's
+  * parquet-footer row counts (no recount scan).
   *
   * Progress (A2) comes from a SparkListener counting task rows on a
   * timer, like the reference's `ProgressReporter.java:24-66`.
@@ -110,14 +115,24 @@ object Backend {
     val doneDir = Paths.get(s"$outDir/_meta/done")
     val claimsDir = Paths.get(s"$outDir/_meta/claims")
 
+    val table = s"$outDir/triples"
+
     def doneRecord(name: String): Option[Array[String]] = {
       val p = doneDir.resolve(s"$name.tsv")
       if (Files.exists(p)) Some(Files.readString(p).trim.split("\t")) else None
     }
-    // complete = done marker with matching sha AND the partition exists
+    // complete = done marker with matching sha AND the spec's partition
+    // is live in the current snapshot (or the marker says it emitted 0
+    // triples — an empty partition writes no files)
     def isComplete(name: String, sha: String): Boolean =
-      doneRecord(name).exists(_.headOption.contains(sha)) &&
-        new java.io.File(s"$outDir/triples/specId=$name").exists
+      doneRecord(name).exists { f =>
+        f.headOption.contains(sha) && (
+          f.lift(4).contains("0") || {
+            val v = sources.SnapshotTable.currentVersion(table)
+            v > 0 && sources.SnapshotTable.snapshotAt(table, v)
+              .partitions.get(name).exists(_.nonEmpty)
+          })
+      }
 
     // ---- claim every pending spec this worker can win ----
     val (skipped, pending) = specFiles.partition { case (n, j, _) => isComplete(n, specSha(j)) }
@@ -146,32 +161,31 @@ object Backend {
         || corpusArg.contains("dump")) EntityCorpus.readDump(spark, corpusArg)
       else spark.read.parquet(corpusArg)
 
-    // ---- D3/S3: ONE multiplexed pass serves every claimed spec ----
+    // ---- D3/S3: ONE multiplexed pass serves every claimed spec,
+    // committed as ONE atomic REPLACE-PARTITIONS snapshot (only the
+    // claimed specId partitions are swapped; completed ones keep their
+    // files; concurrent workers serialize through the manifest CAS)
     val specs = claimed.map { case (name, _, spec) => name -> spec }.toSeq
     val t0 = System.nanoTime()
-    if (specs.nonEmpty) {
-      // dynamic partition overwrite: only claimed specId partitions are
-      // replaced, completed ones stay untouched (resume-safe); Spark
-      // stages concurrent writers under job-unique staging dirs
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val triples = Pipeline.triplesMultiplexed(corpus, specs)
-      triples.repartition(specs.size, col("specId"))
-        .write.mode("overwrite").partitionBy("specId").parquet(s"$outDir/triples")
-    }
+    val snapshot =
+      if (specs.isEmpty) None
+      else Some(sources.SnapshotTable.commit(
+        Pipeline.triplesMultiplexed(corpus, specs).repartition(specs.size, col("specId")),
+        table, "specId", replace = true))
 
     // ---- per-spec stats (A1/A5) for the claimed set, then commit the
     // done markers LAST (data is already durable; crash before a marker
-    // only re-runs that spec, which the idempotent overwrite absorbs)
+    // only re-runs that spec, which the partition replace absorbs)
     val allCounters =
       if (specs.nonEmpty) Pipeline.countersMultiplexed(corpus, specs)
       else Map.empty[String, (Long, Long)]
-    val tripleCounts =
-      if (specs.nonEmpty)
-        spark.read.parquet(s"$outDir/triples")
-          .filter(col("specId").isin(specs.map(_._1): _*))
-          .groupBy("specId").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      else Map.empty[String, Long]
+    // triple counts straight off the committed manifest's footer stats —
+    // no recount job
+    val tripleCounts: Map[String, Long] = snapshot match {
+      case Some(snap) =>
+        specs.map { case (n, _) => n -> snap.partitions.getOrElse(n, Nil).map(_.rows).sum }.toMap
+      case None => Map.empty
+    }
     claimed.foreach { case (name, json, _) =>
       val (ents, stmts) = allCounters(name)
       atomicWrite(doneDir.resolve(s"$name.tsv"),
@@ -179,10 +193,12 @@ object Backend {
     }
     val finishedAt = java.time.Instant.now.toString
 
-    // per-partition lineage manifest for this worker's claimed partitions
+    // per-partition lineage manifest for this worker's claimed
+    // partitions, read back through the committed snapshot (manifest-
+    // pruned to exactly the claimed specs)
     if (specs.nonEmpty)
-      spark.read.parquet(s"$outDir/triples")
-        .filter(col("specId").isin(specs.map(_._1): _*))
+      sources.SnapshotTable.read(spark, table, version = snapshot.get.version,
+          partitions = Some(specs.map(_._1)))
         .groupBy(col("specId"), spark_partition_id().as("part"))
         .agg(count(lit(1)).as("triples"), min("subj").as("min_subj"), max("subj").as("max_subj"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_meta/manifests/$runId")

@@ -37,9 +37,17 @@ class BackendSpec extends AnyFunSuite {
         s"double-produced: ${ra.produced.toSet.intersect(rb.produced.toSet)}")
       assert(ra.produced.toSet ++ rb.produced.toSet == allSpecNames,
         s"coverage gap: ${allSpecNames -- ra.produced.toSet -- rb.produced.toSet}")
-      // every spec has exactly one triple partition and one done marker
+      // every spec is live in the snapshot table's current manifest and
+      // has one done marker; the two workers' commits are two distinct
+      // snapshot versions (the manifest CAS serialized them)
+      val table = s"$out/triples"
+      val head = graft.sources.SnapshotTable.currentVersion(table)
+      val committers = Seq(ra, rb).count(_.produced.nonEmpty)
+      assert(head == committers,
+        s"expected $committers snapshot versions (one per producing worker), got $head")
+      val live = graft.sources.SnapshotTable.snapshotAt(table, head).partitions
       allSpecNames.foreach { n =>
-        assert(new java.io.File(s"$out/triples/specId=$n").exists, s"missing partition $n")
+        assert(live.get(n).exists(_.nonEmpty), s"missing live partition $n")
         assert(Files.exists(Paths.get(s"$out/_meta/done/$n.tsv")), s"missing done marker $n")
       }
       // resume: a third worker finds nothing pending
@@ -65,6 +73,17 @@ class BackendSpec extends AnyFunSuite {
       Files.readString(mydir.resolve("nothing.json")) + "\n")
     val r2 = Backend.run(spark, mydir.toString, "gen:500", out)
     assert(r2.produced == Seq("nothing") && r2.skipped == Seq("humans"), r2.toString)
+    // the re-run is a REPLACE-PARTITIONS snapshot: only `nothing` was
+    // rewritten — `humans` kept its exact v1 data files — and v1 is
+    // still time-travelable
+    val table = s"$out/triples"
+    assert(graft.sources.SnapshotTable.currentVersion(table) == 2)
+    val v1 = graft.sources.SnapshotTable.snapshotAt(table, 1).partitions
+    val v2 = graft.sources.SnapshotTable.snapshotAt(table, 2).partitions
+    assert(graft.sources.SnapshotTable.snapshotAt(table, 2).operation == "replace-partitions")
+    assert(v1("humans") == v2("humans"), "untouched partition must keep its files")
+    assert(v1("nothing") != v2("nothing"), "edited spec's partition must be rewritten")
+    assert(graft.sources.SnapshotTable.read(spark, table, version = 1).count() > 0)
   }
 
   test("stale claims are taken over; fresh claims are respected") {
