@@ -652,6 +652,30 @@ object SparkEntry {
         docs.filter($"lang" === "en" && $"n_chars" >= 300), table, "lang", replace = true)
       sources.SnapshotTable.read(s, table)
         .select($"doc_id", $"lang", $"n_chars").orderBy($"doc_id")
+    },
+    // Time travel + manifest pruning: after the REPLACE commit, read the
+    // PRE-replace snapshot (version 1) restricted to two partitions —
+    // the manifest prunes the file list, the old files reconstruct the
+    // old state. Oracle: the original table filtered relationally.
+    "q_snapshot_timetravel" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft-snap-tt").toString
+      val docs = t(dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      sources.SnapshotTable.commit(docs, table, "lang")
+      sources.SnapshotTable.commit(
+        docs.filter($"lang" === "en" && $"n_chars" >= 300), table, "lang", replace = true)
+      sources.SnapshotTable.read(s, table, version = 1, partitions = Some(Seq("en", "de")))
+        .select($"doc_id", $"lang", $"n_chars").orderBy($"doc_id")
+    },
+    // Streaming bounded-state dedup (dropDuplicatesWithinWatermark):
+    // first-seen (user_id, event_type) pairs emitted in append mode,
+    // state GC'd at the watermark — the streaming face of exact dedup.
+    // On a bounded replay this equals batch DISTINCT.
+    "q_stream_dedup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ded = graft.streaming.StreamingPipeline.streamingDedup(s, s"$dir/events.parquet")
+      val name = "dd" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = ded.writeStream.format("memory").queryName(name).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy($"user_id", $"event_type")
     }
   )
 
@@ -1088,7 +1112,15 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
         |UNION ALL
         |SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 300
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // pre-replace snapshot, pruned to two partitions = the original
+    // table filtered to those languages
+    "q_snapshot_timetravel" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k
