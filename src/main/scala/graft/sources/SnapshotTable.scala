@@ -198,8 +198,17 @@ object SnapshotTable {
 
   /** Drop snapshots older than `retain` versions behind head and delete
     * data files referenced by NO retained snapshot — reclaims both
-    * expired history and crashed writers' orphan commits. */
-  def vacuum(table: String, retain: Int = 1): Seq[String] = {
+    * expired history and crashed writers' orphan commits.
+    *
+    * `orphanMinAgeMs` guards the race with an IN-FLIGHT commit: a
+    * committer writes its data dir before publishing the manifest, so a
+    * young unreferenced dir may be a commit about to happen, not a
+    * crashed one — only dirs untouched for this long are treated as
+    * orphans (Iceberg's `older_than` on remove_orphan_files; expired
+    * files inside still-referenced dirs carry no such race, since a
+    * commit only ever references its own new dir). */
+  def vacuum(table: String, retain: Int = 1,
+             orphanMinAgeMs: Long = 60 * 60 * 1000L): Seq[String] = {
     val head = currentVersion(table)
     if (head == 0) return Nil
     val keepFrom = math.max(1, head - retain + 1)
@@ -216,9 +225,15 @@ object SnapshotTable {
     val root = Paths.get(table)
     val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
     val deleted = Seq.newBuilder[String]
+    def ageMs(p: Path): Long =
+      try System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis
+      catch { case _: Exception => 0L }
     ls(root).filter(_.getFileName.toString.startsWith("data-")).foreach { cd =>
       val walked = { val w = Files.walk(cd); try w.iterator().asScala.toSeq finally w.close() }
       if (!liveDirs.contains(cd.getFileName.toString)) {
+        // possibly an in-flight commit's dir: only reclaim once every
+        // file in it has been quiet for orphanMinAgeMs
+        if (walked.forall(ageMs(_) >= orphanMinAgeMs))
         walked.sortBy(-_.getNameCount).foreach { p => // leaves first
           if (Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
             deleted += root.relativize(p).toString

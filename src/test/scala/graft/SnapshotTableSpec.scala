@@ -56,7 +56,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     // simulate a writer that died after data, before manifest
     docs((666, "en", 1)).write.partitionBy("lang").parquet(s"$t/data-deadbeef")
     assert(SnapshotTable.read(spark, t).select($"doc_id").as[Long].collect().toSeq == Seq(1L))
-    val removed = SnapshotTable.vacuum(t)
+    // default age guard spares a FRESH unreferenced dir — it may be an
+    // in-flight commit that just hasn't published its manifest yet
+    val sparing = SnapshotTable.vacuum(t)
+    assert(!sparing.exists(_.startsWith("data-deadbeef/")) &&
+      Files.exists(Paths.get(t, "data-deadbeef")), "young dir must survive the default vacuum")
+    // with the guard off (test stands in for an hour passing) it's an orphan
+    val removed = SnapshotTable.vacuum(t, orphanMinAgeMs = 0L)
     assert(removed.exists(_.startsWith("data-deadbeef/")), s"orphan not vacuumed: $removed")
     assert(!Files.exists(Paths.get(t, "data-deadbeef")))
     // the live snapshot still reads
