@@ -33,6 +33,11 @@ class RandomSpecSweepSpec extends AnyFunSuite {
     i -> SpecGens.genSpecSampled.pureApply(params, Seed(7000L + i), retries = 100)
   }
 
+  /** the same corpus rendered as REAL Wikidata dump JSON — every 4th
+    * random spec also runs through the `DumpFormat.Wikidata` parse, so
+    * the combinatorial spec space exercises both dialects */
+  lazy val realCorpus = graft.sources.WikidataJson.convertCorpus(corpus).cache()
+
   specs.foreach { case (i, spec) =>
     test(s"random spec #$i: engine == oracle (triples + counters)") {
       val oracle = OracleEmitter.run(spec, contents, EntityCorpus.sites)
@@ -45,6 +50,13 @@ class RandomSpecSweepSpec extends AnyFunSuite {
       val (ents, stmts) = Pipeline.counters(corpus, spec)
       assert(ents == oracle.entities, s"#$i entities: engine $ents vs oracle ${oracle.entities}")
       assert(stmts == oracle.statements, s"#$i statements: engine $stmts vs oracle ${oracle.statements}")
+      if (i % 4 == 0) {
+        val real = Pipeline.triples(realCorpus, spec, format = graft.sources.DumpFormat.Wikidata)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        assert(real == oracle.triples,
+          s"#$i real-dump dialect diverges: ${(oracle.triples -- real).take(3)} missing, " +
+            s"${(real -- oracle.triples).take(3)} extra")
+      }
     }
   }
 
