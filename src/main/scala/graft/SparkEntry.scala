@@ -676,6 +676,24 @@ object SparkEntry {
       val q = ded.writeStream.format("memory").queryName(name).outputMode("append").start()
       q.processAllAvailable(); q.stop()
       s.table(name).orderBy($"user_id", $"event_type")
+    },
+    // Sequence packing (training-batch assembly): per-language quota
+    // bins of 256 tokens, parallel per group — no global sort
+    "q_seq_pack" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.TextAnalysis.packSequences(
+        t(dir, "documents"), $"doc_id", $"text", $"lang", capacity = 256)
+        .orderBy("doc_id")
+    },
+    // Benchmark-contamination check: training docs sharing any word
+    // 5-gram with the probe set (doc_id % 97 == 0 stands in for the
+    // benchmark suite); shingle-keyed semi-join, probe side broadcast
+    "q_contamination" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      graft.operators.TextAnalysis.contamination(
+        docs.filter(pmod($"doc_id", lit(97)) =!= 0),
+        docs.filter(pmod($"doc_id", lit(97)) === 0),
+        $"doc_id", $"text", n = 5)
+        .orderBy("doc_id")
     }
   )
 
@@ -1120,7 +1138,27 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    // quota packing replayed as a window: bin = floor(exclusive-cumsum
+    // of token counts within lang / capacity)
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang AS grp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        |SELECT doc_id, grp, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS u(i) WHERE len(t) >= 5)
+        |SELECT d.doc_id,
+        |  COUNT(DISTINCT d.shingle) AS n_shared,
+        |  COUNT(DISTINCT p.doc_id) AS n_probes
+        |FROM sh d JOIN sh p ON d.shingle = p.shingle
+        |WHERE d.doc_id % 97 <> 0 AND p.doc_id % 97 = 0
+        |GROUP BY d.doc_id HAVING COUNT(DISTINCT d.shingle) >= 1
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

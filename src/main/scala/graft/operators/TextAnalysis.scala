@@ -121,4 +121,53 @@ object TextAnalysis {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Sequence packing for training-batch assembly: assign each document
+    * of a group to a fixed-capacity token bin. Documents fill bins in
+    * id order; bin k holds the docs whose EXCLUSIVE running token sum
+    * lands in [k·capacity, (k+1)·capacity) — quota packing, so a bin
+    * overflows by at most its last document and no document is split.
+    *
+    * Scale shape: the window partitions by `group` (lang / source /
+    * date shard), so packing parallelizes per group with one shuffle on
+    * the group key — there is NO global sort. A single giant group is
+    * the caller's sharding bug, not this operator's plan. Deterministic
+    * and SQL-portable (the DuckDB oracle replays the same window). */
+  def packSequences(df: DataFrame, id: Column, text: Column, group: Column,
+                    capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(id.as("doc_id"), group.as("grp"), tokenCount(text).cast("long").as("n_tok"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("grp"), col("n_tok"),
+        (col("cum_excl") / lit(capacity.toLong)).cast("long").as("bin"))
+  }
+
+  /** Benchmark-contamination check: training docs sharing ≥ minShared
+    * word n-gram shingles with any probe (benchmark) document. The
+    * shingle join is keyed on the shingle itself — a hash-partitioned
+    * semi-join, never a cross join; the probe side is tiny (a benchmark
+    * suite) so the planner broadcasts it. Word n-grams rather than
+    * hashes keep it exactly SQL-portable for the oracle. */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), tokens(text).as("toks"))
+      // guard: sequence() descends when start > stop, so short docs
+      // need an explicit empty array, not sequence(1, 0)
+      .select(col("doc_id"), explode(when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - n + 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+        .otherwise(array())).as("shingle"))
+      .distinct()
+
+  def contamination(docs: DataFrame, probes: DataFrame, id: Column, text: Column,
+                    n: Int = 5, minShared: Int = 1): DataFrame = {
+    val d = shingles(docs, id, text, n)
+    val p = shingles(probes, id, text, n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    d.join(p, "shingle")
+      .groupBy("doc_id").agg(
+        countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("probe_id")).as("n_probes"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

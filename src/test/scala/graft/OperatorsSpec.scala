@@ -355,6 +355,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"sessions $got vs $want")
   }
 
+  test("packSequences: quota bins fill in id order per group, no doc split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c d"),          // 4 tokens, cum_excl 0  -> bin 0
+      (2L, "en", "e f g"),            // 3 tokens, cum_excl 4  -> bin 0
+      (3L, "en", "h i j k l"),        // 5 tokens, cum_excl 7  -> bin 0 (overflows)
+      (4L, "en", "m"),                // cum_excl 12           -> bin 1
+      (5L, "de", "x y z")             // own group             -> bin 0
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis
+      .packSequences(docs, $"doc_id", $"text", $"lang", capacity = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, "en", 4L, 0L), (2L, "en", 3L, 0L), (3L, "en", 5L, 0L),
+      (4L, "en", 1L, 1L), (5L, "de", 3L, 0L)))
+  }
+
+  test("contamination: planted probe overlap found; short docs yield no shingles") {
+    import spark.implicits._
+    val probes = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something else"),
+      (2L, "completely unrelated content with no shared phrases at all"),
+      (3L, "tiny doc")                                      // < n tokens
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .contamination(docs, probes, $"doc_id", $"text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)), s"got $got") // "the quick brown fox jumps" + "quick brown fox jumps over"
+    assert(graft.operators.TextAnalysis.shingles(
+      Seq((3L, "tiny doc")).toDF("doc_id", "text"), $"doc_id", $"text", 5).count() == 0)
+  }
+
   test("streaming: file-source triples match batch pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
