@@ -167,11 +167,23 @@ object Backend {
     // files; concurrent workers serialize through the manifest CAS)
     val specs = claimed.map { case (name, _, spec) => name -> spec }.toSeq
     val t0 = System.nanoTime()
+    // Range-partition on (specId, subj) rather than hashing specId
+    // alone: one-partition-per-spec would funnel a whole spec's output
+    // through ONE task (a 100 TB spec = one writer), while ranging over
+    // the subject splits each spec across many tasks AND gives every
+    // output file a tight subject interval — which the manifest records
+    // as per-file min/max stats, so subject-range reads skip files
+    // (Iceberg file-skipping). Sorting within partitions keeps row
+    // groups aligned with the range for parquet-level stats too.
+    val outParts = math.max(specs.size,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val snapshot =
       if (specs.isEmpty) None
       else Some(sources.SnapshotTable.commit(
-        Pipeline.triplesMultiplexed(corpus, specs).repartition(specs.size, col("specId")),
-        table, "specId", replace = true))
+        Pipeline.triplesMultiplexed(corpus, specs)
+          .repartitionByRange(outParts, col("specId"), col("subj"))
+          .sortWithinPartitions("specId", "subj"),
+        table, "specId", replace = true, statsCols = Seq("subj")))
 
     // ---- per-spec stats (A1/A5) for the claimed set, then commit the
     // done markers LAST (data is already durable; crash before a marker

@@ -42,7 +42,16 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotTable {
 
-  case class FileEntry(path: String, rows: Long)
+  /** Per-file, per-column min/max harvested from the parquet footer —
+    * the Iceberg file-stats analog. `kind` is "long" (numeric compare)
+    * or "string" (lexical compare). */
+  case class ColStats(kind: String, min: String, max: String) {
+    def mayContain(lo: String, hi: String): Boolean =
+      if (kind == "long") !(max.toLong < lo.toLong || min.toLong > hi.toLong)
+      else !(max < lo || min > hi)
+  }
+  case class FileEntry(path: String, rows: Long,
+                       stats: Map[String, ColStats] = Map.empty)
   case class Snapshot(version: Int, parent: Int, operation: String, partitionCol: String,
                       partitions: Map[String, Seq[FileEntry]]) {
     def files: Seq[String] = partitions.values.flatten.map(_.path).toSeq
@@ -69,6 +78,13 @@ object SnapshotTable {
       val arr = parts.putArray(p)
       fs.foreach { f =>
         val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
+        if (f.stats.nonEmpty) {
+          val st = o.putObject("stats")
+          f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+            val e = st.putObject(c)
+            e.put("kind", cs.kind); e.put("min", cs.min); e.put("max", cs.max)
+          }
+        }
       }
     }
     root.toString
@@ -79,7 +95,11 @@ object SnapshotTable {
     val parts = n.get("partitions").asInstanceOf[ObjectNode]
     val m = parts.properties().asScala.map { e =>
       e.getKey -> e.getValue.asInstanceOf[ArrayNode].asScala.map { f =>
-        FileEntry(f.get("path").asText, f.get("rows").asLong)
+        val stats = Option(f.get("stats")).map(_.asInstanceOf[ObjectNode].properties().asScala
+          .map(s => s.getKey -> ColStats(s.getValue.get("kind").asText,
+            s.getValue.get("min").asText, s.getValue.get("max").asText)).toMap)
+          .getOrElse(Map.empty[String, ColStats])
+        FileEntry(f.get("path").asText, f.get("rows").asLong, stats)
       }.toSeq
     }.toMap
     Snapshot(n.get("version").asInt, n.get("parent").asInt,
@@ -109,7 +129,7 @@ object SnapshotTable {
     * the committed snapshot. Safe under concurrent committers: CAS +
     * rebase-and-retry, each writer's data lands exactly once. */
   def commit(df: DataFrame, table: String, partitionCol: String,
-             replace: Boolean = false): Snapshot = {
+             replace: Boolean = false, statsCols: Seq[String] = Nil): Snapshot = {
     val commitId = java.util.UUID.randomUUID.toString.take(12)
     val dataRel = s"data-$commitId"
     val dataDir = Paths.get(table, dataRel)
@@ -124,7 +144,8 @@ object SnapshotTable {
           val files = ls(pd)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .map { f =>
-              FileEntry(s"$dataRel/${pd.getFileName}/${f.getFileName}", parquetRowCount(f))
+              val (rows, stats) = parquetFooter(f, statsCols)
+              FileEntry(s"$dataRel/${pd.getFileName}/${f.getFileName}", rows, stats)
             }
           part -> files
         }.toMap
@@ -162,22 +183,63 @@ object SnapshotTable {
     committed
   }
 
-  private def parquetRowCount(file: Path): Long = {
-    // read the footer's row count without a Spark job: tiny driver-side
-    // metadata read, same as Iceberg's per-file stats
+  /** Footer read without a Spark job (tiny driver-side metadata read,
+    * same as Iceberg's per-file stats): row count + min/max for the
+    * requested columns (long + string columns supported; others, and
+    * all-null row groups, simply record no stats — pruning keeps the
+    * file, which is always safe). */
+  private def parquetFooter(file: Path, statsCols: Seq[String]): (Long, Map[String, ColStats]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val want = statsCols.toSet
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      val statsOk = scala.collection.mutable.Set.empty[String] ++ want
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (want.contains(name)) {
+            val st = cc.getStatistics
+            if (st == null || !st.hasNonNullValue) statsOk -= name
+            else {
+              val (kind, mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) => ("long", a.toString, b.toString)
+                case (a: java.lang.Integer, b: java.lang.Integer) => ("long", a.toString, b.toString)
+                case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+                  ("string", a.toStringUsingUTF8, b.toStringUsingUTF8)
+                case _ => (null, null, null)
+              }
+              if (kind == null) statsOk -= name
+              else acc.get(name) match {
+                case None => acc(name) = ColStats(kind, mn, mx)
+                case Some(c) =>
+                  val lt: (String, String) => Boolean =
+                    if (kind == "long") (x, y) => x.toLong < y.toLong else (x, y) => x < y
+                  acc(name) = ColStats(kind,
+                    if (lt(mn, c.min)) mn else c.min, if (lt(c.max, mx)) mx else c.max)
+              }
+            }
+          }
+        }
+      }
+      (r.getRecordCount, acc.filter { case (k, _) => statsOk.contains(k) }.toMap)
+    } finally r.close()
   }
 
   /** Read a snapshot (default: current). `partitions` prunes at the
     * manifest level — only the named partitions' files are listed.
-    * The partition column is restored as STRING (its manifest key form);
-    * cast at the call site if the original type was numeric. */
+    * `range = Some((col, lo, hi))` additionally skips files whose
+    * manifest min/max for `col` cannot intersect [lo, hi] (Iceberg
+    * file-skipping; files without stats for `col` are kept — pruning is
+    * a pure optimization, never a filter, so callers still apply their
+    * predicate). The partition column is restored as STRING (its
+    * manifest key form); cast at the call site if the original type was
+    * numeric. */
   def read(spark: SparkSession, table: String, version: Int = 0,
-           partitions: Option[Seq[String]] = None): DataFrame = {
+           partitions: Option[Seq[String]] = None,
+           range: Option[(String, String, String)] = None): DataFrame = {
     val v = if (version > 0) version else currentVersion(table)
     require(v > 0, s"snapshot table $table is empty")
     val snap = snapshotAt(table, v)
@@ -185,7 +247,12 @@ object SnapshotTable {
       case Some(ps) => snap.partitions.view.filterKeys(ps.toSet).toMap
       case None     => snap.partitions
     }
-    val dfs = chosen.toSeq.sortBy(_._1).map { case (part, fs) =>
+    val keep: FileEntry => Boolean = range match {
+      case Some((c, lo, hi)) => f => f.stats.get(c).forall(_.mayContain(lo, hi))
+      case None              => _ => true
+    }
+    val dfs = chosen.toSeq.sortBy(_._1).map { case (part, fs0) =>
+      val fs = fs0.filter(keep)
       if (fs.isEmpty) None
       else Some(spark.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
         .withColumn(snap.partitionCol, lit(part)))

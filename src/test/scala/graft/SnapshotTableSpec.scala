@@ -95,6 +95,25 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(all == Set(100L, 101L, 102L, 103L), "no commit lost under the race")
   }
 
+  test("per-file column stats: subject-range reads skip files (Iceberg file-skipping)") {
+    import spark.implicits._
+    val t = freshTable()
+    // 4 files with disjoint doc_id intervals via range partitioning
+    val df = (0L until 400L).map(i => (i, "en", i % 7)).toDF("doc_id", "lang", "n_chars")
+      .repartitionByRange(4, $"doc_id").sortWithinPartitions("doc_id")
+    val snap = SnapshotTable.commit(df, t, "lang", statsCols = Seq("doc_id"))
+    val files = snap.partitions("en")
+    assert(files.size == 4 && files.forall(_.stats.get("doc_id").exists(_.kind == "long")),
+      s"expected 4 files with long doc_id stats: $files")
+    // numeric compare matters: lexically "150" < "99" would mis-prune
+    val pruned = SnapshotTable.read(spark, t, range = Some(("doc_id", "150", "160")))
+    assert(pruned.inputFiles.length < 4, "manifest stats must skip non-overlapping files")
+    assert(pruned.filter($"doc_id".between(150, 160)).count() == 11)
+    // pruning is an optimization, not a filter: a no-stats column keeps all files
+    assert(SnapshotTable.read(spark, t, range = Some(("lang", "a", "z")))
+      .inputFiles.length == 4)
+  }
+
   test("triple-table shape: per-partition row counts in the manifest match the data") {
     val t = freshTable()
     val triples = Seq(("s1", "p", "o1", 0L), ("s2", "p", "o2", 1L), ("s3", "p", "o3", 0L))
