@@ -308,6 +308,15 @@ object SparkEntry {
       graft.operators.Dedup.minhashPoly(t(dir, "documents"), $"doc_id", $"text", k = 8)
         .orderBy("doc_id")
     },
+    // Deterministic stratified sample: ≤ 7 docs per language by poly
+    // hash rank of the id — skew-safe two-stage window (salted local
+    // top-n, then exact), membership a pure function of (id, seed)
+    "q_stratified_sample" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Sampling.stratified(
+        t(dir, "documents"), $"lang", $"doc_id", n = 7,
+        rankExpr = Some(graft.operators.Dedup.polyTokenId($"doc_id".cast("string"))))
+        .select($"doc_id", $"lang").orderBy("lang", "doc_id")
+    },
     // SimHash 32-bit signatures (rank-based portable arithmetic)
     "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
@@ -865,6 +874,22 @@ object SparkEntry {
           |WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)
           |ORDER BY id_a, id_b""".stripMargin),
     "q_minhash_poly" -> minhashPolyOracleSql(8),
+    // mirror of Sampling.stratified with the poly-hash rank: the salted
+    // first stage is a pure optimization (keeps a superset of the final
+    // top-n), so the oracle needs only the exact per-stratum window
+    "q_stratified_sample" -> {
+      val p = graft.operators.Dedup.minhashBigPrime
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+         |        i -> CAST(ord(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+         |    (h, c) -> (h*31 + c) % $p) AS hh
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)
+         |SELECT doc_id, lang FROM r WHERE rn <= 7 ORDER BY lang, doc_id""".stripMargin
+    },
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "kg_entity_linking" -> entityLinkingOracleSql,

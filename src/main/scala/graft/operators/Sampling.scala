@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the data-mixture primitive for
+  * assembling training sets ("at most n documents per language / domain /
+  * quality bucket").
+  *
+  * Membership is a pure function of (id, seed): rows are ranked inside
+  * each stratum by a deterministic hash of the id and the n smallest are
+  * kept. Like the spec sampler (F7, `SpecCompiler.scala` — reference
+  * `DumpSpec.java` sampling), this deliberately trades scan-order
+  * `Random(seed)` for hash ranking: same marginal behavior, but
+  * reproducible under any partitioning, retry, or engine — which is what
+  * makes the DuckDB oracle possible at all.
+  *
+  * Scale shape: a single `row_number` window over a 100 TB stratum would
+  * shuffle the entire stratum to one task (a hub stratum — "en" — becomes
+  * the straggler). Stage 1 therefore pre-ranks inside (stratum, salt)
+  * groups, where the salt is ALSO hash-derived from the id (deterministic
+  * under task retries, unlike `spark_partition_id`), keeping at most n
+  * rows per salted group. The final exact window then sees at most
+  * n·salts rows per stratum regardless of stratum size. Both stages are
+  * plain hash-shuffle windows; no driver state, no collect.
+  */
+object Sampling {
+
+  /** Keep the `n` rows with the smallest rank-hash per stratum.
+    * `rankExpr` defaults to xxhash64(id, seed) (the scale path); pass a
+    * SQL-portable hash (e.g. `Dedup.polyTokenId` over the id rendered as
+    * a string) when oracle parity is required. Ties (hash collisions)
+    * break on the id itself, so the output is a total function of the
+    * input set. */
+  def stratified(df: DataFrame, stratum: Column, id: Column, n: Int,
+                 seed: Long = 42L, salts: Int = 64,
+                 rankExpr: Option[Column] = None): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    require(salts > 0, s"salt count must be positive: $salts")
+    val salted = df
+      .withColumn("__rank_h", rankExpr.getOrElse(xxhash64(id, lit(seed))))
+      .withColumn("__salt", pmod(xxhash64(id, lit(seed + 1)), lit(salts.toLong)))
+    val local = salted
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum, col("__salt")).orderBy(col("__rank_h"), id)))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+    local
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__rank_h"), id)))
+      .filter(col("__rn") <= n)
+      .drop("__rn", "__salt", "__rank_h")
+  }
+}

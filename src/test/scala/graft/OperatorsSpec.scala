@@ -387,6 +387,30 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((3L, "tiny doc")).toDF("doc_id", "text"), $"doc_id", $"text", 5).count() == 0)
   }
 
+  test("stratified sample: exact per-stratum top-n by hash, invariant to partitioning and salts") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, if (i % 11 == 0) "rare" else s"lang${i % 3}"))
+    val df = rows.toDF("id", "lang")
+    def sample(d: org.apache.spark.sql.DataFrame, salts: Int) =
+      graft.operators.Sampling.stratified(d, $"lang", $"id", n = 9, salts = salts)
+        .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = sample(df, 64)
+    // reference: exact top-9 per stratum by xxhash64(id, 42) with id tie-break
+    val hashed = df.withColumn("h", xxhash64($"id", lit(42L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = hashed.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.sortBy(t => (t._3, t._1)).take(9).toSeq
+    }.map(t => (t._1, t._2)).toSet
+    assert(got == expected, "salted two-stage window must equal the exact top-n")
+    assert(got.count(_._2 == "rare") == 9 && got.size == 36)
+    // the salt count and the physical partitioning must not change membership
+    assert(sample(df.repartition(13), 5) == got)
+    assert(sample(df.coalesce(1), 1) == got)
+    // strata smaller than n are kept whole
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "lang")
+    assert(sample(tiny, 64) == Set((1L, "x"), (2L, "x")))
+  }
+
   test("streaming: file-source triples match batch pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
