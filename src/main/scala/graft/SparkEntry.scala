@@ -317,6 +317,16 @@ object SparkEntry {
         rankExpr = Some(graft.operators.Dedup.polyTokenId($"doc_id".cast("string"))))
         .select($"doc_id", $"lang").orderBy("lang", "doc_id")
     },
+    // Weighted-mixture sampling: per-language keep-rates (ppm), pure
+    // map-side filter (zero shuffle), exact-integer membership
+    "q_mixture_sample" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Sampling.byRate(
+        t(dir, "documents"), $"lang", $"doc_id",
+        ratesPerMillion = Map("en" -> 500000L, "de" -> 250000L),
+        defaultPerMillion = 100000L,
+        rankExpr = Some(graft.operators.Dedup.polyTokenId($"doc_id".cast("string"))))
+        .select($"doc_id", $"lang").orderBy("doc_id")
+    },
     // SimHash 32-bit signatures (rank-based portable arithmetic)
     "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
@@ -889,6 +899,21 @@ object SparkEntry {
          |r AS (SELECT doc_id, lang,
          |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)
          |SELECT doc_id, lang FROM r WHERE rn <= 7 ORDER BY lang, doc_id""".stripMargin
+    },
+    // mirror of Sampling.byRate: same poly hash, same ppm thresholds
+    "q_mixture_sample" -> {
+      val p = graft.operators.Dedup.minhashBigPrime
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+         |        i -> CAST(ord(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+         |    (h, c) -> (h*31 + c) % $p) AS hh
+         |  FROM documents)
+         |SELECT doc_id, lang FROM h
+         |WHERE hh % 1000000 <
+         |  CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000 ELSE 100000 END
+         |ORDER BY doc_id""".stripMargin
     },
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,

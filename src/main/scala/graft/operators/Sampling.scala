@@ -27,6 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Weighted-mixture sampling: keep each row with a per-stratum rate
+    * (parts-per-million, exact integers so Spark and any SQL oracle
+    * agree bit-for-bit). Membership = hash(id, seed) mod 1e6 < rate —
+    * a pure map-side filter: zero shuffle, pushable into the scan, and
+    * the sample is a subset-stable function of (id, seed) (raising a
+    * stratum's rate only ADDS rows — mixture re-weighing between
+    * pipeline runs never churns previously selected documents).
+    * The small rate table becomes a literal CASE chain (codegen'd), not
+    * a join: mixture configs are O(strata), never data-sized. */
+  def byRate(df: DataFrame, stratum: Column, id: Column,
+             ratesPerMillion: Map[String, Long], defaultPerMillion: Long = 0L,
+             seed: Long = 42L, rankExpr: Option[Column] = None): DataFrame = {
+    require((ratesPerMillion.values ++ Seq(defaultPerMillion)).forall(r => r >= 0 && r <= 1000000L),
+      "rates are parts-per-million in [0, 1000000]")
+    val h = rankExpr.getOrElse(xxhash64(id, lit(seed)))
+    val rate = ratesPerMillion.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMillion)) {
+      case (acc, (k, r)) => when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(h, lit(1000000L)) < rate)
+  }
+
   /** Keep the `n` rows with the smallest rank-hash per stratum.
     * `rankExpr` defaults to xxhash64(id, seed) (the scale path); pass a
     * SQL-portable hash (e.g. `Dedup.polyTokenId` over the id rendered as

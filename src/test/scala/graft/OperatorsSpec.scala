@@ -411,6 +411,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sample(tiny, 64) == Set((1L, "x"), (2L, "x")))
   }
 
+  test("mixture sampling by rate: exact ppm membership, subset-stable under rate increases") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"lang${i % 4}")).toDF("id", "lang")
+    val rates = Map("lang0" -> 500000L, "lang1" -> 250000L)
+    def run(r: Map[String, Long], dflt: Long) =
+      graft.operators.Sampling.byRate(df, $"lang", $"id", r, dflt)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val got = run(rates, 100000L)
+    // reference membership recomputed row-by-row
+    val expected = df.withColumn("b", pmod(xxhash64($"id", lit(42L)), lit(1000000L)))
+      .collect().filter { r =>
+        r.getLong(2) < rates.getOrElse(r.getString(1), 100000L)
+      }.map(_.getLong(0)).toSet
+    assert(got == expected)
+    // sane marginals at these sizes (1000 per stratum)
+    val byLang = df.filter($"id".isInCollection(got)).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("lang0") > 400 && byLang("lang0") < 600, s"lang0: $byLang")
+    assert(byLang.getOrElse("lang3", 0L) < 200, s"lang3: $byLang")
+    // raising a rate only ADDS rows (mixture re-weighing never churns)
+    val raised = run(rates + ("lang1" -> 700000L), 100000L)
+    assert(got.subsetOf(raised))
+    // rate 0 / 1e6 are exact bounds
+    assert(run(Map("lang0" -> 1000000L), 0L).size == 1000)
+  }
+
   test("streaming: file-source triples match batch pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
