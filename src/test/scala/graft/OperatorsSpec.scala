@@ -435,6 +435,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.subsetOf(raised))
     // rate 0 / 1e6 are exact bounds
     assert(run(Map("lang0" -> 1000000L), 0L).size == 1000)
+    // scale shape: the whole operator is one map-side filter — no shuffle
+    val plan = graft.operators.Sampling.byRate(df, $"lang", $"id", rates, 100000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"byRate must be shuffle-free:\n$plan")
   }
 
   test("streaming: file-source triples match batch pipeline") {
