@@ -67,7 +67,7 @@ object Pipeline {
       sha2(col("content"), 256).as("content_sha256"),
       format.doc(col("content")).as("doc"))
 
-  private def docColumns = Seq(
+  private[graft] def docColumns = Seq(
     col("doc.id").as("id"), col("doc.type").as("etype"), col("doc.datatype").as("datatype"),
     col("doc.labels").as("labels"), col("doc.descriptions").as("descriptions"),
     col("doc.aliases").as("aliases"), col("doc.sitelinks").as("sitelinks"),

@@ -327,6 +327,20 @@ object SparkEntry {
         rankExpr = Some(graft.operators.Dedup.polyTokenId($"doc_id".cast("string"))))
         .select($"doc_id", $"lang").orderBy("doc_id")
     },
+    // Incremental-refresh diff: classify a simulated v2 of `documents`
+    // (text mutated for doc_id%13, rows deleted for doc_id%17) into
+    // recompute/removed sets via anti-joins over (src, sha256) identity
+    // tables — the delta planner of plans.Incremental, content never read
+    "q_incremental_diff" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val v1 = docs.select($"doc_id".cast("string").as("src"),
+        sha2($"text", 256).as("src_sha"))
+      val v2 = docs.filter($"doc_id" % 17 =!= 0)
+        .select($"doc_id".cast("string").as("src"),
+          sha2(when($"doc_id" % 13 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text"), 256).as("src_sha"))
+      graft.plans.Incremental.diff(v1, v2).orderBy("src", "action")
+    },
     // SimHash 32-bit signatures (rank-based portable arithmetic)
     "q_simhash" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Dedup.simhash(t(dir, "documents"), $"doc_id", $"text")
@@ -915,6 +929,20 @@ object SparkEntry {
          |  CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000 ELSE 100000 END
          |ORDER BY doc_id""".stripMargin
     },
+    // mirror of Incremental.diff over the same simulated v2
+    "q_incremental_diff" ->
+      """WITH v1 AS (SELECT CAST(doc_id AS VARCHAR) AS src, sha256(text) AS src_sha
+        |  FROM documents),
+        |v2 AS (SELECT CAST(doc_id AS VARCHAR) AS src,
+        |  sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS src_sha
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT src, 'recompute' AS action FROM v2
+        |WHERE NOT EXISTS (SELECT 1 FROM v1
+        |  WHERE v1.src = v2.src AND v1.src_sha = v2.src_sha)
+        |UNION ALL
+        |SELECT src, 'removed' AS action FROM v1
+        |WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.src = v1.src)
+        |ORDER BY src, action""".stripMargin,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "kg_entity_linking" -> entityLinkingOracleSql,

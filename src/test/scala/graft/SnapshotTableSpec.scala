@@ -46,8 +46,10 @@ class SnapshotTableSpec extends AnyFunSuite {
     val de = SnapshotTable.read(spark, t, partitions = Some(Seq("de")))
     assert(de.select($"doc_id").as[Long].collect().toSeq == Seq(2L))
     // pruning happened at the FILE-LIST level, not as a post-scan filter
-    val scanned = de.queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString
-    assert(scanned.contains("lang=de") && !scanned.contains("lang=en"))
+    // (inputFiles, not the plan string — Spark truncates long paths in
+    // the rendered plan, which made a substring assert length-flaky)
+    val files = de.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("lang=de")), files.mkString(", "))
   }
 
   test("uncommitted data (crashed writer) is invisible and vacuumed") {
