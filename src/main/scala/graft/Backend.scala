@@ -29,9 +29,11 @@ import java.util.concurrent.atomic.AtomicLong
   *    taker wins).
   *
   * A spec is COMPLETE iff its done marker records the sha256 of its
-  * exact spec JSON and its triple partition is live in the snapshot
-  * table's current manifest; re-runs skip completed specs without
-  * recomputation (resume, north rule). Output is an Iceberg-style
+  * exact spec JSON AND the corpus fingerprint it was computed from, and
+  * its triple partition is live in the snapshot table's current
+  * manifest; re-runs skip completed specs without recomputation
+  * (resume, north rule), while a new corpus version re-opens every
+  * spec — resume never serves triples computed from different input. Output is an Iceberg-style
   * snapshot table (`sources.SnapshotTable`, `$outDir/triples`): each
   * worker pass is ONE atomic REPLACE-PARTITIONS commit swapping exactly
   * the specs it claimed, so a re-run of a crashed spec replaces only
@@ -64,6 +66,31 @@ object Backend {
     Files.writeString(tmp, content)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Cheap deterministic identity of the corpus argument WITHOUT
+    * scanning data: the argument itself for generated corpora; for a
+    * path, the sha of the sorted (relative-name, size) file listing. A
+    * new dump/table version changes the listing, so done markers keyed
+    * on the old corpus stop matching and specs recompute — resume must
+    * never serve spec results computed from a different corpus. (Dumps
+    * and lakehouse tables are immutable-by-version, which is exactly
+    * the property this keys on; an in-place same-size byte edit is out
+    * of scope.) */
+  private[graft] def corpusFingerprint(corpusArg: String): String = {
+    val p = Paths.get(corpusArg)
+    val desc =
+      if (!Files.exists(p)) corpusArg
+      else if (Files.isDirectory(p)) {
+        val sb = new StringBuilder(corpusArg)
+        val walk = Files.walk(p)
+        try walk.sorted().forEach { f =>
+          if (Files.isRegularFile(f))
+            sb.append('\n').append(p.relativize(f)).append('\t').append(Files.size(f))
+        } finally walk.close()
+        sb.toString
+      } else s"$corpusArg\t${Files.size(p)}"
+    specSha(desc)
   }
 
   /** atomic create-if-absent claim; stale claims are taken over via an
@@ -110,6 +137,10 @@ object Backend {
         }
       }.toSeq
     require(specFiles.nonEmpty, s"no parseable specs in $specsDir")
+    // completion identity = spec content AND corpus version: either
+    // changing re-opens the spec (stale-resume guard)
+    val corpusFp = corpusFingerprint(corpusArg)
+    def identSha(json: String): String = specSha(json + "\n@corpus:" + corpusFp)
     val runId = "run-" + java.util.UUID.randomUUID.toString.take(8)
     val startedAt = java.time.Instant.now.toString
     val doneDir = Paths.get(s"$outDir/_meta/done")
@@ -135,10 +166,10 @@ object Backend {
       }
 
     // ---- claim every pending spec this worker can win ----
-    val (skipped, pending) = specFiles.partition { case (n, j, _) => isComplete(n, specSha(j)) }
+    val (skipped, pending) = specFiles.partition { case (n, j, _) => isComplete(n, identSha(j)) }
     skipped.foreach { case (n, _, _) => println(s"[backend] resume: $n already complete, skipping") }
     val claimed = pending.filter { case (n, j, _) =>
-      tryClaim(claimsDir, n, specSha(j), runId, staleClaimMs)
+      tryClaim(claimsDir, n, identSha(j), runId, staleClaimMs)
     }
     pending.diff(claimed).foreach { case (n, _, _) =>
       println(s"[backend] $n claimed by another worker, skipping")
@@ -201,7 +232,7 @@ object Backend {
     claimed.foreach { case (name, json, _) =>
       val (ents, stmts) = allCounters(name)
       atomicWrite(doneDir.resolve(s"$name.tsv"),
-        s"${specSha(json)}\t$runId\t$ents\t$stmts\t${tripleCounts.getOrElse(name, 0L)}\n")
+        s"${identSha(json)}\t$runId\t$ents\t$stmts\t${tripleCounts.getOrElse(name, 0L)}\n")
     }
     val finishedAt = java.time.Instant.now.toString
 

@@ -56,6 +56,14 @@ class BackendSpec extends AnyFunSuite {
       // stats visible to the third worker cover all specs with rows
       assert(rc.stats.map(_.dumpId).toSet == allSpecNames)
       assert(rc.stats.exists(_.tripleCount > 0))
+      // stale-resume guard: a DIFFERENT corpus re-opens every spec —
+      // done markers from the old corpus must not be trusted
+      val rd = Backend.run(spark, specsDir, "gen:400", out)
+      assert(rd.produced.toSet == allSpecNames && rd.skipped.isEmpty,
+        s"new corpus must recompute all specs: skipped ${rd.skipped}")
+      // and the snapshot's triples now reflect the smaller corpus
+      val head2 = graft.sources.SnapshotTable.currentVersion(s"$out/triples")
+      assert(head2 == head + 1)
     } finally pool.shutdown()
   }
 
@@ -91,8 +99,10 @@ class BackendSpec extends AnyFunSuite {
     val mydir = Files.createTempDirectory("graft-backend-specs2")
     Files.copy(Paths.get(s"$specsDir/nothing.json"), mydir.resolve("nothing.json"))
     val json = Files.readString(mydir.resolve("nothing.json"))
+    // claims are keyed on (spec content, corpus fingerprint) identity
+    val ident = json + "\n@corpus:" + Backend.corpusFingerprint("gen:300")
     val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val claim = Paths.get(s"$out/_meta/claims/nothing-${sha.take(8)}.claim")
     Files.createDirectories(claim.getParent)
     Files.writeString(claim, "run-dead\t0\n")
