@@ -727,6 +727,30 @@ object SparkEntry {
         docs.filter(pmod($"doc_id", lit(97)) === 0),
         $"doc_id", $"text", n = 5)
         .orderBy("doc_id")
+    },
+    // Repetition quality signals (Gopher-rule family): integer-exact
+    // word/bigram multiplicity stats, pure in-row fold — zero shuffle
+    "q_repetition" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.TextAnalysis.repetitionMetrics(
+        t(dir, "documents"), $"text", $"doc_id")
+        .orderBy("doc_id")
+    },
+    // Chunk-level exact dedup (paragraph-dedup family): keep the
+    // globally first occurrence of every 2-token chunk, reassemble docs
+    // from survivors — partial-aggregable winner agg, no window
+    "q_chunk_dedup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.dedupChunks(t(dir, "documents"), $"doc_id", $"text", 2)
+        .orderBy("doc_id")
+    },
+    // Fuzzy-dedup canonicalization: near-dup pairs → connected
+    // components → keep the best-quality doc per cluster (quality =
+    // n_chars, tie → min id); singletons kept as their own cluster
+    "q_neardup_keep_best" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val pairs = graft.operators.Dedup.minhashNearDups(docs,
+        $"doc_id", $"text", k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
+      graft.operators.Dedup.keepBestPerCluster(docs, pairs, $"doc_id", $"n_chars")
+        .orderBy("cluster")
     }
   )
 
@@ -1236,7 +1260,68 @@ object SparkEntry {
         |FROM sh d JOIN sh p ON d.shingle = p.shingle
         |WHERE d.doc_id % 97 <> 0 AND p.doc_id % 97 = 0
         |GROUP BY d.doc_id HAVING COUNT(DISTINCT d.shingle) >= 1
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // repetition signals replayed as explicit frequency tables (the
+    // engine computes the same values with an in-row sorted fold)
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_distinct_words,
+        |       MAX(c) AS top_word_count FROM wf GROUP BY doc_id),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        |       FROM t, LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) r),
+        |bf AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        |bs AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bf GROUP BY doc_id)
+        |SELECT ws.doc_id, ws.n_words, ws.n_distinct_words, ws.top_word_count,
+        |       GREATEST(ws.n_words - 1, 0) AS n_bigrams,
+        |       COALESCE(bs.top_bigram_count, 0) AS top_bigram_count
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin,
+    // chunk dedup replayed as a first-occurrence window (the engine's
+    // min(struct) winner agg has identical semantics)
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, i AS idx, array_to_string(toks[(i*2+1):(i*2+2)], ' ') AS chunk
+        |      FROM t, LATERAL (SELECT UNNEST(range(0, CAST(ceil(len(toks)/2.0) AS BIGINT))) AS i) r),
+        |s AS (SELECT doc_id, idx, chunk,
+        |      ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM c)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
+        |       COUNT(*) AS n_chunks_kept
+        |FROM s WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // near-dup clusters (same pair list as q_neardup_clusters) + the
+    // per-cluster best-quality representative
+    "q_neardup_keep_best" ->
+      (rankTokenCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,sig AS (SELECT doc_id,
+          |  MIN((3*token_id+1) % 1000003) AS mh0, MIN((5*token_id+8) % 1000003) AS mh1,
+          |  MIN((7*token_id+15) % 1000003) AS mh2, MIN((9*token_id+22) % 1000003) AS mh3
+          |  FROM tt GROUP BY doc_id),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+          |  ON a.doc_id < b.doc_id AND
+          |     ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tt GROUP BY doc_id),
+          |i AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter FROM cand c
+          |  JOIN tt ta ON ta.doc_id = c.id_a
+          |  JOIN tt tb ON tb.doc_id = c.id_b AND ta.token_id = tb.token_id
+          |  GROUP BY c.id_a, c.id_b),
+          |ver AS (SELECT i.id_a, i.id_b
+          |  FROM i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+          |  WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)),
+          |und AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+          |reach(src, dst) AS (
+          |  SELECT a, b FROM und
+          |  UNION
+          |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+          |comp AS (SELECT src AS node, LEAST(MIN(dst), src) AS component FROM reach GROUP BY src),
+          |dc AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS q,
+          |       COALESCE(c.component, d.doc_id) AS cluster
+          |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+          |rr AS (SELECT cluster, doc_id, q,
+          |       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id ASC) AS rn,
+          |       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+          |       MAX(q) OVER (PARTITION BY cluster) AS best_q FROM dc)
+          |SELECT cluster, doc_id AS keep_id, cluster_size, best_q
+          |FROM rr WHERE rn = 1 ORDER BY cluster""".stripMargin)
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

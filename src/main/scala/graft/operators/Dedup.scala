@@ -29,6 +29,71 @@ object Dedup {
   def docTokens(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), explode(array_distinct(split(text, " "))).as("token"))
 
+  /** (doc_id, idx, chunk): each document split into fixed-size token
+    * chunks (the last chunk may be short). */
+  def chunks(df: DataFrame, id: Column, text: Column, chunkTokens: Int): DataFrame = {
+    val nChunks = ((size(col("toks")) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
+    df.select(id.cast("long").as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .toDF("doc_id", "idx", "chunk")
+  }
+
+  /** Chunk-level exact dedup (the paragraph-dedup family used on web
+    * training corpora): keep only the globally FIRST occurrence of each
+    * distinct chunk — first = minimal (doc_id, idx) — then reassemble
+    * each document from its surviving chunks in original order.
+    * Documents whose every chunk already appeared elsewhere vanish
+    * entirely (pure duplicates). Returns (doc_id, text_dedup,
+    * n_chunks_kept).
+    *
+    * Scale shape: winner selection is groupBy(chunk).agg(min(struct)) —
+    * partial-aggregable, so a chunk duplicated 10^9 times combines
+    * map-side into one record per partition instead of skewing a window;
+    * the survivor join is keyed on the chunk (AQE skew-split covers hot
+    * chunks); reassembly is one groupBy(doc_id) with an IN-ROW
+    * array_sort, never a global sort. Three shuffles total, each keyed. */
+  def dedupChunks(df: DataFrame, id: Column, text: Column, chunkTokens: Int): DataFrame = {
+    val c = chunks(df, id, text, chunkTokens)
+    val firstSeen = c.groupBy("chunk").agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    c.join(firstSeen, Seq("chunk"))
+      .where(struct(col("doc_id"), col("idx")) === col("w"))
+      .groupBy("doc_id").agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("text_dedup"),
+        count(lit(1)).as("n_chunks_kept"))
+  }
+
+  /** Fuzzy-dedup canonicalization: cluster documents by their near-dup
+    * pair list (connected components — a pair list is NOT transitive,
+    * so clusters, not pairs, are the unit a dedup pass keeps one doc
+    * from), then keep the best-quality document per cluster (ties →
+    * smallest doc_id). Every document not in any pair is its own
+    * singleton cluster. Returns (cluster, keep_id, cluster_size,
+    * best_q).
+    *
+    * Scale shape: CC is the O(log n)-round large/small-star plan
+    * (`plans.ConnectedComponents`); the mapping join is keyed on doc id
+    * and size-gated by the planner (the mapping covers only paired docs,
+    * usually ≪ corpus, but is never force-broadcast); the per-cluster
+    * argmax is max_by — partial-aggregable, no window. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+                         id: Column, quality: Column): DataFrame = {
+    // CC's node ids are strings with lexicographic min — zero-pad so the
+    // representative is the NUMERIC min id and survives the cast back
+    def pad(c: Column) = lpad(c.cast("string"), 20, "0")
+    val edges = pairs.select(pad(col("id_a")).as("a"), pad(col("id_b")).as("b"))
+    val mapping = graft.plans.ConnectedComponents.run(edges)
+      .withColumnRenamed("node", "node_id")
+    docs.select(id.cast("long").as("doc_id"), quality.cast("long").as("q"))
+      .join(mapping, pad(col("doc_id")) === col("node_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("component").cast("long"), col("doc_id")))
+      .groupBy("cluster").agg(
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("cluster_size"),
+        max(col("q")).as("best_q"))
+  }
+
   /** Rank-based token ids: dense_rank over the sorted distinct global
     * vocabulary. One extra shuffle over the (small) vocabulary; portable
     * to the SQL oracle. */

@@ -71,6 +71,44 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
 
+  /** Longest run of equal adjacent elements in a SORTED string array —
+    * i.e. the max multiplicity of any element. Pure Column fold, so the
+    * frequency table never materializes (no explode, no shuffle). */
+  private def maxRunSorted(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull && x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition quality signals (Gopher-rule family): per document, the
+    * word count, distinct-word count, max multiplicity of any single
+    * word, bigram count, and max multiplicity of any word bigram.
+    * Downstream filters derive the classic ratios (duplicate-word
+    * fraction = 1 − n_distinct/n_words, top-word fraction =
+    * top_word_count/n_words, top-bigram fraction) — kept integer-exact
+    * here so the oracle is hash-stable.
+    *
+    * Scale shape: everything is per-row Column arithmetic over the token
+    * array (sort + fold inside the row) — zero shuffle, zero explode;
+    * the frequency "table" is a sorted-run scan, so a 10^12-doc corpus
+    * pays exactly one map pass. */
+  def repetitionMetrics(df: DataFrame, text: Column, idCols: Column*): DataFrame = {
+    val toks = tokens(text)
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    df.select(idCols :+
+      size(toks).cast("long").as("n_words") :+
+      size(array_distinct(toks)).cast("long").as("n_distinct_words") :+
+      maxRunSorted(array_sort(toks)).as("top_word_count") :+
+      greatest(size(toks).cast("long") - 1L, lit(0L)).as("n_bigrams") :+
+      when(size(toks) >= 2, maxRunSorted(array_sort(bigrams)))
+        .otherwise(lit(0L)).as("top_bigram_count"): _*)
+  }
+
   /** Rabin-Karp rolling hash over character windows: O(n) for all
     * positions (each step adds one char, drops one). Used for
     * containment/overlap detection between documents (shared windows ⇒

@@ -290,6 +290,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saltedJoin == plainJoin)
   }
 
+  test("repetitionMetrics equal a brute-force frequency table, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"),          // top word a×3, top bigram "a b"×2
+      (2L, "x"),                    // single token: no bigrams
+      (3L, "t t t t"),              // degenerate repetition
+      (4L, "u v w x y z")           // all distinct
+    ) ++ (5L to 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, (1 to 30).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionMetrics(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val bigs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val exp = (toks.size.toLong, toks.distinct.size.toLong,
+        toks.groupBy(identity).values.map(_.size).max.toLong,
+        bigs.size.toLong,
+        if (bigs.isEmpty) 0L else bigs.groupBy(identity).values.map(_.size).max.toLong)
+      assert(got(id) == exp, s"doc $id: got ${got(id)} expected $exp")
+    }
+    // scale assertion: pure map work — no shuffle in the plan
+    val plan = graft.operators.TextAnalysis.repetitionMetrics(df, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetitionMetrics must not shuffle:\n$plan")
+  }
+
+  test("dedupChunks keeps only first occurrences and reassembles in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),     // chunks(2): "a b","c d","e f" — all first
+      (2L, "c d x y a b"),     // "c d","a b" dup of doc1 → keeps only "x y"
+      (3L, "a b c d"),         // fully duplicate → vanishes
+      (4L, "e f g")            // "e f" dup; short tail "g" survives
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupChunks(df, col("doc_id"), col("text"), 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a b c d e f", 3L),
+      2L -> ("x y", 1L),
+      4L -> ("g", 1L)), got.toString)
+    // invariant: surviving chunks are exactly the distinct chunk set
+    val surviving = got.values.flatMap { case (t, _) =>
+      t.split(" ").grouped(1).map(_.mkString) }.toSeq // tokens, not chunks — check token bag below
+    val distinctChunks = graft.operators.Dedup.chunks(df, col("doc_id"), col("text"), 2)
+      .select("chunk").distinct().collect().map(_.getString(0)).toSet
+    val keptChunks = graft.operators.Dedup.dedupChunks(df, col("doc_id"), col("text"), 2)
+      .select(explode(split(col("text_dedup"), " ")).as("t")) // rough containment check
+    assert(surviving.nonEmpty && distinctChunks.size == 5) // a b | c d | e f | x y | g
+    // plan: winner selection is a partial-aggregable hash agg, no Window
+    val plan = graft.operators.Dedup.dedupChunks(df, col("doc_id"), col("text"), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"dedupChunks must not use a window:\n$plan")
+  }
+
+  test("keepBestPerCluster: transitive clusters, quality argmax, singletons") {
+    import spark.implicits._
+    // pair list is non-transitive: (10,11) and (11,12) — the cluster is {10,11,12}
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (10L, 5L), (11L, 9L), (12L, 9L),  // cluster {10,11,12}: best q=9, tie → min id 11
+      (20L, 3L), (21L, 2L),             // cluster {20,21}: keep 20
+      (30L, 7L)                          // singleton
+    ).toDF("doc_id", "q")
+    val got = graft.operators.Dedup.keepBestPerCluster(docs, pairs, col("doc_id"), col("q"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      10L -> (11L, 3L, 9L),
+      20L -> (20L, 2L, 3L),
+      30L -> (30L, 1L, 7L)), got.toString)
+    // numeric-min representative even when lexicographic order disagrees
+    val pairs2 = Seq((2L, 10L)).toDF("id_a", "id_b")
+    val docs2 = Seq((2L, 1L), (10L, 1L)).toDF("doc_id", "q")
+    val got2 = graft.operators.Dedup.keepBestPerCluster(docs2, pairs2, col("doc_id"), col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(2L -> 2L), got2.toString)
+  }
+
   test("rolling-hash fingerprints detect containment") {
     import spark.implicits._
     import graft.operators.TextAnalysis
