@@ -81,7 +81,12 @@ object Bench {
     "q1_agg", "q_join_multi", "q_left_outer", "q_semi_exists", "q_topk",
     "q_bestrank_window", "q_distinct", "q_event_counters", "q_time_window",
     "q_exact_dedup", "q_fingerprint", "q_tokens", "q_langid", "q_minhash_scale",
-    "q_rollup", "q_count_distinct", "q_ann_lsh", "q_ann_lsh_mp", "kg_cc_components")
+    "q_rollup", "q_count_distinct", "q_ann_lsh", "q_ann_lsh_mp", "kg_cc_components",
+    // q_neardup_keep_best is excluded for the same reason as
+    // q_minhash_pairs: its exact-Jaccard verify join is quadratic in
+    // dense LSH buckets (the synthetic corpus's tiny vocab collapses
+    // buckets) — correctness-gated in Verify, not perf-tracked here
+    "q_repetition", "q_chunk_dedup")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

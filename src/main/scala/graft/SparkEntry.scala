@@ -751,6 +751,20 @@ object SparkEntry {
         $"doc_id", $"text", k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
       graft.operators.Dedup.keepBestPerCluster(docs, pairs, $"doc_id", $"n_chars")
         .orderBy("cluster")
+    },
+    // Linear hashed-feature classifier inference (fastText-style
+    // quality filter): integer weights over D=64 poly-hash buckets,
+    // zero-shuffle per-row fold. Weight vector is a deterministic
+    // stand-in model (w[j] = (j·37 mod 21) − 10), shared with the oracle
+    "q_quality_classifier" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.TextAnalysis.linearScore(
+        t(dir, "documents"), $"doc_id", $"text", qualityWeights)
+        .orderBy("doc_id")
+    },
+    // One BPE merge-selection iteration / collocation mining: global
+    // top-20 adjacent token pairs (partial-agg count + ordered take)
+    "q_bpe_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.TextAnalysis.topPairs(t(dir, "documents"), $"text", 20)
     }
   )
 
@@ -762,6 +776,11 @@ object SparkEntry {
     * the DuckDB oracle: (surface, candidate entity, scaled prior).
     * Ambiguous surfaces ("turing", "hopper") are split across senses;
     * context classes decide (Q5 humans vs awards/craters). */
+  /** deterministic stand-in classifier weights (D=64 hash buckets),
+    * shared verbatim with the q_quality_classifier oracle formula */
+  private val qualityWeights: Array[Long] =
+    Array.tabulate(64)(j => ((j * 37) % 21 - 10).toLong)
+
   private val elDict: Seq[(String, String, Long)] = Seq(
     ("alan turing", "Q7251", 2000L),
     ("turing", "Q7251", 1000L),
@@ -1321,7 +1340,29 @@ object SparkEntry {
           |       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
           |       MAX(q) OVER (PARTITION BY cluster) AS best_q FROM dc)
           |SELECT cluster, doc_id AS keep_id, cluster_size, best_q
-          |FROM rr WHERE rn = 1 ORDER BY cluster""".stripMargin)
+          |FROM rr WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    // classifier inference replayed token-by-token: same poly hash, same
+    // inline weight formula w[b] = (b*37 % 21) - 10 over D=64 buckets
+    "q_quality_classifier" -> {
+      val p = graft.operators.Dedup.minhashBigPrime
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tt AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(token)+1),
+         |        i -> CAST(ord(substr(token, CAST(i AS INT), 1)) AS BIGINT))),
+         |    (h, c) -> (h*31 + c) % $p) AS token_id
+         |  FROM tok),
+         |s AS (SELECT doc_id,
+         |  CAST(SUM(((token_id % 64)*37 % 21) - 10) AS BIGINT) AS score FROM tt GROUP BY doc_id)
+         |SELECT doc_id, score, score > 0 AS keep FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
+        |       FROM t, LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) r)
+        |SELECT pair, COUNT(*) AS n FROM bg GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

@@ -109,6 +109,45 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("top_bigram_count"): _*)
   }
 
+  /** Linear text-classifier inference over hashed bag-of-words features
+    * (the fastText-style quality-filter family): score(doc) =
+    * Σ over tokens t of w[h(t) mod D], with h the SQL-portable
+    * polynomial codepoint hash and w the model's integer weight vector.
+    * Weights arrive as Array[Long] and are inlined as a plan literal;
+    * for a production-size D (2^18+) swap the literal for a broadcast
+    * (bucket, w) join — identical arithmetic. Returns (doc_id, score,
+    * keep) with keep = score > threshold.
+    *
+    * Scale shape: a per-row fold over the token array — zero shuffle,
+    * the same one-map-pass profile as repetitionMetrics; integer-exact
+    * so the DuckDB oracle reproduces it bit-for-bit. */
+  def linearScore(df: DataFrame, id: Column, text: Column,
+                  weights: Array[Long], threshold: Long = 0L): DataFrame = {
+    val d = weights.length
+    val score = aggregate(tokens(text), lit(0L),
+      (acc, tk) => acc + element_at(lit(weights),
+        pmod(Dedup.polyTokenId(tk), lit(d.toLong)).cast("int") + 1))
+    df.select(id.as("doc_id"), score.as("score"))
+      .withColumn("keep", col("score") > lit(threshold))
+  }
+
+  /** Global adjacent-token-pair counts, top k (one BPE merge-selection
+    * iteration / collocation mining). The groupBy is partial-aggregable
+    * (map-side combine collapses each partition's pair table before the
+    * shuffle) and the ordered take is Spark's TakeOrderedAndProject —
+    * k rows cross to the driver, never the full count table. Tie-break
+    * (n desc, pair asc) is total, so the top-k set is deterministic. */
+  def topPairs(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val toks = tokens(text)
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    df.select(explode(when(size(toks) >= 2, bigrams)
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Rabin-Karp rolling hash over character windows: O(n) for all
     * positions (each step adds one char, drops one). Used for
     * containment/overlap detection between documents (shared windows ⇒

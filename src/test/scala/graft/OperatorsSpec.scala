@@ -370,6 +370,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == Map(2L -> 2L), got2.toString)
   }
 
+  test("linearScore matches a scala reimplementation and plans with zero shuffle") {
+    import spark.implicits._
+    val weights = Array.tabulate(64)(j => ((j * 37) % 21 - 10).toLong)
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "x"), (3L, "a a a b"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.linearScore(docs, col("doc_id"), col("text"), weights)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def poly(t: String): Long =
+      t.codePoints.toArray.foldLeft(0L)((h, c) => (h * 31 + c) % Dedup.minhashBigPrime)
+    for ((id, text) <- Seq(1L -> "the cat sat on the mat", 2L -> "x", 3L -> "a a a b")) {
+      val exp = text.split(" ").map(t => weights((poly(t) % 64).toInt)).sum
+      assert(got(id) == (exp, exp > 0L), s"doc $id: got ${got(id)} expected ($exp, ${exp > 0L})")
+    }
+    val plan = graft.operators.TextAnalysis.linearScore(docs, col("doc_id"), col("text"), weights)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"linearScore must not shuffle:\n$plan")
+  }
+
+  test("topPairs: global top-k adjacent pairs with total tie-break, ordered take") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "z")).toDF("doc_id", "text")
+    // pairs: "a b"×3 ("a b a b c" has a-b twice... actually: (a,b),(b,a),(a,b),(b,c) + (a,b),(b,c),(c,d))
+    val got = graft.operators.TextAnalysis.topPairs(docs, col("text"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b", 3L), ("b c", 2L), ("b a", 1L)), got.toSeq.toString)
+    // the take is TakeOrderedAndProject, not a global Sort of the table
+    val plan = graft.operators.TextAnalysis.topPairs(docs, col("text"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("rolling-hash fingerprints detect containment") {
     import spark.implicits._
     import graft.operators.TextAnalysis
