@@ -765,6 +765,22 @@ object SparkEntry {
     // top-20 adjacent token pairs (partial-agg count + ordered take)
     "q_bpe_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.TextAnalysis.topPairs(t(dir, "documents"), $"text", 20)
+    },
+    // Triangle count of the near-dup graph (cluster-coherence
+    // diagnostic) via degree-ordered orientation — the oracle counts the
+    // same triangles with an INDEPENDENT ordered 3-way self-join
+    "q_neardup_triangles" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val pairs = graft.operators.Dedup.minhashNearDups(t(dir, "documents"),
+        $"doc_id", $"text", k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
+      graft.plans.Triangles.count(
+        pairs.select($"id_a".cast("string").as("a"), $"id_b".cast("string").as("b")))
+    },
+    // One-pass column profiling (dataset-card stats): non-null/null/
+    // exact-distinct counts + min/max per column, single agg job
+    "q_profile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Profiling.profile(t(dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+        .orderBy("column")
     }
   )
 
@@ -1362,7 +1378,42 @@ object SparkEntry {
         |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
         |       FROM t, LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) r)
         |SELECT pair, COUNT(*) AS n FROM bg GROUP BY pair
-        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // same near-dup pair list; triangles counted by an ordered 3-way
+    // self-join (independent of the engine's degree-ordered wedge plan)
+    "q_neardup_triangles" ->
+      (rankTokenCte +
+        """,sig AS (SELECT doc_id,
+          |  MIN((3*token_id+1) % 1000003) AS mh0, MIN((5*token_id+8) % 1000003) AS mh1,
+          |  MIN((7*token_id+15) % 1000003) AS mh2, MIN((9*token_id+22) % 1000003) AS mh3
+          |  FROM tt GROUP BY doc_id),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+          |  ON a.doc_id < b.doc_id AND
+          |     ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tt GROUP BY doc_id),
+          |i AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter FROM cand c
+          |  JOIN tt ta ON ta.doc_id = c.id_a
+          |  JOIN tt tb ON tb.doc_id = c.id_b AND ta.token_id = tb.token_id
+          |  GROUP BY c.id_a, c.id_b),
+          |ver AS (SELECT i.id_a, i.id_b
+          |  FROM i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+          |  WHERE 100*i.inter >= 60*(sa.n_tok + sb.n_tok - i.inter)),
+          |canon AS (SELECT DISTINCT
+          |    LEAST(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS u,
+          |    GREATEST(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS v FROM ver)
+          |SELECT COUNT(*) AS n_triangles
+          |FROM canon e1 JOIN canon e2 ON e2.u = e1.u AND e2.v > e1.v
+          |JOIN canon e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
+    "q_profile" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", COUNT($c) AS n,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    }
   )
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k

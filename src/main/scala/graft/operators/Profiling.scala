@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling (dataset-card / data-quality stats): for
+  * each requested column — non-null count, null count, exact distinct
+  * count, min and max (cast to string for a uniform schema). The kind
+  * of table a training-data pipeline publishes next to every corpus
+  * snapshot.
+  *
+  * Scale shape: ONE aggregate job over the table; everything except the
+  * exact distinct counts is partial-aggregable map-side. Multiple exact
+  * COUNT(DISTINCT) in one agg plan through Spark's Expand (one pass,
+  * |cols|× row expansion before partial aggregation) — exact by
+  * contract here because the oracle must match bit-for-bit; swap in
+  * approx_count_distinct at deploy if ±2% is acceptable (one line,
+  * noted in SCALE.md).
+  */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // single row → one output row per column (stack is a plain
+    // projection; the data never re-shuffles)
+    val stackExpr = cols.map { c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    row.select(expr(stackExpr).as(Seq("column", "n", "n_nulls", "n_distinct", "min_s", "max_s")))
+  }
+}

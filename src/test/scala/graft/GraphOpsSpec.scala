@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.plans.{Closure, PageRank}
+import graft.plans.{Closure, PageRank, Triangles}
 
 /** Transitive closure + PageRank: hand-checked small graphs, cycle
   * safety, determinism, and mass accounting. */
@@ -70,5 +70,43 @@ class GraphOpsSpec extends AnyFunSuite {
     val b = PageRank.run(spark, edges.repartition(13), iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b, "integer PageRank must be partitioning-invariant")
+  }
+
+  test("triangles: known graphs, duplicate/self-loop tolerance, hub star") {
+    import spark.implicits._
+    def tri(edges: Seq[(String, String)]): Long =
+      Triangles.count(edges.toDF("a", "b")).head().getLong(0)
+    assert(tri(Seq("a" -> "b", "b" -> "c", "c" -> "a")) == 1L)
+    // K4: 4 triangles; reversed/duplicated/self-loop edges don't change it
+    val k4 = for (x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d"); if x < y) yield (x, y)
+    assert(tri(k4) == 4L)
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq("a" -> "a")) == 4L)
+    // square without diagonals: 0; with one diagonal: 2
+    val sq = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    assert(tri(sq) == 0L)
+    assert(tri(sq :+ ("a" -> "c")) == 2L)
+    // star (the last-reducer shape): 0 triangles; wheel: one per rim edge
+    val star = (1 to 30).map(i => ("hub", s"n$i"))
+    assert(tri(star) == 0L)
+    val rim = (1 until 30).map(i => (s"n$i", s"n${i + 1}"))
+    assert(tri(star ++ rim) == 29L)
+  }
+
+  test("triangles match a brute-force reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val n = 25
+      val edges = (for (i <- 0 until n; j <- i + 1 until n; if rnd.nextDouble() < 0.25)
+        yield (s"v$i", s"v$j")).toSeq
+      val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      var expected = 0L
+      for (a <- nodes; b <- nodes if a < b && adj(a)(b); c <- nodes if b < c && adj(a)(c) && adj(b)(c))
+        expected += 1
+      val got = Triangles.count(edges.toDF("a", "b")).head().getLong(0)
+      assert(got == expected, s"trial $trial: got $got expected $expected")
+    }
   }
 }

@@ -401,6 +401,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("profile: one-pass column stats with nulls, one row per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("a")), (Some(1L), None), (None, Some("b")), (Some(3L), Some("a"))
+    ).toDF("k", "s")
+    val got = graft.operators.Profiling.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got == Map(
+      "k" -> (3L, 1L, 2L, "1", "3"),
+      "s" -> (3L, 1L, 2L, "a", "b")), got.toString)
+    // one aggregate job: the plan contains exactly one Expand (the
+    // multi-distinct rewrite) and no join
+    val plan = graft.operators.Profiling.profile(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must be a single agg, no join:\n$plan")
+  }
+
   test("rolling-hash fingerprints detect containment") {
     import spark.implicits._
     import graft.operators.TextAnalysis
