@@ -781,6 +781,12 @@ object SparkEntry {
       graft.operators.Profiling.profile(t(dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
         .orderBy("column")
+    },
+    // BPE tokenizer training, 3 merge rounds: iterative top-pair
+    // selection + set-oriented greedy merge (window run-parity, one
+    // shuffle per round) — the oracle unrolls the identical 3 rounds
+    "q_bpe_learn" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Bpe.learnBpe(t(dir, "documents"), $"doc_id", $"text", rounds = 3)
     }
   )
 
@@ -1413,8 +1419,45 @@ object SparkEntry {
            |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    }
+    },
+    "q_bpe_learn" -> bpeLearnOracle(3)
   )
+
+  /** One unrolled BPE round in DuckDB SQL — the same closed form the
+    * engine uses (greedy non-overlap = odd offsets inside match runs,
+    * gaps-and-islands over windows), derived independently in SQL. */
+  private def bpeRoundSql(i: Int): String =
+    s"""p$i AS (SELECT doc_id, pos, token,
+       |  lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM t${i - 1}),
+       |top$i AS (SELECT token AS l, nxt AS r, COUNT(*) AS n FROM p$i WHERE nxt IS NOT NULL
+       |  GROUP BY token, nxt ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+       |m$i AS (SELECT doc_id, pos, token, nxt,
+       |  CASE WHEN token = (SELECT l FROM top$i) AND nxt = (SELECT r FROM top$i)
+       |       THEN 1 ELSE 0 END AS m FROM p$i),
+       |w$i AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |  CASE WHEN m = 1 THEN ROW_NUMBER() OVER (PARTITION BY doc_id, m ORDER BY pos) END AS rnm
+       |  FROM m$i),
+       |x$i AS (SELECT *, CASE WHEN m = 1 AND
+       |    (ROW_NUMBER() OVER (PARTITION BY doc_id, rn - rnm ORDER BY pos)) % 2 = 1
+       |  THEN 1 ELSE 0 END AS mrg FROM w$i),
+       |y$i AS (SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS pmrg
+       |  FROM x$i),
+       |t$i AS (SELECT doc_id, pos,
+       |  CASE WHEN mrg = 1 THEN token || ' ' || nxt ELSE token END AS token
+       |  FROM y$i WHERE pmrg = 0)""".stripMargin
+
+  private def bpeLearnOracle(rounds: Int): String = {
+    val t0 =
+      """WITH t0 AS (SELECT doc_id, i AS pos, toks[i] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) s,
+        |  LATERAL (SELECT UNNEST(range(1, len(toks) + 1)) AS i) lat),
+        |""".stripMargin
+    val body = (1 to rounds).map(bpeRoundSql).mkString(",\n")
+    val finalSel = (1 to rounds)
+      .map(i => s"SELECT $i AS round, l AS pair_l, r AS pair_r, n FROM top$i")
+      .mkString("\nUNION ALL\n")
+    t0 + body + "\n" + finalSel + "\nORDER BY round"
+  }
 
   /** SQL mirror of the full Ivf pipeline (quantize → stride init → k
     * unrolled Lloyd iterations with half-up integer means and
