@@ -787,6 +787,46 @@ object SparkEntry {
     // shuffle per round) — the oracle unrolls the identical 3 rounds
     "q_bpe_learn" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       graft.operators.Bpe.learnBpe(t(dir, "documents"), $"doc_id", $"text", rounds = 3)
+    },
+    // deterministic train/val/test split: consecutive ppm hash ranges,
+    // zero shuffle, stable per-document across corpus versions
+    "q_split_assign" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Sampling.splitAssign(
+        t(dir, "documents"), $"doc_id",
+        splits = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L),
+        rankExpr = Some(graft.operators.Dedup.polyTokenId(
+          concat($"doc_id".cast("string"), lit("#split")))))
+        .select($"doc_id", $"lang", $"split").orderBy("doc_id")
+    },
+    // canonical text normalization over a deliberately-messied input
+    // (tabs, newline, uppercase injected) — map-side, zero shuffle
+    "q_normalize" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "documents").select($"doc_id",
+        graft.operators.TextAnalysis.normalizeText(
+          concat($"text", lit("\t "), upper($"lang"), lit("\n"))).as("norm_text"))
+        .withColumn("norm_len", length($"norm_text"))
+        .orderBy("doc_id")
+    },
+    // document-length histogram: fixed-width integer buckets, one
+    // partial-aggregable hash agg
+    "q_length_hist" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Profiling.histogram(t(dir, "documents"), $"n_chars", width = 100L)
+        .orderBy("bucket_lo")
+    },
+    // stream-static join: event stream enriched with the broadcast
+    // customer dimension, then aggregated per (segment, event_type);
+    // on a bounded replay this equals the batch join+agg
+    "q_stream_static_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val dim = t(dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val joined = graft.streaming.StreamingPipeline.enrichedEvents(
+        s, s"$dir/events.parquet", dim, "user_id", "c_custkey")
+      val name = "ssj" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment", "event_type")
     }
   )
 
@@ -1420,7 +1460,39 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
-    "q_bpe_learn" -> bpeLearnOracle(3)
+    "q_bpe_learn" -> bpeLearnOracle(3),
+    // mirror of Sampling.splitAssign: same poly hash over id||'#split',
+    // same consecutive ppm ranges
+    "q_split_assign" -> {
+      val p = graft.operators.Dedup.minhashBigPrime
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(CAST(doc_id AS VARCHAR) || '#split')+1),
+         |        i -> CAST(ord(substr(CAST(doc_id AS VARCHAR) || '#split', CAST(i AS INT), 1)) AS BIGINT))),
+         |    (h, c) -> (h*31 + c) % $p) % 1000000 AS b
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower(text || chr(9) || ' ' || upper(lang) || chr(10)),
+        |    '[^ -~]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(regexp_replace(
+        |    lower(text || chr(9) || ' ' || upper(lang) || chr(10)),
+        |    '[^ -~]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_length_hist" ->
+      """SELECT n_chars - n_chars % 100 AS bucket_lo, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

@@ -37,4 +37,16 @@ object Profiling {
     }.mkString(s"stack(${cols.size}, ", ", ", ")")
     row.select(expr(stackExpr).as(Seq("column", "n", "n_nulls", "n_distinct", "min_s", "max_s")))
   }
+
+  /** Fixed-width histogram of a non-negative integer column (document
+    * length / token-count distributions for dataset cards). Bucket
+    * identity is integer arithmetic (`c - c % width`), never float
+    * division — exact in any engine, and the whole histogram is one
+    * partial-aggregable hash agg (map-side combine shrinks 100 TB of
+    * rows to |buckets| partials per task). */
+  def histogram(df: DataFrame, c: Column, width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive: $width")
+    df.groupBy((c - pmod(c, lit(width))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

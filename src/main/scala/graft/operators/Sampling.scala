@@ -48,6 +48,35 @@ object Sampling {
     df.filter(pmod(h, lit(1000000L)) < rate)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets a
+    * split label as a pure function of (id, salt) — no shuffle, no
+    * state, reproducible under any partitioning or retry, and STABLE
+    * across corpus versions (a document keeps its split when other
+    * documents are added or removed, so incremental refreshes never
+    * leak val/test rows into train).
+    *
+    * `splits` are (name, parts-per-million) consuming consecutive
+    * hash-bucket ranges in the given order; they must sum to 1e6.
+    * Because ranges are consecutive, growing an EARLIER split only
+    * steals rows from the split immediately after it — put train first
+    * so eval sets churn minimally under re-weighing. The split table is
+    * O(splits) and becomes a literal CASE chain (codegen'd), never a
+    * join. `rankExpr` defaults to xxhash64 (the scale path); pass a
+    * SQL-portable hash for oracle parity. */
+  def splitAssign(df: DataFrame, id: Column, splits: Seq[(String, Long)],
+                  salt: String = "#split", seed: Long = 42L,
+                  rankExpr: Option[Column] = None): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000000L,
+      "split weights are parts-per-million and must sum to 1000000")
+    val h = rankExpr.getOrElse(xxhash64(concat(id.cast("string"), lit(salt)), lit(seed)))
+    val bucket = pmod(h, lit(1000000L))
+    val cum = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    val label = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Keep the `n` rows with the smallest rank-hash per stratum.
     * `rankExpr` defaults to xxhash64(id, seed) (the scale path); pass a
     * SQL-portable hash (e.g. `Dedup.polyTokenId` over the id rendered as

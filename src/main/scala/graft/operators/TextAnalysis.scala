@@ -15,6 +15,16 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text normalization (the pre-dedup / pre-tokenize pass):
+    * lowercase, map every non-printable-ASCII byte to a space, collapse
+    * whitespace runs, trim. Pure Column expression — map-side, zero
+    * shuffle, and the regexes (`[^ -~]`, ` +`) mean the same thing in
+    * Java regex and RE2, so a SQL oracle reproduces it bit-for-bit.
+    * Normalizing BEFORE hashing is what makes exact-dedup catch
+    * trivially-reformatted duplicates. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^ -~]", " "), " +", " "))
+
   /** Occurrences of `needle` in `text` via length arithmetic — portable
     * to any SQL engine (used by the DuckDB oracles). */
   def occurrences(text: Column, needle: String): Column =

@@ -72,6 +72,17 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** Stream-static join: enrich the event stream with a slowly-changing
+    * dimension table (user → segment, doc → license, …). Stateless on
+    * the stream side — Spark re-plans the static side per micro-batch,
+    * so a dimension refresh is picked up without restarting the query —
+    * and the static side is broadcast (dimension tables are small by
+    * definition; a 100 TB stream never shuffles for the join). */
+  def enrichedEvents(spark: SparkSession, eventsDir: String, dim: DataFrame,
+                     streamKey: String, dimKey: String): DataFrame =
+    eventsStream(spark, eventsDir)
+      .join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
   /** Streaming dedup with bounded state: duplicates dropped within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of D1/exact dedup; state is GC'd as the watermark advances, so

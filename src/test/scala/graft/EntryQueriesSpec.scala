@@ -153,4 +153,70 @@ class EntryQueriesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("splitAssign: zero shuffle, exhaustive+disjoint labels, version-stable") {
+    assume(available)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val splits = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
+    val assigned = operators.Sampling.splitAssign(docs, $"doc_id", splits)
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split assignment must be a pure map-side projection")
+    val labels = assigned.select($"doc_id".as[Long], $"split".as[String]).collect()
+    assert(labels.length == docs.count(), "every row labeled exactly once")
+    assert(labels.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // train dominates at 80% ppm on 500 docs (loose 3-sigma-ish bound)
+    val n = labels.length.toDouble
+    assert(labels.count(_._2 == "train") / n > 0.7)
+    // version stability: labels are a pure function of the id — the
+    // same ids in a half-sized "older corpus" get the same splits
+    val half = operators.Sampling.splitAssign(
+      docs.filter($"doc_id" % 2 === 0), $"doc_id", splits)
+      .select($"doc_id".as[Long], $"split".as[String]).collect().toMap
+    val full = labels.toMap
+    half.foreach { case (id, sp) => assert(full(id) == sp, s"doc $id churned splits") }
+  }
+
+  test("normalizeText: lowercases, strips non-printables, collapses runs") {
+    import spark.implicits._
+    val cases = Seq(
+      ("A\tB  c\n", "a b c"),
+      ("  hello   WORLD ", "hello world"),
+      ("x \u0000y\u00e9z", "x y z"), // NUL and e-acute both map to space
+      ("", ""))
+    val got = cases.toDF("in", "want")
+      .select(operators.TextAnalysis.normalizeText($"in").as[String], $"want".as[String])
+      .collect()
+    got.foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("histogram: buckets tile the domain and counts sum to the row count") {
+    assume(available)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val h = operators.Profiling.histogram(docs, $"n_chars", 100L)
+      .as[(Long, Long)].collect()
+    assert(h.map(_._2).sum == docs.count())
+    h.foreach { case (lo, _) => assert(lo % 100 == 0 && lo >= 0) }
+    assert(h.map(_._1).distinct.length == h.length)
+  }
+
+  test("enrichedEvents: stream-static left join keeps unmatched rows, broadcasts dim") {
+    assume(available)
+    import spark.implicits._
+    // dim covering only even user ids: odd ids must survive with nulls
+    val dim = spark.range(0, 150, 2).select($"id".as("c_custkey"),
+      lit("SEG").as("c_mktsegment"))
+    val joined = streaming.StreamingPipeline.enrichedEvents(
+      spark, s"$sf/events.parquet", dim, "user_id", "c_custkey")
+    val name = "ssjt" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table(name)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(out.count() == ev.count(), "left join must preserve the stream")
+    val oddNulls = out.filter($"user_id" % 2 === 1 && $"c_mktsegment".isNull).count()
+    val oddTotal = ev.filter($"user_id" % 2 === 1).count()
+    assert(oddNulls == oddTotal, "odd user ids have no dim row -> null segment")
+  }
 }
