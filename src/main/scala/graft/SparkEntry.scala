@@ -827,6 +827,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("c_mktsegment", "event_type")
+    },
+    // corpus-frequency quality signal (unigram "perplexity" without a
+    // model artifact): integer-exact rare-token and frequency sums
+    "q_rare_tokens" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.TextAnalysis.rareTokenStats(
+        t(dir, "documents"), $"doc_id", $"text", minCount = 5L)
+        .orderBy("doc_id")
+    },
+    // per-group top-k by VALUE (largest docs per language): the same
+    // two-stage salted window as stratified sampling, so a hub group
+    // never lands on one task — rank expr is just -n_chars
+    "q_group_topk" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Sampling.stratified(
+        t(dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+        $"lang", $"doc_id", n = 3, rankExpr = Some(-$"n_chars"))
+        .orderBy("lang", "doc_id")
     }
   )
 
@@ -1492,7 +1508,22 @@ object SparkEntry {
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
+    // SUMs cast back to BIGINT (DuckDB SUM(bigint) is HUGEINT, which
+    // pandas renders as float — same pitfall q_profile hit)
+    "q_rare_tokens" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(SUM(cf) AS BIGINT) AS sum_cf
+        |FROM tok JOIN freq USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_group_topk" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY -n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

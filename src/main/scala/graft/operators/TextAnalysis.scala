@@ -65,6 +65,30 @@ object TextAnalysis {
       .otherwise("und").as("lang_pred")
   }
 
+  /** Corpus-frequency quality signal: per document, the token count,
+    * the number of RARE tokens (corpus occurrence count < `minCount`),
+    * and the summed corpus frequency of its tokens — all integer-exact
+    * bigints, so ratios (rare-token ratio ~ gibberish/OCR-noise score,
+    * mean token frequency ~ unigram-LM plausibility) derive downstream
+    * without float drift. This is the shuffle-based unigram analog of a
+    * perplexity filter: no model artifact, the corpus IS the model.
+    *
+    * Scale shape: one hash agg builds the vocabulary-sized frequency
+    * table, one shuffle hash join keys tokens back to it, one hash agg
+    * folds per document. Hub tokens ("the") are a huge probe side
+    * against a single build row — exactly the shape AQE skew-join
+    * splits; nothing here collects or broadcasts a data-sized table. */
+  def rareTokenStats(df: DataFrame, id: Column, text: Column, minCount: Long): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+    tok.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cf") < minCount, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("cf")).as("sum_cf"))
+  }
+
   /** Integer-exact quality metrics (chars, words, distinct words, max
     * word length) — ratios derivable downstream. */
   def qualityMetrics(df: DataFrame, text: Column, idCols: Column*): DataFrame = {

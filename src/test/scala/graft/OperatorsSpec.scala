@@ -570,6 +570,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"byRate must be shuffle-free:\n$plan")
   }
 
+  test("rare-token stats: counts match a hand unigram model") {
+    import spark.implicits._
+    // corpus: "the" appears 4×, "cat"/"dog" 2× each, others once
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the cat the dog zyx")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .rareTokenStats(docs, $"doc_id", $"text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cf: the=4 cat=2 sat=1 dog=2 ran=1 zyx=1; rare = cf < 2
+    assert(got(1L) == ((3L, 1L, 4L + 2L + 1L)), got(1L).toString)
+    assert(got(2L) == ((3L, 1L, 4L + 2L + 1L)), got(2L).toString)
+    assert(got(3L) == ((5L, 1L, 4L + 2L + 4L + 2L + 1L)), got(3L).toString)
+  }
+
+  test("stratified with a value rank is per-group top-k, invariant to salt count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 500L).map(i => (i, s"g${i % 5}", rnd.nextInt(1000)))
+      .toDF("id", "g", "v")
+    // expected: 3 largest v per group, ties broken by id ascending
+    val expected = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._1)).take(3)
+      }.map(_._1).toSet
+    for (salts <- Seq(1, 8, 64)) {
+      val got = graft.operators.Sampling.stratified(
+        df, $"g", $"id", n = 3, salts = salts, rankExpr = Some(-$"v"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"salts=$salts")
+    }
+  }
+
+  test("training sink: gzip JSONL round-trips with schema and stable field order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq((1L, "alpha", 0.5), (2L, "beta\n\"quoted\"", -1.25))
+      .toDF("doc_id", "text", "score")
+    graft.sources.TrainingSink.writeJsonlGz(df, dir, partitions = Some(2))
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".txt.gz"))
+    assert(files.length == 2, files.map(_.getName).mkString(","))
+    val back = graft.sources.TrainingSink
+      .readJsonl(spark, dir, "doc_id BIGINT, text STRING, score DOUBLE")
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "text", "score"))
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "alpha", 0.5), (2L, "beta\n\"quoted\"", -1.25)))
+    // field order in the rendered line == column order (byte-stable exports)
+    val raw = spark.read.text(dir).as[String].collect().find(_.contains("alpha")).get
+    assert(raw.startsWith("""{"doc_id":1,"text":"alpha""""), raw)
+  }
+
   test("streaming: file-source triples match batch pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
