@@ -588,6 +588,31 @@ object SparkEntry {
             emailPat, "<EMAIL>"), 256).as("scrubbed_sha"))
         .orderBy("doc_id")
     },
+    // N-Triples read-back (sources.NtReader): render lines in-engine
+    // (IRI / lang-literal with escape-heavy text / typed-literal
+    // objects), parse them back with the pure-Column reader, return the
+    // structured terms. The oracle never parses — it states the
+    // expected terms directly from the base table, so render∘parse
+    // must be the identity for the hash to match.
+    "q_nt_roundtrip" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.functions.GraftExtensions.register(s)
+      val r = t(dir, "region").select($"r_regionkey".cast("string").as("k"), $"r_name")
+      // quote, backslash, newline, tab, and a control char — every
+      // escape class NTriples.escape produces
+      val nasty = concat($"r_name", lit("\"q\\x\n\tz\u0001"))
+      val lines = r.select(concat(lit("<http://ex/r/"), $"k",
+          lit("> <http://ex/p/name> \""), call_function("nt_escape", nasty),
+          lit("\"@en .")).as("line"))
+        .unionAll(r.select(concat(lit("<http://ex/r/"), $"k",
+          lit("> <http://ex/p/key> \""), $"k",
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> .")).as("line")))
+        .unionAll(r.select(concat(lit("<http://ex/r/"), $"k",
+          lit("> <http://ex/p/self> <http://ex/r/"), $"k", lit("> .")).as("line")))
+      graft.sources.NtReader.parseLines(lines, $"line")
+        .select($"subj", $"pred", $"objKind".as("obj_kind"), $"objIri".as("obj_iri"),
+          $"lexical", $"lang", $"datatype")
+        .orderBy("subj", "pred")
+    },
     // salted exact distinct-count per key (hub-key-safe two-stage; the
     // explicit-salting path for when partial-agg/AQE don't cover it)
     "q_skew_distinct" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -1276,6 +1301,23 @@ object SparkEntry {
         |  sha256(regexp_replace(regexp_replace(text, 'https?://[a-z0-9./_-]+', '<URL>', 'g'),
         |    '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS scrubbed_sha
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the oracle STATES the expected parsed terms — it never parses, so
+    // the engine's render∘parse must be the identity to hash-match.
+    // chr(34)=", chr(92)=\, chr(10)=LF, chr(9)=TAB mirror the planted
+    // escape-heavy text
+    "q_nt_roundtrip" ->
+      """WITH r AS (SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name FROM region)
+        |SELECT 'http://ex/r/' || k AS subj, 'http://ex/p/name' AS pred,
+        |  'literal' AS obj_kind, NULL AS obj_iri,
+        |  r_name || chr(34) || 'q' || chr(92) || 'x' || chr(10) || chr(9) || 'z' || chr(1) AS lexical,
+        |  'en' AS lang, NULL AS datatype FROM r
+        |UNION ALL
+        |SELECT 'http://ex/r/' || k, 'http://ex/p/key', 'literal', NULL, k,
+        |  NULL, 'http://www.w3.org/2001/XMLSchema#integer' FROM r
+        |UNION ALL
+        |SELECT 'http://ex/r/' || k, 'http://ex/p/self', 'iri', 'http://ex/r/' || k,
+        |  NULL, NULL, NULL FROM r
+        |ORDER BY subj, pred""".stripMargin,
     "q_skew_distinct" ->
       """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -44,6 +44,37 @@ object NTriples {
     sb.toString
   }
 
+  /** Inverse of [[escape]] (N-Triples 1.1 ECHAR + UCHAR): `\\ \" \n \r
+    * \t`, `\uXXXX`, `\UXXXXXXXX`. Tolerant of unknown `\x` (passes x
+    * through) so a truncated line degrades instead of throwing on the
+    * 100 TB read path. */
+  def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s // fast path: nothing escaped
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"'  => sb.append('"'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'U' if i + 10 <= s.length =>
+            sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 10
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def iri(u: String): String = "<" + u + ">"
 
   def literal(text: String): String = "\"" + escape(text) + "\""

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.ntEscapeDescriptor)
+    e.injectFunction(GraftExtensions.ntUnescapeDescriptor)
   }
 }
 
@@ -22,8 +23,17 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => NtEscape(exprs.head)
   )
 
+  val ntUnescapeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nt_unescape"),
+    new ExpressionInfo(classOf[NtUnescape].getName, "nt_unescape"),
+    (exprs: Seq[Expression]) => NtUnescape(exprs.head)
+  )
+
   /** register on an existing session (tests, REPL) */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nt_escape", exprs => NtEscape(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nt_unescape", exprs => NtUnescape(exprs.head), "built-in")
+  }
 }
