@@ -686,6 +686,30 @@ object SparkEntry {
       plans.Closure.transitive(edges, "src", "dst", maxDepth = 4)
         .orderBy($"src", $"dst")
     },
+    // Synchronous label propagation, 2 rounds (plans.LabelProp):
+    // plurality label of neighbors, smallest-label tie-break, keep own
+    // label when isolated — deterministic rules the oracle re-derives
+    // exactly with unrolled window SQL. Same synthetic modular graph
+    // family as q_pagerank, seeds = user_id mod 10.
+    "q_label_prop" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select($"user_id".as("a"), (($"user_id" * 31L + 7L) % 150L).as("b"))
+        .where($"a" =!= $"b").distinct()
+      val seeds = ev.select($"user_id".as("id")).distinct()
+        .withColumn("label", $"id" % 10L)
+      plans.LabelProp.run(edges, seeds, rounds = 2).orderBy("id")
+    },
+    // pivot (wide conditional aggregation): explicit value list keeps
+    // the plan a single hash agg — no extra distinct-values job, stable
+    // column set at any scale
+    "q_pivot" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events").join(t(dir, "customer"), $"user_id" === $"c_custkey")
+        .groupBy("c_mktsegment")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("c_mktsegment")
+    },
     // PageRank in scaled-integer fixed point (plans.PageRank): integer
     // sums are order-independent, so ranks are bit-identical across
     // partitionings AND engines — DuckDB re-derives them exactly with
@@ -1365,6 +1389,38 @@ object SparkEntry {
         |    + (85 * COALESCE(c3.sc, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
         |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin,
+    // 2 label-propagation rounds unrolled; plurality-with-smallest-
+    // label-tie = ROW_NUMBER ordered by (n DESC, label ASC)
+    "q_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT user_id AS a, (user_id * 31 + 7) % 150 AS b
+        |  FROM events WHERE user_id <> (user_id * 31 + 7) % 150),
+        |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT user_id AS id, user_id % 10 AS label FROM events),
+        |n1 AS (SELECT und.a AS id, l0.label, COUNT(*) AS n
+        |  FROM und JOIN l0 ON und.b = l0.id GROUP BY 1, 2),
+        |u1 AS (SELECT id, label FROM (SELECT id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn FROM n1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT l0.id, COALESCE(u1.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN u1 ON l0.id = u1.id),
+        |n2 AS (SELECT und.a AS id, l1.label, COUNT(*) AS n
+        |  FROM und JOIN l1 ON und.b = l1.id GROUP BY 1, 2),
+        |u2 AS (SELECT id, label FROM (SELECT id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn FROM n2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT l1.id, COALESCE(u2.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN u2 ON l1.id = u2.id)
+        |SELECT id, CAST(label AS BIGINT) AS label FROM l2 ORDER BY id""".stripMargin,
+    // COUNT(CASE ...) stays BIGINT (SUM would go HUGEINT → float in pandas)
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // final state after REPLACE PARTITION (lang='en') = untouched
     // partitions ∪ the rewritten en subset
     "q_snapshot_read" ->

@@ -92,6 +92,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(tri(star ++ rim) == 29L)
   }
 
+  test("label propagation matches a synchronous reference on random graphs") {
+    import spark.implicits._
+    import graft.plans.LabelProp
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 2; rounds <- Seq(1, 3)) {
+      val n = 40
+      val edges = (1 to 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = (0L until n).map(i => i -> (i % 5))
+      // reference: synchronous rounds, plurality, smallest-label ties,
+      // keep own label when no labeled neighbor
+      val und = (edges ++ edges.map(_.swap)).distinct
+      var ref = seeds.toMap
+      for (_ <- 1 to rounds) {
+        val next = ref.map { case (v, own) =>
+          val counts = und.filter(_._1 == v).map(e => ref(e._2))
+            .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          v -> (if (counts.isEmpty) own
+                else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+        }
+        ref = next
+      }
+      val got = LabelProp.run(edges.toDF("a", "b"),
+          seeds.toDF("id", "label"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref.map { case (k, v) => k -> v.toLong },
+        s"trial $trial rounds $rounds")
+    }
+  }
+
   test("triangles match a brute-force reference on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
