@@ -86,7 +86,10 @@ object Bench {
     // q_minhash_pairs: its exact-Jaccard verify join is quadratic in
     // dense LSH buckets (the synthetic corpus's tiny vocab collapses
     // buckets) — correctness-gated in Verify, not perf-tracked here
-    "q_repetition", "q_chunk_dedup")
+    "q_repetition", "q_chunk_dedup",
+    // iterative graph ops (join+agg per round): perf-track the
+    // per-round shuffle cost
+    "q_pagerank", "q_label_prop")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -791,6 +791,12 @@ object SparkEntry {
       graft.operators.Dedup.dedupChunks(t(dir, "documents"), $"doc_id", $"text", 2)
         .orderBy("doc_id")
     },
+    // overlapping sliding windows (RAG passage splitting): in-row
+    // sequence→slice flat map, zero shuffle; window count integer-exact
+    "q_sliding_chunks" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.slidingChunks(t(dir, "documents"), $"doc_id", $"text",
+        chunkTokens = 6, stride = 4).orderBy("doc_id", "idx")
+    },
     // Fuzzy-dedup canonicalization: near-dup pairs → connected
     // components → keep the best-quality doc per cluster (quality =
     // n_chars, tie → min id); singletons kept as their own cluster
@@ -1483,6 +1489,17 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
         |       COUNT(*) AS n_chunks_kept
         |FROM s WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // chunk=6 stride=4; nwin = 1 + ceil((len-6)/4) via integer //;
+    // DuckDB 1-based inclusive slice clamps at the end like Spark slice
+    "q_sliding_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 6 THEN 1
+        |       ELSE (len(toks) - 6 + 3) // 4 + 1 END AS nwin FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |  array_to_string(toks[(i*4+1):(i*4+6)], ' ') AS chunk
+        |FROM w, LATERAL (SELECT UNNEST(range(0, nwin)) AS i) r
+        |ORDER BY doc_id, idx""".stripMargin,
     // near-dup clusters (same pair list as q_neardup_clusters) + the
     // per-cluster best-quality representative
     "q_neardup_keep_best" ->

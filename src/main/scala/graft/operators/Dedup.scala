@@ -29,6 +29,26 @@ object Dedup {
   def docTokens(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), explode(array_distinct(split(text, " "))).as("token"))
 
+  /** (doc_id, idx, chunk): overlapping sliding windows of `chunkTokens`
+    * tokens advancing by `stride` — the RAG/embedding passage splitter
+    * (overlap = chunkTokens - stride keeps sentences that straddle a
+    * boundary retrievable from both sides). Window count is
+    * `1 + ceil((len - chunkTokens) / stride)` (one window when the doc
+    * fits), integer-exact so an oracle re-derives it. Pure in-row
+    * array arithmetic (sequence → slice), zero shuffle: the operator
+    * is a flat map whatever the corpus size. */
+  def slidingChunks(df: DataFrame, id: Column, text: Column,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, s"chunk=$chunkTokens stride=$stride")
+    val len = size(col("toks"))
+    val nWin = when(len <= chunkTokens, lit(1)).otherwise(
+      ((len - lit(chunkTokens) + lit(stride - 1)) / lit(stride)).cast("int") + lit(1))
+    df.select(id.cast("long").as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nWin - 1),
+        i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(chunkTokens))))))
+      .toDF("doc_id", "idx", "chunk")
+  }
+
   /** (doc_id, idx, chunk): each document split into fixed-size token
     * chunks (the last chunk may be short). */
   def chunks(df: DataFrame, id: Column, text: Column, chunkTokens: Int): DataFrame = {

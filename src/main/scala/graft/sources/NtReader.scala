@@ -79,4 +79,17 @@ object NtReader {
     * dropped — inverse of [[graft.Pipeline.ntLines]]. */
   def triples(spark: SparkSession, path: String): DataFrame =
     readNt(spark, path).where(col("objKind") =!= "err").select("subj", "pred", "obj")
+
+  /** Dump-to-dump diff: (subj, pred, obj, op ∈ added|removed) between
+    * two N-Triples outputs — what changed between two runs/corpus
+    * versions, computed from the published artifacts alone (no corpus,
+    * no spec). Bag semantics via exceptAll; each side is one
+    * hash-partitioned set difference on the full triple — two shuffles
+    * total, no driver materialization. */
+  def diff(spark: SparkSession, oldPath: String, newPath: String): DataFrame = {
+    val o = triples(spark, oldPath)
+    val n = triples(spark, newPath)
+    n.exceptAll(o).withColumn("op", lit("added"))
+      .unionAll(o.exceptAll(n).withColumn("op", lit("removed")))
+  }
 }

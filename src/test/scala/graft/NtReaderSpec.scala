@@ -78,6 +78,26 @@ class NtReaderSpec extends AnyFunSuite {
     triples.unpersist()
   }
 
+  test("dump-to-dump diff reports exactly the added and removed triples") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ntdiff")
+    val t0 = Seq(
+      ("http://s/1", "http://p", "<http://o/1>"),
+      ("http://s/2", "http://p", "\"kept\"@en"),
+      ("http://s/3", "http://p", "\"gone\"")).toDF("subj", "pred", "obj")
+    val t1 = Seq(
+      ("http://s/1", "http://p", "<http://o/1>"),
+      ("http://s/2", "http://p", "\"kept\"@en"),
+      ("http://s/4", "http://p", "\"new\"")).toDF("subj", "pred", "obj")
+    Pipeline.writeNt(t0, s"$base/old")
+    Pipeline.writeNt(t1, s"$base/new")
+    val got = NtReader.diff(spark, s"$base/old", s"$base/new")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("http://s/4", "\"new\"", "added"),
+      ("http://s/3", "\"gone\"", "removed")), got.toString)
+  }
+
   test("parse stays in whole-stage codegen (no UDF, native nt_unescape)") {
     // a file-backed scan (a local Seq constant-folds to LocalTableScan)
     val f = java.nio.file.Files.createTempDirectory("graft-ntplan").resolve("a.nt")

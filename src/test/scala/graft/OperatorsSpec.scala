@@ -570,6 +570,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"byRate must be shuffle-free:\n$plan")
   }
 
+  test("sliding chunks: window count, overlap, and short-doc behavior match a reference") {
+    import spark.implicits._
+    def ref(text: String, c: Int, s: Int): Seq[(Int, String)] = {
+      val toks = text.split(" ", -1)
+      val nwin = if (toks.length <= c) 1 else (toks.length - c + s - 1) / s + 1
+      (0 until nwin).map(i => i -> toks.slice(i * s, i * s + c).mkString(" "))
+    }
+    val texts = Seq(
+      "a b c d e f g h i j",  // len 10
+      "a b c d e f",          // exactly one window at c=6
+      "a b",                  // short doc
+      "")                     // empty
+    for ((c, s) <- Seq((6, 4), (4, 4), (3, 1))) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.operators.Dedup.slidingChunks(df, $"id", $"text", c, s)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(x => (x._2, x._3)).toSeq }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == ref(t, c, s), s"doc $i c=$c s=$s")
+      }
+    }
+    // zero shuffle: in-row flat map only
+    val plan = graft.operators.Dedup.slidingChunks(
+      Seq((1L, "a b c")).toDF("id", "text"), $"id", $"text", 6, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("rare-token stats: counts match a hand unigram model") {
     import spark.implicits._
     // corpus: "the" appears 4×, "cat"/"dog" 2× each, others once
