@@ -89,7 +89,10 @@ object Bench {
     "q_repetition", "q_chunk_dedup",
     // iterative graph ops (join+agg per round): perf-track the
     // per-round shuffle cost
-    "q_pagerank", "q_label_prop")
+    "q_pagerank", "q_label_prop",
+    // temporal joins + bloom decontamination: single-shuffle as-of,
+    // bucketed range join, map-side bloom prefilter
+    "q_asof_attrib", "q_interval_join", "q_decontaminate")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -898,6 +898,97 @@ object SparkEntry {
         t(dir, "documents").select($"doc_id", $"lang", $"n_chars"),
         $"lang", $"doc_id", n = 3, rankExpr = Some(-$"n_chars"))
         .orderBy("lang", "doc_id")
+    },
+    // as-of join (event attribution): each purchase gets the latest
+    // click at-or-before it for the same user — ONE keyed shuffle +
+    // per-key running last(), zero row amplification (never a range
+    // join). Tie-break on click_id keeps duplicate-timestamp right
+    // rows deterministic.
+    "q_asof_attrib" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"), $"value".as("click_value"))
+      graft.operators.Joins.asOfJoin(purchases, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts", tieBreak = "click_id",
+        rightCols = Seq("click_id", "click_value"))
+        .orderBy("event_id")
+    },
+    // range (interval) join WITHOUT an equi key: purchases landing in
+    // any signup's 6-hour attribution window, via bucketed equi-join on
+    // epoch-micros buckets (each pair meets in exactly one bucket; a
+    // naive BETWEEN plans as BroadcastNestedLoopJoin)
+    "q_interval_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val win = 21600000000L // 6h in micros == the bucket width
+      val points = ev.where($"event_type" === "purchase")
+        .select($"event_id".as("point_id"), unix_micros($"ts".cast("timestamp")).as("p"))
+      val ivals = ev.where($"event_type" === "signup")
+        .select($"event_id".as("interval_id"), unix_micros($"ts".cast("timestamp")).as("s"),
+          (unix_micros($"ts".cast("timestamp")) + win).as("e"))
+      graft.operators.Joins.rangeJoin(points, "p", ivals, "s", "e", bucketWidth = win)
+        .select("point_id", "interval_id")
+        .orderBy("point_id", "interval_id")
+    },
+    // bloom-prefiltered exact-key decontamination: training docs whose
+    // text appears in the benchmark set are dropped. Result is EXACTLY
+    // the anti join (false positives removed by the verify join), but
+    // only bloom-positive rows reach the shuffle — (ε+fpp)·|corpus|
+    // instead of |corpus| at 100 TB
+    "q_decontaminate" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val bench = docs.where($"doc_id" % 13 === 0).select($"text")
+      graft.operators.Joins.bloomAntiJoin(docs, "text", bench, "text",
+        bits = 1 << 16, k = 5)
+        .orderBy("doc_id")
+    },
+    // fuzzy (near-dup) decontamination: corpus docs within Jaccard 60%
+    // of ANY benchmark doc — MinHash bands probe only the (small,
+    // broadcastable) benchmark band table, exact verify on candidates
+    "q_fuzzy_decontaminate" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val bench = docs.where($"doc_id" % 13 === 0)
+      graft.operators.Dedup.fuzzyContaminated(
+        docs, $"doc_id", $"text", bench, $"doc_id", $"text",
+        k = 4, rowsPerBand = 2, minPercent = 60)
+        .orderBy("doc_id", "bench_id")
+    },
+    // k-core decomposition (graph coherence filter): synchronous peel,
+    // one partial-aggregable degree count + two semi-joins per round;
+    // dropped keys leave the computation, surviving hubs are dense by
+    // definition — no skew concentration
+    "q_kcore" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select($"user_id".as("a"), ($"event_id" % 97L).as("b")).distinct()
+      plans.KCore.run(edges, k = 3, rounds = 3).orderBy("id")
+    },
+    // exact heavy hitters (vocabulary head) WITHOUT shuffling the token
+    // stream: per-partition Misra-Gries candidates (lossless superset),
+    // exact verify count on candidates only — result == plain
+    // GROUP BY/HAVING, which is the oracle
+    "q_heavy_hitters" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val tokens = t(dir, "documents").select(explode(split($"text", " ")).as("item"))
+      graft.operators.Frequent.heavyHitters(tokens, $"item", minFraction = 0.005)
+        .orderBy("item")
+    },
+    // storage-level co-located join: both sides written hash-bucketed by
+    // the join key, so the join (and any later groupBy on the key)
+    // plans with ZERO Exchange — the recurring-join layout for 100 TB
+    // fact tables. Plan asserted shuffle-free in OperatorsSpec.
+    "q_bucketed_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed-q").toString
+      sources.BucketedTable.write(
+        t(dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        "bq_orders", s"$base/orders", "o_custkey", buckets = 8)
+      sources.BucketedTable.write(
+        t(dir, "customer").select($"c_custkey", $"c_mktsegment"),
+        "bq_customer", s"$base/customer", "c_custkey", buckets = 8)
+      sources.BucketedTable.colocatedJoin(s, "bq_orders", "bq_customer",
+          "o_custkey", "c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -1638,7 +1729,98 @@ object SparkEntry {
       """WITH r AS (SELECT doc_id, lang, n_chars,
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY -n_chars, doc_id) AS rn
         |  FROM documents)
-        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    // ASOF LEFT JOIN is DuckDB-native (greatest r.ts <= l.ts per key) —
+    // an INDEPENDENT algorithm from the union+window plan. Right side
+    // deduped to max click_id per (user_id, ts) == the tieBreak rule.
+    "q_asof_attrib" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c1 AS (SELECT user_id, ts, click_id, click_value FROM c WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c1.click_id, c1.click_value
+        |FROM p ASOF LEFT JOIN c1 ON p.user_id = c1.user_id AND p.ts >= c1.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // plain inequality join — independent of the bucketed plan
+    "q_interval_join" ->
+      """WITH p AS (SELECT event_id AS point_id, epoch_us(ts) AS pm
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS interval_id, epoch_us(ts) AS sm
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT point_id, interval_id FROM p JOIN s
+        |ON p.pm >= s.sm AND p.pm <= s.sm + 21600000000
+        |ORDER BY point_id, interval_id""".stripMargin,
+    // bloom result == exact anti join by construction
+    "q_decontaminate" ->
+      """SELECT d.* FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents b
+        |                  WHERE b.doc_id % 13 = 0 AND b.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+    // same poly-id MinHash signatures, banding, and exact verify as the
+    // engine, re-derived in SQL over the corpus and the benchmark subset
+    "q_fuzzy_decontaminate" -> {
+      val p = graft.operators.Dedup.minhashBigPrime
+      val mins = graft.operators.Dedup.minhashCoeffs(4).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a*token_id+$b) % $p) AS mh$i"
+      }.mkString(", ")
+      s"""WITH tokA AS (SELECT DISTINCT doc_id, token FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+         |ttA AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(token)+1),
+         |        i -> CAST(ord(substr(token, CAST(i AS INT), 1)) AS BIGINT))),
+         |    (h, c) -> (h*31 + c) % $p) AS token_id
+         |  FROM tokA),
+         |ttB AS (SELECT * FROM ttA WHERE doc_id % 13 = 0),
+         |sigA AS (SELECT doc_id, $mins FROM ttA GROUP BY doc_id),
+         |sigB AS (SELECT doc_id, $mins FROM ttB GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sigA a JOIN sigB b
+         |  ON ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+         |szA AS (SELECT doc_id, COUNT(*) AS n_a FROM ttA GROUP BY doc_id),
+         |szB AS (SELECT doc_id, COUNT(*) AS n_b FROM ttB GROUP BY doc_id),
+         |i AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter FROM cand c
+         |  JOIN ttA ta ON ta.doc_id = c.id_a
+         |  JOIN ttB tb ON tb.doc_id = c.id_b AND ta.token_id = tb.token_id
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a AS doc_id, i.id_b AS bench_id, i.inter, sa.n_a, sb.n_b
+         |FROM i JOIN szA sa ON sa.doc_id = i.id_a JOIN szB sb ON sb.doc_id = i.id_b
+         |WHERE 100*i.inter >= 60*(sa.n_a + sb.n_b - i.inter)
+         |ORDER BY doc_id, bench_id""".stripMargin
+    },
+    // k-core rounds unrolled; engine's early fixpoint exit is a no-op
+    // relative to the full unroll
+    "q_kcore" -> {
+      val k = 3; val rounds = 3
+      val sb = new StringBuilder(
+        """WITH raw AS (SELECT DISTINCT user_id AS a, event_id % 97 AS b
+          |  FROM events WHERE user_id <> event_id % 97),
+          |e0 AS (SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw)""".stripMargin)
+      for (i <- 0 until rounds) sb.append(
+        s""",
+           |d$i AS (SELECT a, COUNT(*) AS deg FROM e$i GROUP BY a),
+           |k$i AS (SELECT a FROM d$i WHERE deg >= $k),
+           |e${i + 1} AS (SELECT e.a, e.b FROM e$i e
+           |  JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin)
+      sb.append(s"\nSELECT a AS id, COUNT(*) AS deg FROM e$rounds GROUP BY a ORDER BY id")
+      sb.toString
+    },
+    // the MG prefilter is lossless, so the oracle is the plain aggregate
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        |n AS (SELECT COUNT(*) AS total FROM tok)
+        |SELECT item, COUNT(*) AS cnt FROM tok, n
+        |GROUP BY item, n.total HAVING COUNT(*) >= CEIL(0.005 * n.total)
+        |ORDER BY item""".stripMargin,
+    // the bucketed layout is a physical property; the logical result is
+    // the plain join+agg
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

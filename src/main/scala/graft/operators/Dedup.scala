@@ -248,6 +248,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
   }
 
+  /** Cross-corpus fuzzy decontamination: (doc_id, bench_id, inter, n_a,
+    * n_b) for every corpus doc whose token-set Jaccard with a benchmark
+    * doc reaches `minPercent` — the near-dup contamination check run
+    * before training (exact-key decontamination misses paraphrased /
+    * lightly-edited benchmark leaks).
+    *
+    * Same MinHash(poly-id)+banding+exact-verify shape as
+    * [[minhashNearDups]], but the band join is CROSS-corpus: corpus
+    * bands probe only benchmark bands. The benchmark side is tiny
+    * relative to a 100 TB corpus, so its band table (nBands rows per
+    * bench doc) broadcasts and the corpus side never shuffles for the
+    * candidate stage; only candidate pairs (ε·|corpus|) reach the
+    * exact-Jaccard verify joins. Poly token ids keep both signature and
+    * verify integer-exact in any SQL engine. */
+  def fuzzyContaminated(docs: DataFrame, id: Column, text: Column,
+                        bench: DataFrame, bid: Column, btext: Column,
+                        k: Int = 4, rowsPerBand: Int = 2,
+                        minPercent: Int = 60): DataFrame = {
+    val nBands = k / rowsPerBand
+    def bandsOf(sig: DataFrame, idName: String): DataFrame =
+      (0 until nBands).map { bnd =>
+        val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+        sig.select(col("doc_id").as(idName), lit(bnd).as("band"),
+          concat_ws("|", cols: _*).as("bucket"))
+      }.reduce(_ union _)
+    val bandsA = bandsOf(minhashPoly(docs, id, text, k), "id_a")
+    val bandsB = bandsOf(minhashPoly(bench, bid, btext, k), "bench_id")
+      .withColumnRenamed("band", "band_b").withColumnRenamed("bucket", "bucket_b")
+    val cand = bandsA.join(bandsB,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b"))
+      .select(col("id_a"), col("bench_id").as("id_b")).distinct()
+
+    val tokA = docTokens(docs, id, text).withColumn("token_id", polyTokenId(col("token")))
+    val tokB = docTokens(bench, bid, btext).withColumn("token_id", polyTokenId(col("token")))
+    val sizesA = tokA.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val sizesB = tokB.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val inter = cand
+      .join(tokA.select(col("doc_id").as("id_a"), col("token_id")), "id_a")
+      .join(tokB.select(col("doc_id").as("id_b"), col("token_id").as("tid_b")), "id_b")
+      .filter(col("token_id") === col("tid_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(sizesB.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .filter(lit(100) * col("inter") >= lit(minPercent) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("id_a").as("doc_id"), col("id_b").as("bench_id"),
+        col("inter"), col("n_a"), col("n_b"))
+  }
+
   /** 32-bit SimHash over rank token ids (portable arithmetic:
     * h(t) = (token_id * 2654435761) mod 2^32; bit j weighted ±1;
     * signature bit j set iff the weighted sum is positive). */

@@ -139,4 +139,45 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial: got $got expected $expected")
     }
   }
+
+  /** reference k-core: synchronous peel to fixpoint (or round cap) */
+  private def refKCore(edges: Seq[(String, String)], k: Int,
+                       rounds: Int = Int.MaxValue): Map[String, Int] = {
+    var e = edges.filter(x => x._1 != x._2).flatMap(x => Seq(x, x.swap)).distinct
+    var i = 0
+    var changed = true
+    while (i < rounds && changed) {
+      val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter(x => keep(x._1) && keep(x._2))
+      changed = next.size != e.size
+      e = next; i += 1
+    }
+    e.groupBy(_._1).map { case (n, es) => n -> es.size }
+  }
+
+  test("k-core: 4-clique with pendant chain — the 3-core is exactly the clique") {
+    import spark.implicits._
+    val clique = for (i <- 0 until 4; j <- i + 1 until 4) yield (s"c$i", s"c$j")
+    val chain = Seq(("c0", "p1"), ("p1", "p2"), ("p2", "p3"))
+    val got = graft.plans.KCore.run((clique ++ chain).toDF("a", "b"), k = 3, rounds = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got == Map("c0" -> 3, "c1" -> 3, "c2" -> 3, "c3" -> 3), got.toString)
+  }
+
+  test("k-core matches the reference peel on random graphs, incl. bounded rounds") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + trial)
+      val n = 40
+      val edges = (1 to 160).map(_ => (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      for ((k, rounds) <- Seq((2, 1), (3, 2), (3, 20))) {
+        val got = graft.plans.KCore.run(edges.toDF("a", "b"), k, rounds)
+          .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+        val want = refKCore(edges, k, rounds)
+        assert(got == want, s"trial $trial k=$k rounds=$rounds")
+      }
+    }
+  }
 }

@@ -665,4 +665,155 @@ class OperatorsSpec extends AnyFunSuite {
       graft.emit.TripleEmitter.prologue.size // stream emits no prologue
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
+
+  test("as-of join matches brute force, incl. duplicate timestamps and unmatched rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // small ts domain forces equal-ts ties both within the right side
+    // and between left and right (the inclusive + tieBreak edge cases)
+    val left = (1 to 120).map(i => (i.toLong, (rnd.nextInt(8) + 1).toLong, rnd.nextInt(20).toLong, i * 1.5))
+    val right = (1 to 150).map(i => ((rnd.nextInt(10) + 1).toLong, rnd.nextInt(20).toLong, 1000L + i, i * 0.25))
+    val l = left.toDF("event_id", "user_id", "ts", "value")
+    val r = right.toDF("user_id", "ts", "click_id", "click_value")
+    val got = graft.operators.Joins.asOfJoin(l, r, "user_id", "ts", "ts", "click_id",
+        Seq("click_id", "click_value"))
+      .collect().map(x => (x.getLong(0), Option(x.get(4)).map(_.asInstanceOf[Long]))).toMap
+    left.foreach { case (id, u, ts, _) =>
+      // brute force: greatest right ts <= ts for the user, tie -> max click_id
+      val cand = right.filter(c => c._1 == u && c._2 <= ts)
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(c => (c._2, c._3))._3)
+      assert(got(id) == want, s"left $id user $u ts $ts: got ${got(id)} want $want")
+    }
+    // plan shape: ONE hash shuffle on the key (the union is narrow, the
+    // window consumes the single exchange) — never a range/NL join
+    val plan = graft.operators.Joins.asOfJoin(l, r, "user_id", "ts", "ts", "click_id",
+      Seq("click_id", "click_value")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"want 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("range join: bucketed equi-join == brute-force interval containment, one row per pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 200).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val ivals = (1 to 60).map { i =>
+      val s = rnd.nextInt(950).toLong; (1000L + i, s, s + rnd.nextInt(120).toLong)
+    }
+    val got = graft.operators.Joins.rangeJoin(
+        points.toDF("point_id", "p"), "p",
+        ivals.toDF("interval_id", "s", "e"), "s", "e", bucketWidth = 64)
+      .select("point_id", "interval_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = for {
+      (pid, p) <- points; (iid, s, e) <- ivals; if p >= s && p <= e
+    } yield (pid, iid)
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      s"got ${got.length} pairs want ${want.length}")
+    // each qualifying pair meets in exactly ONE bucket — no dup rows
+    assert(got.length == got.distinct.length)
+    // and the plan is a real equi-join, not a nested-loop/cartesian
+    val plan = graft.operators.Joins.rangeJoin(
+      points.toDF("point_id", "p"), "p",
+      ivals.toDF("interval_id", "s", "e"), "s", "e", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bloom anti join == exact anti join, even with a saturated 64-bit filter") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"text-${i % 90}")).toDF("doc_id", "text")
+    val bench = docs.where($"doc_id" % 7 === 0).select($"text")
+    val want = docs.join(bench.distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // bits=64 saturates the filter -> nearly everything is a false
+    // positive -> the exact verify join must remove them all
+    for ((bits, k) <- Seq((64, 2), (1 << 16, 5))) {
+      val got = graft.operators.Joins.bloomAntiJoin(docs, "text", bench, "text", bits, k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"bits=$bits k=$k: ${got.length} vs ${want.length}")
+    }
+    // empty benchmark set: everything survives, no probe-side crash
+    val none = graft.operators.Joins.bloomAntiJoin(
+      docs, "text", bench.where(lit(false)), "text", 1 << 10, 3).count()
+    assert(none == 300)
+  }
+
+  test("fuzzy decontamination flags planted paraphrases of benchmark docs, not fresh text") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (2L, "machine learning models require large diverse training data sets"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // verbatim leak
+      (10L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      // one-token paraphrase (Jaccard 10/12 ≈ 83%)
+      (11L, "the quick brown fox jumps over the sleepy dog near the red barn"),
+      // unrelated
+      (12L, "completely different content about cooking pasta with tomato sauce"),
+      // shares two common words only
+      (13L, "the dog sat alone")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.fuzzyContaminated(
+        docs, $"doc_id", $"text", bench, $"doc_id", $"text",
+        k = 4, rowsPerBand = 2, minPercent = 60)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 1L)), s"verbatim leak missed: $got")
+    assert(got.contains((11L, 1L)), s"paraphrase leak missed: $got")
+    assert(!got.exists(_._1 == 12L) && !got.exists(_._1 == 13L), s"false positive: $got")
+  }
+
+  test("heavy hitters: MG prefilter + exact verify == plain groupBy/HAVING on zipf data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // zipf-ish: item i drawn with weight ~ 1/i over 200 items
+    val weights = (1 to 200).map(i => 1.0 / i)
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val items = (1 to 20000).map { _ =>
+      val x = rnd.nextDouble() * total
+      s"w${cum.indexWhere(_ >= x) + 1}"
+    }
+    for (f <- Seq(0.01, 0.002)) {
+      // force many partitions so per-partition MG summaries must merge
+      val df = spark.sparkContext.parallelize(items, 16).toDF("item")
+      val got = graft.operators.Frequent.heavyHitters(df, $"item", f)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val thr = math.max(1L, math.ceil(f * items.size).toLong)
+      val want = items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).toMap
+      assert(got == want, s"f=$f: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("bucketed tables: co-located join plans with zero Exchange and matches plain join") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket-t").toString
+    val facts = (1 to 500).map(i => (i.toLong, (i % 37).toLong, i * 2.0)).toDF("fk", "key", "v")
+    val dims = (0 to 36).map(i => (i.toLong, s"d$i")).toDF("key2", "name")
+    graft.sources.BucketedTable.write(facts, "t_facts", s"$base/facts", "key", 4)
+    graft.sources.BucketedTable.write(dims, "t_dims", s"$base/dims", "key2", 4)
+    // disable broadcast so the alternative is a shuffled SMJ — exactly
+    // the 100 TB fact⋈fact scenario bucketing exists for (with a
+    // broadcastable side Catalyst rightly prefers broadcast, and the
+    // planner disables bucketed reading)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.sources.BucketedTable.colocatedJoin(
+        spark, "t_facts", "t_dims", "key", "key2")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+      // and an aggregation on the bucket key rides the same layout
+      val agg = spark.table("t_facts").groupBy("key").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        agg.queryExecution.executedPlan.toString)
+      val got = joined.select($"fk", $"name").as[(Long, String)].collect().toSet
+      val want = facts.join(dims, $"key" === $"key2").select($"fk", $"name")
+        .as[(Long, String)].collect().toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
