@@ -989,6 +989,31 @@ object SparkEntry {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
         .orderBy("c_mktsegment")
+    },
+    // exact per-group quantiles WITHOUT the per-group sort q_percentile
+    // pays (one task per group): iterative histogram refinement — ≤7
+    // partial-aggregable hash aggs total, data never sorted or shuffled
+    // by value. Values fixed-point-scaled through DECIMAL for exactness.
+    "q_quantile_refine" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val li = t(dir, "lineitem").select($"l_returnflag",
+        ($"l_quantity".cast("decimal(18,2)") * 100).cast("long").as("v"))
+      graft.operators.Quantiles.quantiles(li, $"l_returnflag", $"v",
+          Seq(0.5 -> "p50s", 0.9 -> "p90s"))
+        .select($"g".as("l_returnflag"),
+          ($"p50s" / 100.0).as("p50"), ($"p90s" / 100.0).as("p90"))
+        .orderBy("l_returnflag")
+    },
+    // stream-STREAM interval join (watermarked both sides, time-bounded
+    // condition ⇒ GC-able state): purchases ⋈ same-user clicks in the
+    // preceding 6h; equals the batch interval join, which is the oracle
+    "q_stream_stream_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val joined = graft.streaming.StreamingPipeline.purchaseClickJoin(
+        s, s"$dir/events.parquet", windowMinutes = 360)
+      val name = "sssj" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy("purchase_id", "click_id")
     }
   )
 
@@ -1820,7 +1845,26 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the k-th-smallest definition the refinement computes, as the rank
+    // window (monotone scaling ⇒ same element; 2-decimal values make
+    // scaled/100.0 re-land on the identical double)
+    "q_quantile_refine" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN rn = CEIL(n*0.5) THEN l_quantity END) AS p50,
+        |  MIN(CASE WHEN rn = CEIL(n*0.9) THEN l_quantity END) AS p90
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // single-batch file source ⇒ no late drops; streaming inner interval
+    // join == the batch interval join
+    "q_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

@@ -83,6 +83,33 @@ object StreamingPipeline {
     eventsStream(spark, eventsDir)
       .join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
 
+  /** Stream-stream interval join with bounded state: purchases joined to
+    * the same user's clicks from the preceding `windowMinutes` — the
+    * streaming face of the as-of/attribution joins. BOTH sides carry a
+    * watermark and the join condition time-bounds the match window, so
+    * Spark can GC each side's state as event time advances (without the
+    * interval bound, stream-stream state grows forever). Inner join:
+    * rows emit as soon as both sides arrive; equality with the batch
+    * interval join over the same files is the oracle contract. */
+  def purchaseClickJoin(spark: SparkSession, eventsDir: String,
+                        windowMinutes: Int = 360,
+                        watermark: String = "2 hours"): DataFrame = {
+    val purchases = eventsStream(spark, eventsDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val clicks = eventsStream(spark, eventsDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Streaming dedup with bounded state: duplicates dropped within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of D1/exact dedup; state is GC'd as the watermark advances, so

@@ -816,4 +816,53 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got == want)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("quantile refinement == sorted-rank reference: duplicates, negatives, many rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three groups with very different shapes: wide range, heavy
+    // duplicates, constant
+    val data =
+      (1 to 700).map(i => ("wide", rnd.nextLong() % 1000000000L)) ++
+      (1 to 500).map(i => ("dup", (rnd.nextInt(7) - 3).toLong)) ++
+      (1 to 90).map(_ => ("const", 42L))
+    val df = data.toDF("g", "v").repartition(8)
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.99 -> "p99")
+    // buckets=4 forces many refinement rounds over the 64-bit-ish range
+    for (buckets <- Seq(4, 1024)) {
+      val got = graft.operators.Quantiles.quantiles(df, $"g", $"v", qs, buckets)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = data.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        def kth(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1)
+        g -> (kth(0.25), kth(0.5), kth(0.99))
+      }
+      assert(got == want, s"buckets=$buckets: $got vs $want")
+    }
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/events.parquet").exists)
+    val joined = graft.streaming.StreamingPipeline.purchaseClickJoin(
+      spark, s"$sf/events.parquet", windowMinutes = 360)
+    val name = "sssjt" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val p = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("pts"))
+    val c = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+    val batch = p.join(c, $"user_id" === $"cu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 360 MINUTES") && $"cts" <= $"pts")
+      .select($"purchase_id", $"click_id", $"user_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+  }
 }
