@@ -1014,6 +1014,29 @@ object SparkEntry {
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
       s.table(name).orderBy("purchase_id", "click_id")
+    },
+    // Z-order (Morton) clustering value: unrolled static-shift integer
+    // arithmetic, whole-stage codegen — the multi-dimension file-skipping
+    // layout key (tile effect asserted in OperatorsSpec; this query
+    // oracle-pins the interleave arithmetic)
+    "q_zvalue" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events").select($"event_id",
+        graft.operators.Layout.zValue($"user_id" % 1024, $"event_id" % 1024, bits = 10).as("z"))
+        .orderBy("event_id")
+    },
+    // training-example assembly: per-user chronological action sequence
+    // (multi-turn example construction). collect_list is UNORDERED under
+    // partial aggregation — array_sort on (ts, event_id) makes the
+    // result partitioning-invariant and therefore oracle-able; one hash
+    // agg, no window
+    "q_sequence_assembly" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events")
+        .groupBy($"user_id")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x("event_type"))).as("seq"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
     }
   )
 
@@ -1864,7 +1887,25 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // Morton interleave unrolled in integer SQL — bit i of u at 4^i,
+    // bit i of e at 2·4^i
+    "q_zvalue" -> {
+      val bits = 10
+      val terms = (0 until bits).flatMap { i =>
+        Seq(s"((u // ${1L << i}) % 2) * ${1L << (2 * i)}",
+          s"((e // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT event_id, user_id % 1024 AS u, event_id % 1024 AS e FROM events)
+         |SELECT event_id, CAST($terms AS BIGINT) AS z FROM b ORDER BY event_id""".stripMargin
+    },
+    // deterministic ORDER BY (ts, event_id) inside the aggregate mirrors
+    // the array_sort tiebreak
+    "q_sequence_assembly" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

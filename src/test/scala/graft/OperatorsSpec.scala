@@ -865,4 +865,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch,
       s"stream ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("z-order layout: per-file ranges tighten on BOTH dimensions (vs linear sort on one)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 20000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val df = rows.toDF("x", "y").repartition(8)
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+
+    def avgWidths(path: String): (Double, Double) = {
+      val per = spark.read.parquet(path)
+        .groupBy(col("_metadata.file_path"))
+        .agg((max("x") - min("x")).as("wx"), (max("y") - min("y")).as("wy"))
+        .agg(avg("wx"), avg("wy")).head()
+      (per.getDouble(0), per.getDouble(1))
+    }
+
+    graft.operators.Layout.zOrderWrite(df, s"$base/z", "x", "y", bits = 10, files = 16)
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/xsort")
+    val (zx, zy) = avgWidths(s"$base/z")
+    val (_, xy) = avgWidths(s"$base/xsort")
+    // 16 z-files ≈ 4×4 tiles of the 1024² domain: both widths ≈ 256 ≪
+    // 1024; the x-sorted layout leaves y ranges at ~full width
+    assert(zx < 500 && zy < 500, s"z tile widths x=$zx y=$zy")
+    assert(xy > 900, s"x-sorted baseline should have full-width y: $xy")
+    assert(zy < xy / 2, s"z-order y-width $zy !< half of x-sort's $xy")
+    // round-trip: layout must not change the data
+    assert(spark.read.parquet(s"$base/z").count() == rows.size)
+
+    // the interleave itself: spot-check against a bit-twiddling reference
+    val ref = (x: Long, y: Long) => (0 until 10).map(i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val got = df.limit(100).select($"x", $"y",
+        graft.operators.Layout.zValue($"x", $"y", 10).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
+  }
 }
