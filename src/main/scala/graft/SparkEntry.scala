@@ -1037,6 +1037,16 @@ object SparkEntry {
           x => x("event_type"))).as("seq"),
           count(lit(1)).as("n"))
         .orderBy("user_id")
+    },
+    // quality-filter evaluation: binned PR curve (one hash agg over the
+    // corpus; the threshold sweep runs over the BIN table, never a
+    // global sort by score) — exact ppm integer arithmetic
+    "q_pr_curve" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Eval.prCurve(
+        t(dir, "documents"),
+        scoreBin = least(expr("n_chars div 50"), lit(19L)).cast("long"),
+        label = ($"lang" === "en").cast("int"))
+        .orderBy("bin")
     }
   )
 
@@ -1905,7 +1915,22 @@ object SparkEntry {
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
         |  COUNT(*) AS n
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same binning + descending cumulative + exact integer ppm
+    "q_pr_curve" ->
+      """WITH b AS (SELECT LEAST(n_chars // 50, 19) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |p AS (SELECT bin, SUM(y) AS pos, SUM(1 - y) AS neg FROM b GROUP BY bin),
+        |c AS (SELECT bin,
+        |    SUM(pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(neg) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |    SUM(pos) OVER () AS tot FROM p)
+        |SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tot - tp AS BIGINT) AS fn,
+        |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CASE WHEN tot = 0 THEN NULL
+        |       ELSE CAST((tp * 1000000) // tot AS BIGINT) END AS recall_ppm
+        |FROM c ORDER BY bin""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

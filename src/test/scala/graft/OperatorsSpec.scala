@@ -902,4 +902,29 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
   }
+
+  test("PR curve: binned sweep matches a hand-computed threshold evaluation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // scores 0..9, positives concentrated at high scores
+    val data = (1 to 2000).map { _ =>
+      val bin = rnd.nextInt(10).toLong
+      val y = if (rnd.nextInt(10) < bin) 1 else 0
+      (bin, y)
+    }
+    val got = graft.operators.Eval.prCurve(
+        data.toDF("bin", "y").repartition(8), $"bin", $"y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val totPos = data.count(_._2 == 1).toLong
+    data.map(_._1).distinct.foreach { t =>
+      val pred = data.filter(_._1 >= t)
+      val tp = pred.count(_._2 == 1).toLong
+      val fp = pred.count(_._2 == 0).toLong
+      val want = (tp, fp, totPos - tp, tp * 1000000L / (tp + fp), tp * 1000000L / totPos)
+      assert(got(t) == want, s"threshold $t: ${got(t)} vs $want")
+    }
+    // precision must be monotone-ish sanity: highest bin has the best precision
+    assert(got(9L)._4 >= got(0L)._4)
+  }
 }
