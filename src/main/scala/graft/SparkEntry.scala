@@ -458,6 +458,30 @@ object SparkEntry {
         .select($"doc_id", $"n_words", $"n_distinct")
         .orderBy($"doc_id")
     },
+    // the full pre-training gate in ONE plan: quality + language +
+    // canonical dedup (as q_training_filter) + bloom-prefiltered exact
+    // decontamination against the benchmark set — the end-to-end
+    // composition a 100 TB ingest actually runs
+    "q_training_filter_decon" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val bench = docs.where($"doc_id" % 13 === 0).select($"text")
+      val clean = graft.operators.Joins.bloomAntiJoin(docs, "text", bench, "text",
+        bits = 1 << 16, k = 5)
+      val toks = split($"text", " ")
+      val scored = clean.select(
+        $"doc_id", $"text",
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_distinct"),
+        graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+      val canonical = clean.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      scored.join(canonical, "doc_id")
+        .filter($"n_words" >= 20 &&
+          lit(100) * $"n_distinct" >= lit(40) * $"n_words" &&
+          $"lang_pred" === "en")
+        .select($"doc_id", $"n_words", $"n_distinct")
+        .orderBy($"doc_id")
+    },
     // event sessionization (gaps-and-islands): new session after a
     // >1h silence per user; two ordered windows + one hash agg —
     // partitioned by user_id, so it shuffles once and scales with users
@@ -1352,6 +1376,29 @@ object SparkEntry {
          |  FROM scored0),
          |labeled AS (SELECT doc_id, n_words, n_distinct, $caseExpr AS lang_pred FROM scored),
          |canonical AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT l.doc_id, l.n_words, l.n_distinct
+         |FROM labeled l JOIN canonical c ON l.doc_id = c.doc_id
+         |WHERE l.n_words >= 20 AND 100*l.n_distinct >= 40*l.n_words AND l.lang_pred = 'en'
+         |ORDER BY l.doc_id""".stripMargin
+    },
+    // q_training_filter over the decontaminated corpus (bloom stage is
+    // lossless, so SQL models it as the plain NOT EXISTS)
+    "q_training_filter_decon" -> {
+      val (scores, caseExpr) = langidParts
+      s"""WITH clean AS (
+         |  SELECT * FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM documents b
+         |                    WHERE b.doc_id % 13 = 0 AND b.text = d.text)),
+         |scored0 AS (
+         |  SELECT doc_id, text, ' ' || text || ' ' AS p FROM clean),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+         |    $scores
+         |  FROM scored0),
+         |labeled AS (SELECT doc_id, n_words, n_distinct, $caseExpr AS lang_pred FROM scored),
+         |canonical AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text)
          |SELECT l.doc_id, l.n_words, l.n_distinct
          |FROM labeled l JOIN canonical c ON l.doc_id = c.doc_id
          |WHERE l.n_words >= 20 AND 100*l.n_distinct >= 40*l.n_words AND l.lang_pred = 'en'
