@@ -60,6 +60,30 @@ class EntryQueriesSpec extends AnyFunSuite {
     assert(run("q_range_join").agg(max("n_events")).head().getLong(0) <= n)
   }
 
+  test("q_decontaminate: bloom branch is a map-side filter; only the maybe branch anti-joins") {
+    assume(available)
+    val plan = physical("q_decontaminate")
+    assert(plan.contains("Union"), s"definite-out ∪ verified-maybe expected:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact verify anti join expected:\n$plan")
+    // exactly one anti join — the definite-out branch must NOT join
+    assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q_heavy_hitters: candidate verify join is broadcast — the stream never shuffles for it") {
+    assume(available)
+    val plan = physical("q_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), s"candidates must broadcast:\n$plan")
+  }
+
+  test("q_kcore / q_asof_attrib / q_interval_join: no cartesian or nested-loop anywhere") {
+    assume(available)
+    Seq("q_kcore", "q_asof_attrib", "q_interval_join").foreach { q =>
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$q:\n$plan")
+    }
+  }
+
   test("q_tfidf: one row per doc with tokens, top term has max tf/df score") {
     assume(available)
     val out = run("q_tfidf").cache()
