@@ -1071,6 +1071,14 @@ object SparkEntry {
         scoreBin = least(expr("n_chars div 50"), lit(19L)).cast("long"),
         label = ($"lang" === "en").cast("int"))
         .orderBy("bin")
+    },
+    // diversity coreset (greedy k-center, Gonzalez 2-approx): k map-side
+    // min-distance aggs, corpus never shuffles; integer-quantized so the
+    // oracle unrolls the same greedy rounds
+    "q_coreset" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Coreset.kCenters(
+        t(dir, "embeddings"), $"vec_id", $"embedding", k = 3)
+        .orderBy("sel_order")
     }
   )
 
@@ -1977,7 +1985,28 @@ object SparkEntry {
         |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
         |  CASE WHEN tot = 0 THEN NULL
         |       ELSE CAST((tp * 1000000) // tot AS BIGINT) END AS recall_ppm
-        |FROM c ORDER BY bin""".stripMargin
+        |FROM c ORDER BY bin""".stripMargin,
+    // the same greedy rounds unrolled: seed = min vec_id, farthest point
+    // next, ties to the smaller vec_id
+    "q_coreset" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM q),
+        |c0 AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 1),
+        |cv0 AS (SELECT qv.pos, qv.v AS cv FROM qv, c0 WHERE qv.vec_id = c0.vec_id),
+        |d1 AS (SELECT qv.vec_id, SUM((qv.v - cv0.cv)*(qv.v - cv0.cv)) AS d2
+        |  FROM qv JOIN cv0 USING (pos) GROUP BY 1),
+        |c1 AS (SELECT vec_id FROM d1 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |cv1 AS (SELECT qv.pos, qv.v AS cv FROM qv, c1 WHERE qv.vec_id = c1.vec_id),
+        |e1 AS (SELECT qv.vec_id, SUM((qv.v - cv1.cv)*(qv.v - cv1.cv)) AS d2
+        |  FROM qv JOIN cv1 USING (pos) GROUP BY 1),
+        |d2r AS (SELECT d1.vec_id, LEAST(d1.d2, e1.d2) AS d2 FROM d1 JOIN e1 USING (vec_id)),
+        |c2 AS (SELECT vec_id FROM d2r ORDER BY d2 DESC, vec_id LIMIT 1)
+        |SELECT CAST(0 AS INTEGER) AS sel_order, c0.vec_id FROM c0
+        |UNION ALL SELECT CAST(1 AS INTEGER), c1.vec_id FROM c1
+        |UNION ALL SELECT CAST(2 AS INTEGER), c2.vec_id FROM c2
+        |ORDER BY sel_order""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

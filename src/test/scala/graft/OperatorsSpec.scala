@@ -927,4 +927,30 @@ class OperatorsSpec extends AnyFunSuite {
     // precision must be monotone-ish sanity: highest bin has the best precision
     assert(got(9L)._4 >= got(0L)._4)
   }
+
+  test("k-center coreset matches the greedy farthest-point reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    def quant(v: Array[Float]): Seq[Long] =
+      v.map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // reference greedy: seed = min id, farthest next, ties -> smaller id
+    val qs = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    var chosen = List(0L)
+    while (chosen.size < 5) {
+      val next = vecs.map(_._1).filterNot(chosen.contains)
+        .map(id => (qs.keySet.intersect(chosen.toSet).map(c => d2(qs(id), qs(c))).min, id))
+        .maxBy { case (d, id) => (d, -id) }._2
+      chosen ::= next
+    }
+    val want = chosen.reverse.zipWithIndex.map { case (v, i) => (i, v) }
+    val got = graft.operators.Coreset.kCenters(
+        vecs.toDF("vec_id", "embedding"), $"vec_id", $"embedding", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == want, s"$got vs $want")
+  }
 }
