@@ -263,6 +263,31 @@ object SnapshotTable {
     }
   }
 
+  /** Small-file compaction (Iceberg `rewrite_data_files` analog):
+    * partitions whose file count exceeds `maxFiles` — the inevitable
+    * debris of many small append commits — are rewritten into one file
+    * per partition (`repartition(partitionCol)`: each key lands on
+    * exactly one task) and published as ONE atomic replace-partitions
+    * snapshot. Untouched partitions keep their files; readers pinned to
+    * older versions still see the pre-compaction files until `vacuum`
+    * reclaims them past the retention window; content is bag-identical
+    * (test-asserted). Returns None when nothing needs compacting.
+    * For partitions larger than one healthy file, split the key space
+    * upstream (the Backend already range-partitions on (specId, subj)
+    * precisely so partitions stay file-sized). */
+  def compact(spark: SparkSession, table: String, maxFiles: Int = 8,
+              statsCols: Seq[String] = Nil): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.col
+    val head = currentVersion(table)
+    if (head == 0) return None
+    val snap = snapshotAt(table, head)
+    val over = snap.partitions.filter(_._2.size > maxFiles).keys.toSeq.sorted
+    if (over.isEmpty) return None
+    val df = read(spark, table, partitions = Some(over))
+      .repartition(col(snap.partitionCol))
+    Some(commit(df, table, snap.partitionCol, replace = true, statsCols = statsCols))
+  }
+
   /** Drop snapshots older than `retain` versions behind head and delete
     * data files referenced by NO retained snapshot — reclaims both
     * expired history and crashed writers' orphan commits.

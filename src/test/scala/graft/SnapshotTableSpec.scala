@@ -128,4 +128,30 @@ class SnapshotTableSpec extends AnyFunSuite {
       .select($"subj", $"bucket".cast("long")).as[(String, Long)].collect().toSet
     assert(back == Set(("s1", 0L), ("s2", 1L), ("s3", 0L)))
   }
+
+  test("compact: many small appends -> one file per partition, bag-identical, time-travel intact") {
+    val t = freshTable()
+    // 12 append commits leave >= 12 files in the 'en' partition
+    (1 to 12).foreach(i => SnapshotTable.commit(docs((i.toLong, "en", i * 10L)), t, "lang"))
+    SnapshotTable.commit(docs((100, "de", 5)), t, "lang")
+    val before = SnapshotTable.read(spark, t)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)].collect().toSet
+    val vBefore = SnapshotTable.currentVersion(t)
+    assert(SnapshotTable.snapshotAt(t, vBefore).partitions("en").size >= 12)
+
+    val snap = SnapshotTable.compact(spark, t, maxFiles = 8)
+    assert(snap.isDefined && snap.get.operation == "replace-partitions")
+    val after = SnapshotTable.snapshotAt(t, SnapshotTable.currentVersion(t))
+    assert(after.partitions("en").size == 1, after.partitions("en").toString)
+    assert(after.partitions("de").size == 1, "untouched partition keeps its files")
+    val got = SnapshotTable.read(spark, t)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)].collect().toSet
+    assert(got == before, "compaction must not change content")
+    // pre-compaction version still reconstructs (vacuum not run)
+    val old = SnapshotTable.read(spark, t, version = vBefore)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(old == before.map(_._1))
+    // idempotent: nothing left to compact
+    assert(SnapshotTable.compact(spark, t, maxFiles = 8).isEmpty)
+  }
 }
