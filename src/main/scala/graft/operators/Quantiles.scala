@@ -34,7 +34,10 @@ object Quantiles {
     require(qs.nonEmpty && qs.forall { case (q, _) => q > 0 && q <= 1 }, qs.toString)
     require(buckets >= 2, s"buckets=$buckets")
     val spark = df.sparkSession
+    // quantiles are over the NON-NULL values (a null would inflate n but
+    // never land in a histogram bucket, overrunning the rank walk)
     val base = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
 
     // one pass: per-group count + value range seeds every probe
     final case class Probe(g: String, name: String, var k: Long,

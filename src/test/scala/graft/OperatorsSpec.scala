@@ -828,9 +828,13 @@ class OperatorsSpec extends AnyFunSuite {
       (1 to 90).map(_ => ("const", 42L))
     val df = data.toDF("g", "v").repartition(8)
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.99 -> "p99")
+    // nulls must not count toward ranks (quantiles are over non-null values)
+    val withNulls = df.unionByName(
+      Seq(("wide", null.asInstanceOf[java.lang.Long]),
+        ("dup", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
     // buckets=4 forces many refinement rounds over the 64-bit-ish range
     for (buckets <- Seq(4, 1024)) {
-      val got = graft.operators.Quantiles.quantiles(df, $"g", $"v", qs, buckets)
+      val got = graft.operators.Quantiles.quantiles(withNulls, $"g", $"v", qs, buckets)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val want = data.groupBy(_._1).map { case (g, vs) =>
         val sorted = vs.map(_._2).sorted
