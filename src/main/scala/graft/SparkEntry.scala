@@ -1079,6 +1079,14 @@ object SparkEntry {
       graft.operators.Coreset.kCenters(
         t(dir, "embeddings"), $"vec_id", $"embedding", k = 3)
         .orderBy("sel_order")
+    },
+    // hard-negative mining (contrastive training): per probe, the top-2
+    // most similar vectors with a DIFFERENT label
+    "q_hard_negatives" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(emb,
+        emb.filter(pmod($"vec_id", lit(100)) === 0), k = 2)
+        .orderBy("qid", "rn")
     }
   )
 
@@ -2006,7 +2014,19 @@ object SparkEntry {
         |SELECT CAST(0 AS INTEGER) AS sel_order, c0.vec_id FROM c0
         |UNION ALL SELECT CAST(1 AS INTEGER), c1.vec_id FROM c1
         |UNION ALL SELECT CAST(2 AS INTEGER), c2.vec_id FROM c2
-        |ORDER BY sel_order""".stripMargin
+        |ORDER BY sel_order""".stripMargin,
+    // q_ann_dot's quantized dot + the label-inequality predicate, top-2
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    (SELECT CAST(SUM(CAST(ROUND(CAST(z.x AS DOUBLE)*1000) AS BIGINT) *
+        |                     CAST(ROUND(CAST(z.y AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+        |     FROM (SELECT UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y) z) AS dot
+        |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id AND e.label <> q.label)
+        |SELECT qid, nid, dot, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+        |  FROM pairs) WHERE rn <= 2 ORDER BY qid, rn""".stripMargin
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

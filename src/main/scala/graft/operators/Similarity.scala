@@ -38,6 +38,26 @@ object Similarity {
       .select(col("qid"), col("nid"), col("dot"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * top-k most SIMILAR corpus vectors with a DIFFERENT label — the
+    * near-miss negatives that actually move a contrastive loss (random
+    * negatives are trivially separable). Same quantized-int dot and
+    * per-probe window as [[bruteForceTopK]] with the label-inequality
+    * predicate inside the pair filter; at corpus scale swap the
+    * cross join for the [[lshTopK]] bucketed candidates. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
+      col("label").as("lbl_n"))
+    val p = probes.select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
+      col("label").as("lbl_q"))
+    val pairs = p.crossJoin(c)
+      .filter(col("qid") =!= col("nid") && col("lbl_q") =!= col("lbl_n"))
+      .withColumn("dot", qdot(col("emb_q"), col("emb_n")))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rn"))
+  }
+
   /** Sign-bit LSH bucket over the first `bits` dimensions. */
   def signBucket(emb: Column, bits: Int = 8): Column =
     (0 until bits).map(i =>

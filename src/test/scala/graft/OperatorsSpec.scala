@@ -932,6 +932,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(9L)._4 >= got(0L)._4)
   }
 
+  test("hard negatives: same-label near neighbor skipped, nearest other-label picked") {
+    import spark.implicits._
+    val probe = Array(1.0f, 0.0f)
+    val vecs = Seq(
+      (0L, probe, 7),                       // the probe, label 7
+      (1L, Array(0.99f, 0.01f), 7),         // nearest overall but SAME label
+      (2L, Array(0.9f, 0.1f), 3),           // nearest other-label -> rn 1
+      (3L, Array(0.5f, 0.5f), 4),           // second other-label -> rn 2
+      (4L, Array(-1.0f, 0.0f), 5)).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.hardNegatives(
+        vecs, vecs.where($"vec_id" === 0), k = 2)
+      .select($"nid", $"rn").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((2L, 1), (3L, 2)), got.toString)
+  }
+
   test("k-center coreset matches the greedy farthest-point reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
