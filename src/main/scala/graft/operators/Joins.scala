@@ -115,7 +115,12 @@ object Joins {
     *
     * The filter is pure Column arithmetic (k xxhash64 probes into a
     * literal word array) — codegen'd, no UDF, deterministic. Size
-    * `bits ≥ 1.44·|right|·log2(1/p)`; k ≈ 0.7·bits/|right|.
+    * `bits ≥ 1.44·|right|·log2(1/p)`; k ≈ 0.7·bits/|right|. The word
+    * array travels in the plan as one literal (bits/8 bytes — 128 KB at
+    * bits=2^20); for benchmark sets needing ≥2^27 bits, ship the words
+    * as a broadcast table and probe via a tiny broadcast join on the
+    * word index instead of the literal (same semantics, plan stays
+    * small).
     */
   def bloomAntiJoin(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
