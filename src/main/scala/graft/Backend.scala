@@ -214,7 +214,11 @@ object Backend {
         Pipeline.triplesMultiplexed(corpus, specs)
           .repartitionByRange(outParts, col("specId"), col("subj"))
           .sortWithinPartitions("specId", "subj"),
-        table, "specId", replace = true, statsCols = Seq("subj")))
+        table, "specId", replace = true, statsCols = Seq("subj"),
+        // claimed specs that emit ZERO triples still swap out their old
+        // partition (a re-opened spec must never keep serving triples
+        // computed from the previous spec/corpus version)
+        clearPartitions = specs.map(_._1)))
 
     // ---- per-spec stats (A1/A5) for the claimed set, then commit the
     // done markers LAST (data is already durable; crash before a marker

@@ -44,10 +44,27 @@ object NTriples {
     sb.toString
   }
 
+  /** true iff s(from until from+len) are all hex digits */
+  private def isHex(s: String, from: Int, len: Int): Boolean = {
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val c = s.charAt(i)
+      val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!hex) return false
+      i += 1
+    }
+    true
+  }
+
   /** Inverse of [[escape]] (N-Triples 1.1 ECHAR + UCHAR): `\\ \" \n \r
     * \t`, `\uXXXX`, `\UXXXXXXXX`. Tolerant of unknown `\x` (passes x
-    * through) so a truncated line degrades instead of throwing on the
-    * 100 TB read path. */
+    * through) AND of malformed UCHARs — non-hex digits or a `\U`
+    * codepoint outside [0, 0x10FFFF] degrade to the pass-through branch
+    * instead of throwing, so one bad literal in an external dump lands
+    * in the caller's err channel rather than killing the 100 TB read
+    * path (hex is validated BEFORE parseInt/toChars — never an
+    * exception-as-control-flow on the hot path). */
   def unescape(s: String): String = {
     if (s.indexOf('\\') < 0) return s // fast path: nothing escaped
     val sb = new StringBuilder(s.length)
@@ -63,9 +80,14 @@ object NTriples {
           case 't'  => sb.append('\t'); i += 2
           case 'b'  => sb.append('\b'); i += 2
           case 'f'  => sb.append('\f'); i += 2
-          case 'u' if i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length && isHex(s, i + 2, 4) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case 'U' if i + 10 <= s.length =>
+          case 'U' if i + 10 <= s.length && isHex(s, i + 2, 8) &&
+              // 8 hex digits parse as unsigned int; reject > 0x10FFFF
+              // (Character.toChars would throw) — parseUnsignedInt after
+              // the hex check cannot itself fail
+              Character.isValidCodePoint(java.lang.Integer.parseUnsignedInt(
+                s.substring(i + 2, i + 10), 16)) =>
             sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16)))
             i += 10
           case other => sb.append(other); i += 2

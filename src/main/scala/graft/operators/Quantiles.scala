@@ -28,9 +28,22 @@ object Quantiles {
     * the group in multiset order with k = ceil(q·n) — identical to the
     * rank-window definition, bit-exact in any engine (pure integer
     * arithmetic; callers fixed-point-scale doubles first).
-    * Returns one row per group: (g, <name per q>...). */
+    * Returns one row per group: (g, <name per q>...).
+    *
+    * Guards (both fail fast with actionable messages):
+    *  - `maxGroups`: probe state is driver-resident (|groups|·|qs| probes,
+    *    |probes|·buckets histogram counters per round) — the design point
+    *    is FEW groups over a HUGE fact table. High-cardinality grouping
+    *    belongs on the per-group window path (q_percentile shape), where
+    *    each group is small enough to sort within a task.
+    *  - 63-bit domain: per-group (max − min) must fit in a positive Long,
+    *    because bucket ids are computed distributedly as `(v - lo) div w`
+    *    in 64-bit integer arithmetic — a wider domain would silently
+    *    wrap. Callers fixed-point-scale doubles; scale so the spread
+    *    fits (the guard names the offending group). */
   def quantiles(df: DataFrame, group: Column, value: Column,
-                qs: Seq[(Double, String)], buckets: Int = 1024): DataFrame = {
+                qs: Seq[(Double, String)], buckets: Int = 1024,
+                maxGroups: Int = 65536): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (q, _) => q > 0 && q <= 1 }, qs.toString)
     require(buckets >= 2, s"buckets=$buckets")
     val spark = df.sparkSession
@@ -48,6 +61,16 @@ object Quantiles {
     val seeds = base.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
       .collect()
+    require(seeds.length <= maxGroups,
+      s"${seeds.length} groups exceeds maxGroups=$maxGroups: probe state is " +
+        "driver-resident; use the per-group rank-window formulation for " +
+        "high-cardinality grouping, or raise maxGroups deliberately")
+    seeds.foreach { r =>
+      // (hi - lo) must not overflow: bucket ids are 64-bit (v - lo) div w
+      require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <= BigInt(Long.MaxValue) - buckets,
+        s"group ${r.getString(0)} value spread ${r.getLong(2)}..${r.getLong(3)} " +
+          "exceeds 63 bits; rescale the fixed-point domain")
+    }
     val probes = for {
       r <- seeds.toSeq
       (q, name) <- qs

@@ -124,23 +124,56 @@ object SnapshotTable {
   def history(table: String): Seq[Snapshot] =
     (1 to currentVersion(table)).map(snapshotAt(table, _))
 
+  /** Hive partition-directory name sentinel for a null partition value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** Commit `df` (must contain `partitionCol`). `replace = true` swaps
     * the partitions present in `df`; `replace = false` appends. Returns
     * the committed snapshot. Safe under concurrent committers: CAS +
-    * rebase-and-retry, each writer's data lands exactly once. */
+    * rebase-and-retry, each writer's data lands exactly once.
+    *
+    * `clearPartitions` (replace mode): partitions the caller CLAIMED but
+    * that may have produced zero rows. `partitionBy` writes no directory
+    * for an empty partition, so without this a re-run that legitimately
+    * emits nothing would leave the partition's OLD files live — serving
+    * stale data. Claimed-but-absent keys are committed as explicitly
+    * empty partitions (the manifest records them with zero files).
+    *
+    * Crash recovery: a committer that dies between claiming `v<N>.claim`
+    * and publishing `v<N>.json` must not wedge the table. A loser that
+    * waits out `manifestWaitMs` without seeing the manifest checks the
+    * claim's age; once it exceeds `staleClaimMs` the claim is atomically
+    * renamed aside (rename is the CAS — exactly one stealer wins) and
+    * the commit retries. Same zombie contract as Backend's worker
+    * claims: `staleClaimMs` must exceed any plausible pause of a LIVE
+    * committer between claim and publish (the claim is taken immediately
+    * before the already-staged manifest is moved into place, so the gap
+    * is milliseconds of driver-side I/O, not job time). */
   def commit(df: DataFrame, table: String, partitionCol: String,
-             replace: Boolean = false, statsCols: Seq[String] = Nil): Snapshot = {
+             replace: Boolean = false, statsCols: Seq[String] = Nil,
+             clearPartitions: Seq[String] = Nil,
+             manifestWaitMs: Long = 30000L,
+             staleClaimMs: Long = 10 * 60 * 1000L): Snapshot = {
     val commitId = java.util.UUID.randomUUID.toString.take(12)
     val dataRel = s"data-$commitId"
     val dataDir = Paths.get(table, dataRel)
     // 1. data files first — invisible until a manifest references them
     df.write.partitionBy(partitionCol).parquet(dataDir.toString)
     // per-partition file inventory of THIS commit only (footer row counts)
-    val newParts: Map[String, Seq[FileEntry]] =
+    // manifest keys carry the LOGICAL partition value: Spark path-escapes
+    // special chars (space/':'/'%' → %XX) in the directory name, so the
+    // key is unescaped here — read() then restores the exact original
+    // value and caller-supplied `partitions=`/`clearPartitions` filters
+    // match without the caller knowing the escaping rules. A null
+    // partition value keeps its directory sentinel as the key (read()
+    // restores it as SQL NULL).
+    val written: Map[String, Seq[FileEntry]] =
       ls(dataDir)
         .filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))
         .map { pd =>
-          val part = pd.getFileName.toString.stripPrefix(s"$partitionCol=")
+          val raw = pd.getFileName.toString.stripPrefix(s"$partitionCol=")
+          val part = if (raw == NullPartition) raw
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
           val files = ls(pd)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .map { f =>
@@ -149,6 +182,8 @@ object SnapshotTable {
             }
           part -> files
         }.toMap
+    val newParts: Map[String, Seq[FileEntry]] =
+      clearPartitions.filterNot(written.contains).map(_ -> Seq.empty[FileEntry]).toMap ++ written
     // 2. CAS commit with rebase-and-retry
     Files.createDirectories(metaDir(table))
     var committed: Snapshot = null
@@ -175,9 +210,23 @@ object SnapshotTable {
         case _: java.nio.file.FileAlreadyExistsException =>
           // lost the race: wait for the winner's manifest, rebase, retry
           val winner = metaDir(table).resolve(s"v${head + 1}.json")
-          val deadline = System.nanoTime() + 30L * 1000000000L
+          val deadline = System.nanoTime() + manifestWaitMs * 1000000L
           while (!Files.exists(winner) && System.nanoTime() < deadline) Thread.sleep(20)
-          require(Files.exists(winner), s"stale claim $claim without manifest")
+          if (!Files.exists(winner)) {
+            // no manifest after the wait: either the claimer is merely
+            // slow (young claim — keep waiting via the outer loop) or it
+            // died between claim and publish (old claim — steal it, or
+            // the table is wedged forever). The rename is the CAS:
+            // exactly one stealer wins; everyone else just retries.
+            val age = try System.currentTimeMillis - Files.getLastModifiedTime(claim).toMillis
+                      catch { case _: Exception => 0L } // claim gone: retry
+            if (age > staleClaimMs) {
+              try Files.move(claim,
+                metaDir(table).resolve(s"v${head + 1}.claim.stale-$commitId"),
+                StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: Exception => () } // another stealer won — fine
+            }
+          }
       }
     }
     committed
@@ -255,7 +304,10 @@ object SnapshotTable {
       val fs = fs0.filter(keep)
       if (fs.isEmpty) None
       else Some(spark.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
-        .withColumn(snap.partitionCol, lit(part)))
+        .withColumn(snap.partitionCol,
+          // manifest keys are unescaped logical values (see commit);
+          // the Hive sentinel round-trips a null partition value
+          if (part == NullPartition) lit(null).cast("string") else lit(part)))
     }
     dfs.flatten match {
       case Seq() => spark.emptyDataFrame
@@ -285,7 +337,8 @@ object SnapshotTable {
     if (over.isEmpty) return None
     val df = read(spark, table, partitions = Some(over))
       .repartition(col(snap.partitionCol))
-    Some(commit(df, table, snap.partitionCol, replace = true, statsCols = statsCols))
+    Some(commit(df, table, snap.partitionCol, replace = true, statsCols = statsCols,
+      clearPartitions = over))
   }
 
   /** Drop snapshots older than `retain` versions behind head and delete
@@ -306,10 +359,18 @@ object SnapshotTable {
     val keepFrom = math.max(1, head - retain + 1)
     val live: Set[String] =
       (keepFrom to head).flatMap(v => snapshotAt(table, v).files).toSet
-    // expire old manifests
+    // expire old manifests (+ any stale-renamed claims of PUBLISHED
+    // versions — garbage the moment the version's manifest exists)
     (1 until keepFrom).foreach { v =>
       Files.deleteIfExists(metaDir(table).resolve(s"v$v.json"))
       Files.deleteIfExists(metaDir(table).resolve(s"v$v.claim"))
+    }
+    ls(metaDir(table)).foreach { p =>
+      val n = p.getFileName.toString
+      val i = n.indexOf(".claim.stale-")
+      if (i > 1 && n.startsWith("v") &&
+          n.substring(1, i).forall(_.isDigit) && n.substring(1, i).toInt <= head)
+        Files.deleteIfExists(p)
     }
     // delete unreferenced data: whole commit dirs with no live file
     // (orphans from crashed writers + fully-expired commits), and

@@ -29,6 +29,24 @@ class NtReaderSpec extends AnyFunSuite {
     assert(NTriples.unescape("odd\\xkeep") == "oddxkeep")
   }
 
+  test("malformed UCHAR escapes degrade to pass-through instead of throwing") {
+    // non-hex digits after \u / \U: pass-through like any unknown escape
+    assert(NTriples.unescape("a\\uZZZZb") == "auZZZZb")
+    assert(NTriples.unescape("a\\uZ123b") == "auZ123b")
+    assert(NTriples.unescape("a\\UGGGGGGGGb") == "aUGGGGGGGGb")
+    // \U beyond U+10FFFF (incl. the unsigned-wrap case \UFFFFFFFF):
+    // Character.toChars would throw — must degrade, not fail the task
+    assert(NTriples.unescape("a\\UFFFFFFFFb") == "aUFFFFFFFFb")
+    assert(NTriples.unescape("a\\U00110000b") == "aU00110000b")
+    assert(NTriples.unescape("a\\U80000000b") == "aU80000000b")
+    // the maximum valid codepoint still decodes
+    assert(NTriples.unescape("a\\U0010FFFFb") ==
+      "a" + new String(Character.toChars(0x10FFFF)) + "b")
+    // truncated escapes at end-of-string pass through
+    assert(NTriples.unescape("trunc\\u00") == "truncu00")
+    assert(NTriples.unescape("trunc\\U0001F60") == "truncU0001F60")
+  }
+
   test("parseLines classifies terms, drops comments/blanks, flags malformed") {
     import spark.implicits._
     val lines = Seq(

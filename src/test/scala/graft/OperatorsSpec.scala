@@ -845,6 +845,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantiles guards fire: group cardinality and 63-bit domain") {
+    import spark.implicits._
+    // probe state is driver-resident → high-cardinality grouping must
+    // fail fast with a pointer to the window path, not OOM the driver
+    val many = (1 to 50).map(i => (s"g$i", i.toLong)).toDF("g", "v")
+    val eG = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.quantiles(many, $"g", $"v",
+        Seq(0.5 -> "p50"), maxGroups = 10)
+    }
+    assert(eG.getMessage.contains("maxGroups"), eG.getMessage)
+    // a group spanning more than 63 bits would wrap (v - lo) div w
+    // distributedly → must fail fast, not return wrong buckets
+    val wide = Seq(("a", Long.MinValue), ("a", 0L), ("a", Long.MaxValue)).toDF("g", "v")
+    val eW = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.quantiles(wide, $"g", $"v", Seq(0.5 -> "p50"))
+    }
+    assert(eW.getMessage.contains("63 bits"), eW.getMessage)
+    // just-inside-63-bits still works (no false trip)
+    val ok = Seq(("a", -(Long.MaxValue / 2)), ("a", 0L), ("a", Long.MaxValue / 2 - 2048))
+      .toDF("g", "v")
+    val got = graft.operators.Quantiles.quantiles(ok, $"g", $"v", Seq(0.5 -> "p50"))
+      .collect()
+    assert(got.length == 1 && got(0).getLong(1) == 0L, got.mkString(","))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

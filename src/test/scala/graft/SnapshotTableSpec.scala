@@ -154,4 +154,86 @@ class SnapshotTableSpec extends AnyFunSuite {
     // idempotent: nothing left to compact
     assert(SnapshotTable.compact(spark, t, maxFiles = 8).isEmpty)
   }
+
+  test("abandoned claim (committer died before publishing) is stolen; table never wedges") {
+    val t = freshTable()
+    SnapshotTable.commit(docs((1, "en", 10)), t, "lang")
+    // simulate a committer that died between createFile(v2.claim) and
+    // publishing v2.json — before the fix this permanently wedged the
+    // table (every later commit lost the CAS and require-failed)
+    Files.createFile(Paths.get(t, "_snap", "v2.claim"))
+    val snap = SnapshotTable.commit(docs((2, "de", 20)), t, "lang",
+      manifestWaitMs = 150, staleClaimMs = 100)
+    assert(snap.version == 2, "commit must advance past the dead claim")
+    val cur = SnapshotTable.read(spark, t).select($"doc_id").as[Long].collect().toSet
+    assert(cur == Set(1L, 2L))
+    // the abandoned claim was renamed aside; vacuum reclaims the rename
+    // once v2 is published
+    def snapFiles(): Seq[String] =
+      new java.io.File(s"$t/_snap").list().toSeq
+    assert(snapFiles().exists(_.contains(".claim.stale-")),
+      "the dead claim should have been renamed aside, not deleted blind")
+    SnapshotTable.vacuum(t, retain = 10)
+    assert(!snapFiles().exists(_.contains(".claim.stale-")),
+      s"vacuum must reclaim stale renames: ${snapFiles()}")
+    // a YOUNG claim (live committer) is respected: the commit keeps
+    // waiting rather than stealing — verified by publishing the manifest
+    // from 'another committer' mid-wait
+    Files.createFile(Paths.get(t, "_snap", "v3.claim"))
+    val publisher = new Thread(() => {
+      Thread.sleep(300)
+      Files.writeString(Paths.get(t, "_snap", "v3.json"),
+        Files.readString(Paths.get(t, "_snap", "v2.json"))
+          .replace("\"version\":2", "\"version\":3").replace("\"parent\":1", "\"parent\":2"))
+    })
+    publisher.start()
+    val snap2 = SnapshotTable.commit(docs((3, "zh", 30)), t, "lang",
+      manifestWaitMs = 150, staleClaimMs = 60000)
+    publisher.join()
+    assert(snap2.version == 4, "young claim respected: rebase onto the published v3")
+  }
+
+  test("partition values with path-special chars and null round-trip exactly") {
+    val t = freshTable()
+    val weird = "a b:c%d"
+    val df = Seq((1L, weird, 10L), (2L, null.asInstanceOf[String], 20L), (3L, "plain", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    SnapshotTable.commit(df, t, "lang")
+    val back = SnapshotTable.read(spark, t)
+      .select($"doc_id", $"lang").as[(Long, Option[String])].collect().toSet
+    assert(back == Set((1L, Some(weird)), (2L, None), (3L, Some("plain"))),
+      s"escaped partition values must round-trip: $back")
+    // manifest-level pruning works on the LOGICAL (unescaped) value
+    val pruned = SnapshotTable.read(spark, t, partitions = Some(Seq(weird)))
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(pruned == Seq(1L))
+    // and replace-partitions keyed on the logical value swaps the right one
+    SnapshotTable.commit(Seq((9L, weird, 90L)).toDF("doc_id", "lang", "n_chars"),
+      t, "lang", replace = true)
+    val after = SnapshotTable.read(spark, t)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(after == Set(9L, 2L, 3L), s"replace must key on the unescaped value: $after")
+  }
+
+  test("replace with clearPartitions swaps out partitions that produced zero rows") {
+    val t = freshTable()
+    SnapshotTable.commit(docs((1, "en", 10), (2, "de", 20)), t, "lang")
+    // re-run of both partitions where 'en' legitimately emits nothing:
+    // without clearPartitions the old 'en' files would stay live (stale)
+    SnapshotTable.commit(docs((9, "de", 90)), t, "lang",
+      replace = true, clearPartitions = Seq("en", "de"))
+    val cur = SnapshotTable.read(spark, t)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(cur == Set((9L, "de")), s"stale 'en' rows must be gone: $cur")
+    assert(SnapshotTable.snapshotAt(t, 2).partitions("en").isEmpty,
+      "the manifest records the claimed-but-empty partition explicitly")
+    // time travel still reconstructs v1
+    val v1 = SnapshotTable.read(spark, t, version = 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(v1 == Set(1L, 2L))
+    // an entirely empty commit (all claimed partitions empty) also works
+    SnapshotTable.commit(docs().limit(0), t, "lang",
+      replace = true, clearPartitions = Seq("de"))
+    assert(SnapshotTable.read(spark, t).count() == 0)
+  }
 }
