@@ -409,6 +409,29 @@ object SparkEntry {
           $"sizeBytes", $"payload_hex_sha")
         .orderBy("asset_id")
     },
+    // REAL image decode: synthesize genuine PNGs (javax.imageio encode),
+    // decode them back with ImageIO and report exact pixel stats. The
+    // oracle re-derives dims + the red-channel sum from the pixel formula
+    // in pure SQL — any decode slip shifts the sum. Lossless PNG makes
+    // this exact, not approximate.
+    "q_mm_decode" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val assets = graft.operators.Multimodal.synthesizeImages(t(dir, "documents"), $"doc_id")
+      graft.operators.Multimodal.imagePixelStats(assets).toDF()
+        .select($"asset_id", $"width", $"height", $"red_sum")
+        .orderBy("asset_id")
+    },
+    // REAL image resize: decode → explicit nearest-neighbor resample
+    // (src = dst·srcDim div dstDim, integer arithmetic) → PNG re-encode →
+    // decode AGAIN and sum the red channel. The oracle replays the same
+    // integer resample over the pixel formula — end-to-end proof the
+    // resize produces the exact pixels it claims.
+    "q_mm_resize" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val assets = graft.operators.Multimodal.synthesizeImages(t(dir, "documents"), $"doc_id")
+      val resized = graft.operators.Multimodal.resizeImages(assets, 8, 8)
+      graft.operators.Multimodal.imagePixelStats(resized).toDF()
+        .select($"asset_id", $"width", $"height", $"red_sum")
+        .orderBy("asset_id")
+    },
     // exact discrete percentiles per group: window rank + positional pick
     // (integer position logic — engine-independent, unlike interpolation)
     "q_percentile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -967,6 +990,17 @@ object SparkEntry {
         bits = 1 << 16, k = 5)
         .orderBy("doc_id")
     },
+    // the BIG-filter decontamination path: same exact-anti-join result,
+    // but the bloom words ride as a broadcast TABLE (k map-side broadcast
+    // joins), not a plan literal — the variant for ≥2^27-bit benchmark
+    // sets where inlining the words would bloat every task binary
+    "q_decontaminate_big" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val bench = docs.where($"doc_id" % 13 === 0).select($"text")
+      graft.operators.Joins.bloomAntiJoinBroadcast(docs, "text", bench, "text",
+        bits = 1L << 16, k = 5)
+        .orderBy("doc_id")
+    },
     // fuzzy (near-dup) decontamination: corpus docs within Jaccard 60%
     // of ANY benchmark doc — MinHash bands probe only the (small,
     // broadcastable) benchmark band table, exact verify on candidates
@@ -1086,6 +1120,15 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       graft.operators.Similarity.hardNegatives(emb,
         emb.filter(pmod($"vec_id", lit(100)) === 0), k = 2)
+        .orderBy("qid", "rn")
+    },
+    // hard-negative mining, SCALE path: LSH-bucketed candidates (multi-
+    // probe Hamming 1) with the label predicate in the candidate filter —
+    // sublinear in the corpus; the oracle replays the identical bucketing
+    "q_hard_negatives_lsh" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      graft.operators.Similarity.hardNegativesLsh(emb,
+        emb.filter(pmod($"vec_id", lit(100)) === 0), k = 2, bits = 4, probeHamming = 1)
         .orderBy("qid", "rn")
     }
   )
@@ -1380,6 +1423,22 @@ object SparkEntry {
         |  CAST(d AS INTEGER) AS "durationMs", CAST(76 AS INTEGER) AS "sizeBytes",
         |  sha256(array_to_string(list_transform(bs, b -> printf('%02x', b)), '')) AS payload_hex_sha
         |FROM bytes ORDER BY asset_id""".stripMargin,
+    // mirrors Multimodal.ImageCodec: PNG pixels are (i*131 + x*17 + y*29)%256
+    // on the red channel; lossless PNG + real ImageIO decode ⇒ exact sums
+    "q_mm_decode" ->
+      """WITH m AS (SELECT doc_id AS i, 16 + doc_id%64 AS w, 16 + doc_id%48 AS h FROM documents)
+        |SELECT i AS asset_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (i*131 + x*17 + y*29) % 256)))) AS BIGINT) AS red_sum
+        |FROM m ORDER BY asset_id""".stripMargin,
+    // the integer nearest-neighbor mapping src = dst*srcDim // 8 replayed in SQL
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id AS i, 16 + doc_id%64 AS w, 16 + doc_id%48 AS h FROM documents)
+        |SELECT i AS asset_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(8), dx ->
+        |    list_transform(range(8), dy ->
+        |      (i*131 + ((dx*w)//8)*17 + ((dy*h)//8)*29) % 256)))) AS BIGINT) AS red_sum
+        |FROM m ORDER BY asset_id""".stripMargin,
     "q_training_filter" -> {
       val (scores, caseExpr) = langidParts
       s"""WITH scored0 AS (
@@ -1878,6 +1937,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents b
         |                  WHERE b.doc_id % 13 = 0 AND b.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
+    // broadcast-table variant is the same exact anti join by construction
+    "q_decontaminate_big" ->
+      """SELECT d.* FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents b
+        |                  WHERE b.doc_id % 13 = 0 AND b.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
     // same poly-id MinHash signatures, banding, and exact verify as the
     // engine, re-derived in SQL over the corpus and the benchmark subset
     "q_fuzzy_decontaminate" -> {
@@ -2026,7 +2091,28 @@ object SparkEntry {
         |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id AND e.label <> q.label)
         |SELECT qid, nid, dot, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
-        |  FROM pairs) WHERE rn <= 2 ORDER BY qid, rn""".stripMargin
+        |  FROM pairs) WHERE rn <= 2 ORDER BY qid, rn""".stripMargin,
+    // q_ann_lsh_mp's bucketed multi-probe candidates + the label predicate
+    "q_hard_negatives_lsh" -> {
+      val masks = graft.operators.Similarity.probeMasks(4, 1)
+        .map(m => s"($m)").mkString(",")
+      s"""WITH b AS (SELECT vec_id, embedding, label, ${signBucketSql(4)} AS bucket FROM embeddings),
+         |q0 AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+         |q AS (SELECT q0.vec_id, q0.label, xor(q0.bucket, m.m) AS bucket
+         |  FROM q0, (VALUES $masks) m(m)),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nid
+         |  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+         |    AND e.label <> q.label),
+         |pairs AS (
+         |  SELECT c.qid, c.nid,
+         |    (SELECT CAST(SUM(CAST(ROUND(CAST(z.x AS DOUBLE)*1000) AS BIGINT) *
+         |                     CAST(ROUND(CAST(z.y AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+         |     FROM (SELECT UNNEST(qq.embedding) AS x, UNNEST(e.embedding) AS y) z) AS dot
+         |  FROM cand c JOIN b qq ON qq.vec_id = c.qid JOIN b e ON e.vec_id = c.nid)
+         |SELECT qid, nid, dot, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+         |  FROM pairs) WHERE rn <= 2 ORDER BY qid, rn""".stripMargin
+    }
   )
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the

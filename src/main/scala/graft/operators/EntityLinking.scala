@@ -46,22 +46,27 @@ object EntityLinking {
         (lit(1000L) * col("w") / col("n_cand")).cast("long").as("prior"))
   }
 
-  /** Token n-grams (1..maxGram) with positions, lowercased. */
+  /** Token n-grams (1..maxGram) with positions, lowercased — ONE pass
+    * over the token array: all gram sizes are emitted from a single
+    * nested `transform` and a single explode (one Generate in the plan,
+    * asserted in EntityLinkingSpec), instead of re-exploding the array
+    * maxGram times through a union. The position list is
+    * `filter(0..len-1, p <= len-n)` — always-ascending, so short
+    * documents need no descending-sequence guard. */
   def ngrams(docs: DataFrame, id: Column, text: Column, maxGram: Int = 3): DataFrame = {
     val toks = split(lower(text), " ")
-    val withToks = docs.select(id.as("doc_id"), toks.as("toks"))
-    (1 to maxGram).map { n =>
-      withToks.select(col("doc_id"),
-          posexplode(
-            // sequence(0, -1) DESCENDS in Spark — guard short documents
-            when(size(col("toks")) >= n,
-              transform(sequence(lit(0), size(col("toks")) - n),
-                i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-              .otherwise(array()))
-            .as(Seq("pos", "surface")))
-        .filter(length(col("surface")) > 0)
-        .withColumn("gram", lit(n))
-    }.reduce(_ union _)
+    val len = size(col("toks"))
+    docs.select(id.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(
+        flatten(transform(sequence(lit(1), lit(maxGram)), n =>
+          transform(
+            filter(sequence(lit(0), len - 1), p => p <= len - n),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("toks"), i + 1, n)).as("surface"),
+              n.as("gram")))))).as("m"))
+      .filter(length(col("m.surface")) > 0)
+      .select(col("doc_id"), col("m.pos").as("pos"),
+        col("m.surface").as("surface"), col("m.gram").as("gram"))
   }
 
   /** Mention detection: n-gram scan ⋈ dictionary. The join strategy is

@@ -152,7 +152,63 @@ object Joins {
     }.reduce(_ && _)
     val flagged = probed.withColumn("_maybe", maybe)
       .drop((0 until k).map(i => s"_p$i"): _*)
+    verifyMaybes(left, leftKey, right, rightKey, flagged)
+  }
 
+  /** [[bloomAntiJoin]]'s BIG-FILTER variant (the scaladoc's promised
+    * broadcast-table path): identical semantics — exactly `LEFT ANTI
+    * JOIN` — but the filter words ride as a BROADCAST TABLE instead of
+    * a plan literal. Use when `bits` is large (≥ ~2^24): a 2^30-bit
+    * filter is 16M words = 128 MB — broadcastable, but inlining it as a
+    * literal would bloat the plan/codegen catastrophically (the literal
+    * path's array is serialized into every task binary and the plan
+    * string itself).
+    *
+    * Probe shape: k map-side BROADCAST hash joins on the word index —
+    * `left` is never shuffled; a word index absent from the table means
+    * no right key hashed there, so `coalesce(word, 0)` keeps those rows
+    * definitely-out. The build side never collects: the `bit_or` word
+    * aggregation stays a DataFrame end to end (the literal path's
+    * driver collect is what caps it at small `bits`). Verify-join tail
+    * is shared with the literal path — false positives are removed
+    * exactly. */
+  def bloomAntiJoinBroadcast(left: DataFrame, leftKey: String,
+                             right: DataFrame, rightKey: String,
+                             bits: Long = 1L << 27, k: Int = 5): DataFrame = {
+    require(bits >= 64 && k >= 1, s"bits=$bits k=$k")
+    def positions(keyCol: Column): Seq[Column] =
+      (0 until k).map(i => pmod(xxhash64(lit(i), keyCol), lit(bits)))
+
+    // build: (word index, or-of-bits) — partial-aggregable, never collected
+    val words = right
+      .select(explode(array(positions(col(rightKey)): _*)).as("_p"))
+      .select(expr("_p div 64").as("_w"),
+        expr("shiftleft(1L, cast(_p % 64 as int))").as("_b"))
+      .groupBy("_w").agg(expr("bit_or(_b)").as("_word"))
+
+    // probe: same k hashes (same literal types as the build side), one
+    // broadcast join per hash on the word index
+    val probed0 = (0 until k).foldLeft(left) { (df, i) =>
+      df.withColumn(s"_p$i", positions(col(leftKey))(i))
+    }
+    val probed = (0 until k).foldLeft(probed0) { (df, i) =>
+      df.join(
+        broadcast(words.select(col("_w").as(s"_w$i"), col("_word").as(s"_word$i"))),
+        expr(s"_p$i div 64") === col(s"_w$i"), "left")
+    }
+    val maybe = (0 until k).map { i =>
+      coalesce(col(s"_word$i"), lit(0L))
+        .bitwiseAND(expr(s"shiftleft(1L, cast(_p$i % 64 as int))")) =!= 0L
+    }.reduce(_ && _)
+    verifyMaybes(left, leftKey, right, rightKey, probed.withColumn("_maybe", maybe))
+  }
+
+  /** Shared exact tail: `_maybe=false` rows are definitely out (bloom
+    * has no false negatives); `_maybe=true` rows take the exact anti
+    * join, which removes the false positives. */
+  private def verifyMaybes(left: DataFrame, leftKey: String,
+                           right: DataFrame, rightKey: String,
+                           flagged: DataFrame): DataFrame = {
     val keep = left.columns.map(col).toSeq
     val definiteOut = flagged.where(!col("_maybe")).select(keep: _*)
     val maybeIn = flagged.where(col("_maybe")).select(keep: _*)

@@ -30,13 +30,60 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** Rank-bucket a column into [0, 2^bits) by value quantiles — the
-    * dimension normalizer for [[zValue]] when the raw domain is skewed
-    * or unbounded. ntile is a single window over the SORTED column; for
-    * a 100 TB layout job this is the write-side prep pass (the same
-    * cost class as the repartitionByRange the write needs anyway). */
-  def rankBucket(c: Column, bits: Int): Column =
-    ntile(1 << bits).over(org.apache.spark.sql.expressions.Window.orderBy(c)) - 1
+  /** Rank-bucket an integral column into [0, 2^bits) by EXACT value
+    * quantiles — the dimension normalizer for [[zValue]] when the raw
+    * domain is skewed or unbounded (fixed-point-scale doubles first,
+    * repo convention). No global sort anywhere: the 2^bits−1 cutpoints
+    * come from [[Quantiles.quantiles]] (≤7 partial-aggregable hash-agg
+    * rounds, distributed selection), and rows are then bucketed
+    * MAP-SIDE by an O(bits) binary search over the literal sorted
+    * cutpoint array (aggregate HOF — constant-size expression, codegen
+    * loop) — zero shuffle and zero Window on the data path, asserted in
+    * OperatorsSpec. Bucket of v = #cutpoints ≤ v; nulls bucket to null.
+    *
+    * Resolution: min/max file skipping needs O(#output files) distinct
+    * tiles, not O(rows) — bits ≤ 8 already yields 2^16 z-tiles per
+    * dimension pair, far above any realistic file count, so the exact
+    * cutpoint pass stays tiny (255 probes) while the bucketing handles
+    * any corpus size. (The previous formulation — ntile over an
+    * unpartitioned window — sorted the entire input through ONE task;
+    * this replaces it.) */
+  def rankBucket(df: DataFrame, valueCol: String, bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && bits <= 8, s"bits=$bits not in [1,8] — see resolution note")
+    val nBuckets = 1 << bits
+    val qs = (1 to nBuckets - 1).map(i => i.toDouble / nBuckets -> s"c$i")
+    val seed = Quantiles.quantiles(
+      df.select(col(valueCol).cast("long").as("v")).where(col("v").isNotNull),
+      lit("all"), col("v"), qs).collect()
+    if (seed.isEmpty) return df.withColumn(out, lit(null).cast("int"))
+    val cuts: Seq[Long] = (1 to nBuckets - 1).map(i => seed(0).getAs[Long](s"c$i"))
+    df.withColumn(out, bucketOf(col(valueCol).cast("long"), cuts))
+  }
+
+  /** #cuts ≤ v via binary search over the literal sorted array:
+    * invariant — the answer lies in [lo, hi]; after ceil(log2(n+1))
+    * halvings lo = hi = answer. O(log n) element_at probes per row,
+    * expression size O(1) (the loop lives in the HOF, not the tree). */
+  private[operators] def bucketOf(v: Column, cuts: Seq[Long]): Column = {
+    val n = cuts.length
+    val steps = 32 - Integer.numberOfLeadingZeros(n) // ceil(log2(n+1))
+    val arr = typedlit(cuts)
+    val search = aggregate(
+      sequence(lit(1), lit(steps)),
+      struct(lit(0).as("lo"), lit(n).as("hi")),
+      (acc, _) => {
+        val lo = acc.getField("lo"); val hi = acc.getField("hi")
+        val mid = shiftright(lo + hi + lit(1), 1)
+        // greatest() keeps element_at's index ≥ 1 when lo=hi=0 (the
+        // probe result is unused on that branch but must not throw)
+        val midOk = mid >= lit(1) && element_at(arr, greatest(mid, lit(1))) <= v
+        struct(
+          when(lo === hi, lo).when(midOk, mid).otherwise(lo).as("lo"),
+          when(lo === hi, hi).when(midOk, hi).otherwise(mid - lit(1)).as("hi"))
+      },
+      acc => acc.getField("lo"))
+    when(v.isNull, lit(null).cast("int")).otherwise(search)
+  }
 
   /** Write `df` Z-clustered on (x, y): range-partition by z-value into
     * `files` output partitions, sort within each, write parquet. Each

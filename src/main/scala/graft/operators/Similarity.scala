@@ -43,8 +43,9 @@ object Similarity {
     * near-miss negatives that actually move a contrastive loss (random
     * negatives are trivially separable). Same quantized-int dot and
     * per-probe window as [[bruteForceTopK]] with the label-inequality
-    * predicate inside the pair filter; at corpus scale swap the
-    * cross join for the [[lshTopK]] bucketed candidates. */
+    * predicate inside the pair filter. This brute path is the exact
+    * verification baseline; at corpus scale use [[hardNegativesLsh]]
+    * (same semantics over bucketed candidates, sublinear). */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
       col("label").as("lbl_n"))
@@ -92,14 +93,35 @@ object Similarity {
     * meaningful when neighbors are actually near (clustered corpora);
     * on isotropic random vectors no sublinear index can do well. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8,
-              probeHamming: Int = 0): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
-      signBucket(col("embedding"), bits).as("bucket"))
+              probeHamming: Int = 0): DataFrame =
+    lshRank(corpus, probes, k, bits, probeHamming, labelAware = false)
+
+  /** Scale path for hard-negative mining: [[lshTopK]]'s bucketed
+    * candidate generation with the label-inequality predicate pushed into
+    * the candidate filter — per-probe work is one bucket (× multi-probe),
+    * not the corpus, so mining stays sublinear at 1M probes × 1B corpus
+    * where [[hardNegatives]]' cross join is 10^15 pairs. Exactness caveat
+    * is [[lshTopK]]'s: recall < 1 by construction; the brute path remains
+    * the verification baseline (equality-tested on clustered corpora). */
+  def hardNegativesLsh(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8,
+                       probeHamming: Int = 0): DataFrame =
+    lshRank(corpus, probes, k, bits, probeHamming, labelAware = true)
+
+  /** Shared LSH candidate-generation + exact rescoring. `labelAware`
+    * carries `label` on both sides and keeps only cross-label pairs. */
+  private def lshRank(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int,
+                      probeHamming: Int, labelAware: Boolean): DataFrame = {
+    val c = corpus.select(Seq(col("vec_id").as("nid"), col("embedding").as("emb_n"),
+      signBucket(col("embedding"), bits).as("bucket")) ++
+      (if (labelAware) Seq(col("label").as("lbl_n")) else Nil): _*)
     val masks = probeMasks(bits, probeHamming)
-    val p = probes.select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
+    val p = probes.select(Seq(col("vec_id").as("qid"), col("embedding").as("emb_q"),
         explode(transform(typedlit(masks),
-          m => signBucket(col("embedding"), bits).bitwiseXOR(m))).as("bucket"))
-    val joined = p.join(c, "bucket").filter(col("qid") =!= col("nid"))
+          m => signBucket(col("embedding"), bits).bitwiseXOR(m))).as("bucket")) ++
+        (if (labelAware) Seq(col("label").as("lbl_q")) else Nil): _*)
+    val filt = col("qid") =!= col("nid") &&
+      (if (labelAware) col("lbl_q") =!= col("lbl_n") else lit(true))
+    val joined = p.join(c, "bucket").filter(filt)
       .select(col("qid"), col("nid"), col("emb_q"), col("emb_n"))
     // a candidate can surface through several probe buckets — dedupe
     // BEFORE scoring so row_number ranks distinct neighbors (single-

@@ -45,6 +45,31 @@ class EntityLinkingSpec extends AnyFunSuite {
     assert(d3 >= 2)
   }
 
+  test("ngrams: single-pass scan — one Generate in the plan, reference-exact grams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alan Turing broke Enigma"),
+      (2L, "a"),          // shorter than maxGram: only the unigram
+      (3L, "x y"),        // exactly two tokens
+      (4L, "")            // split("") = [""] -> filtered out entirely
+    ).toDF("doc_id", "text")
+    val maxGram = 3
+    val got = EntityLinking.ngrams(docs, $"doc_id", $"text", maxGram)
+    // plan: ONE Generate (the union formulation had maxGram of them)
+    val generates = "Generate".r.findAllIn(got.queryExecution.executedPlan.toString).size
+    assert(generates == 1, s"expected 1 Generate, got $generates")
+    // reference semantics computed literally
+    val want = (for {
+      (id, text) <- Seq((1L, "alan turing broke enigma"), (2L, "a"), (3L, "x y"))
+      toks = text.split(" ").toSeq
+      n <- 1 to maxGram
+      p <- 0 to toks.length - n
+    } yield (id, p, toks.slice(p, p + n).mkString(" "), n)).toSet
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(rows.length == rows.toSet.size, "duplicate grams")
+    assert(rows.toSet == want, s"got ${rows.toSet} want $want")
+  }
+
   test("link scoring prefers context-supported candidates deterministically") {
     import spark.implicits._
     // synthetic ambiguity: surface "apple" → Q_FRUIT or Q_CORP; doc A has

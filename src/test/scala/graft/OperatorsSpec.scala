@@ -248,6 +248,39 @@ class OperatorsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("hard negatives: LSH path = brute force under full bucket coverage; recall >= 0.9 at bits=8") {
+    import spark.implicits._
+    // clustered corpus with labels INSIDE clusters (i % 2): the nearest
+    // cross-label vector sits in the probe's own tight cluster, which is
+    // exactly the regime hard-negative mining targets
+    val rnd = new scala.util.Random(4321)
+    val dim = 32; val nClusters = 25; val n = 600
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val vecs = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat), (i % 2).toLong)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label").repartition(8).cache()
+    val probes = df.filter($"vec_id" % 20 === 0)
+    val brute = Similarity.hardNegatives(df, probes, k = 2).collect()
+    // bits=2 + Hamming-2 multiprobe visits ALL 4 buckets → candidate set
+    // is the whole corpus → the LSH path must EQUAL the brute path
+    val full = Similarity.hardNegativesLsh(df, probes, k = 2, bits = 2, probeHamming = 2).collect()
+    def asSet(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(asSet(full) == asSet(brute), "full-coverage LSH must equal brute force")
+    // sublinear point (bits=8, Hamming-2 = 37/256 buckets): labels always
+    // differ and recall@1-by-score >= 0.9
+    val lsh = Similarity.hardNegativesLsh(df, probes, k = 2, bits = 8, probeHamming = 2).collect()
+    val lbl = vecs.map(v => v._1 -> v._3).toMap
+    assert(lsh.forall(r => lbl(r.getLong(0)) != lbl(r.getLong(1))), "same-label pair leaked")
+    val truth = brute.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = lsh.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val recall = truth.count { case (q, d) => got.get(q).contains(d) }.toDouble / truth.size
+    assert(recall >= 0.9, f"label-aware LSH recall $recall%.3f < 0.9")
+    df.unpersist()
+  }
+
   test("multimodal: meta + features plumbing is deterministic and typed") {
     import spark.implicits._
     val assets = Multimodal.synthesize(spark.range(0, 30).toDF("id"), col("id"))
@@ -263,6 +296,66 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.synthesize(spark.range(0, 30).toDF("id"), col("id")), dim = 8).collect()
     assert(feats.sortBy(_.asset_id).zip(feats2.sortBy(_.asset_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("multimodal: REAL PNG decode recovers exact pixels (ImageIO, no stubs)") {
+    import spark.implicits._
+    import Multimodal.ImageCodec
+    val assets = Multimodal.synthesizeImages(spark.range(0, 20).toDF("id"), col("id"))
+    // real decode path: extractMeta must report the true PNG dimensions
+    Multimodal.extractMeta(assets).collect().foreach { m =>
+      assert(m.width == 16 + (m.asset_id % 64).toInt, m)
+      assert(m.height == 16 + (m.asset_id % 48).toInt, m)
+    }
+    // pixel_sha equals a sha computed DIRECTLY from the pixel formula —
+    // independent of the PNG container, so encode→decode is bit-exact
+    val stats = Multimodal.imagePixelStats(assets).collect().sortBy(_.asset_id)
+    assert(stats.length == 20)
+    stats.foreach { s =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      var redSum = 0L
+      for (y <- 0 until s.height; x <- 0 until s.width) {
+        val p = ImageCodec.rgb(s.asset_id, x, y)
+        redSum += (p >> 16) & 0xff
+        md.update(((p >> 16) & 0xff).toByte)
+        md.update(((p >> 8) & 0xff).toByte)
+        md.update((p & 0xff).toByte)
+      }
+      assert(s.red_sum == redSum, s)
+      assert(s.pixel_sha == md.digest().map("%02x".format(_)).mkString, s)
+    }
+    // real image features: a uniform gray image puts ALL mass in one bin
+    val gray = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) gray.setRGB(x, y, 0x808080)
+    val f = ImageCodec.histFeatures(gray, 8)
+    assert(f(4) == 1.0f && f.sum == 1.0f, f.toSeq)
+    // undecodable bytes never fail the task — header fallback still works
+    val fake = Multimodal.synthesize(spark.range(0, 3).toDF("id"), col("id"))
+    assert(Multimodal.extractMeta(fake).collect().forall(_.sizeBytes == 76))
+  }
+
+  test("multimodal: REAL resize — hand-computed nearest-neighbor pixels, plus JPEG decode") {
+    import Multimodal.ImageCodec
+    // 4×4 image with distinct pixels, resized to 2×2: the explicit mapping
+    // src = dst*4/2 samples exactly (0,0) (2,0) (0,2) (2,2)
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, (y * 4 + x) * 0x010101)
+    val small = ImageCodec.resize(ImageCodec.encodePng(img), 2, 2).get
+    val dec = ImageCodec.decode(small).get
+    assert(dec.getWidth == 2 && dec.getHeight == 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield dec.getRGB(x, y) & 0xffffff
+    val want = Seq(0, 2, 8, 10).map(_ * 0x010101)
+    assert(got == want, s"got=$got want=$want")
+    // upscale also uses the same mapping: 2×2 → 4×4 repeats each pixel 2×2
+    val big = ImageCodec.decode(ImageCodec.resize(small, 4, 4).get).get
+    assert((big.getRGB(0, 0) & 0xffffff) == 0 && (big.getRGB(1, 1) & 0xffffff) == 0 &&
+      (big.getRGB(3, 3) & 0xffffff) == 10 * 0x010101)
+    // JPEG decodes too (second real format; lossy, so dims only)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(ImageCodec.dims(bos.toByteArray).contains((4, 4)), "JPEG decode failed")
+    // resize degrades (passes through) on undecodable bytes
+    assert(ImageCodec.resize(Array[Byte](1, 2, 3), 2, 2).isEmpty)
   }
 
   test("skew: salted aggregations equal their plain counterparts") {
@@ -740,6 +833,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none == 300)
   }
 
+  test("bloom broadcast-table variant == literal path, with no giant plan literal") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"text-${i % 90}")).toDF("doc_id", "text")
+    val bench = docs.where($"doc_id" % 7 === 0).select($"text")
+    val want = docs.join(bench.distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // equality with the literal path across the same (bits, k) grid,
+    // including the saturated case where the verify join does all the work
+    for ((bits, k) <- Seq((64, 2), (1 << 16, 5))) {
+      val got = graft.operators.Joins.bloomAntiJoinBroadcast(
+        docs, "text", bench, "text", bits.toLong, k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val litRows = graft.operators.Joins.bloomAntiJoin(docs, "text", bench, "text", bits, k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want && litRows == want, s"bits=$bits k=$k")
+    }
+    // the point of the variant: at big bits the words ride as a broadcast
+    // relation, not a plan literal. Plan toString truncates long literals,
+    // so assert structurally: largest array literal in the analyzed plan
+    def maxArrayLit(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            a: org.apache.spark.sql.catalyst.util.ArrayData, _) => a.numElements()
+        })
+      }.flatten.maxOption.getOrElse(0)
+    val big = 1 << 20
+    val bDf = graft.operators.Joins.bloomAntiJoinBroadcast(
+      docs, "text", bench, "text", big.toLong, 3)
+    val lDf = graft.operators.Joins.bloomAntiJoin(docs, "text", bench, "text", big, 3)
+    assert(bDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(maxArrayLit(lDf) == big / 64, "literal path should inline bits/64 words")
+    assert(maxArrayLit(bDf) <= 8,
+      s"broadcast path leaked an array literal of ${maxArrayLit(bDf)} elements")
+    // empty benchmark set: the words table is empty -> all words coalesce
+    // to 0 -> everything definitely-out, nothing crashes
+    val none = graft.operators.Joins.bloomAntiJoinBroadcast(
+      docs, "text", bench.where(lit(false)), "text", 1L << 10, 3).count()
+    assert(none == 300)
+  }
+
   test("fuzzy decontamination flags planted paraphrases of benchmark docs, not fresh text") {
     import spark.implicits._
     val bench = Seq(
@@ -930,6 +1064,47 @@ class OperatorsSpec extends AnyFunSuite {
         graft.operators.Layout.zValue($"x", $"y", 10).as("z"))
       .collect()
     got.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
+  }
+
+  test("rankBucket: exact-quantile normalizer — no Window, no Exchange on the data path") {
+    import spark.implicits._
+    // heavily skewed domain (squares): equal-width bucketing would cram
+    // most rows into bucket 0; rank bucketing balances them
+    val n = 4096
+    // spark.range: parallel source with NO Exchange of its own, so the
+    // no-shuffle assertion below sees only what rankBucket adds
+    val df = spark.range(0, n, 1, 8).select($"id", ($"id" * $"id").as("v"))
+    val bits = 3
+    val out = graft.operators.Layout.rankBucket(df, "v", bits, "b")
+    // the returned plan is the single-task-global-sort fix under test:
+    // bucketing must be pure map-side arithmetic over the input
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rankBucket plan contains a Window:\n$plan")
+    assert(!plan.contains("Exchange"), s"rankBucket plan shuffles:\n$plan")
+    val got = out.collect().map(r => r.getLong(1) -> r.getInt(2))
+    // semantics: bucket(v) = #cutpoints <= v, cutpoints at ceil(q*n)-th
+    // smallest (multiset order) — recompute directly
+    val sorted = got.map(_._1).sorted
+    val cuts = (1 until (1 << bits)).map(i =>
+      sorted(math.ceil(i.toDouble / (1 << bits) * n).toInt - 1))
+    got.foreach { case (v, b) => assert(b == cuts.count(_ <= v), s"v=$v b=$b") }
+    // balance: distinct values ⇒ every bucket gets n/2^bits ± 1 rows
+    val sizes = got.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == (1 << bits) && sizes.forall(s => math.abs(s - n / (1 << bits)) <= 1),
+      s"bucket sizes: ${got.groupBy(_._2).view.mapValues(_.length).toMap}")
+    // nulls bucket to null; empty input yields the null column
+    val withNull = Seq(Some(5L), None).toDF("v")
+    val nb = graft.operators.Layout.rankBucket(withNull, "v", 2, "b").collect()
+    assert(nb.exists(r => !r.isNullAt(0) && !r.isNullAt(1)) &&
+      nb.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(graft.operators.Layout.rankBucket(
+      spark.emptyDataset[Long].toDF("v"), "v", 2, "b").count() == 0)
+    // normalizer → zValue composition stays in-domain
+    val z = graft.operators.Layout.rankBucket(df, "v", 3, "bv")
+    val zz = graft.operators.Layout.rankBucket(z, "id", 3, "bi")
+      .select(graft.operators.Layout.zValue($"bv", $"bi", 3).as("z"))
+      .agg(min("z"), max("z")).head()
+    assert(zz.getLong(0) >= 0L && zz.getLong(1) < 64L)
   }
 
   test("PR curve: binned sweep matches a hand-computed threshold evaluation") {
