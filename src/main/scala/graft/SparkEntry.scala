@@ -432,6 +432,22 @@ object SparkEntry {
         .select($"asset_id", $"width", $"height", $"red_sum")
         .orderBy("asset_id")
     },
+    // REAL audio decode: synthesize genuine WAVs (javax.sound PCM encode),
+    // decode them back and report exact sample stats — lossless PCM, so
+    // the oracle re-derives the |sample| sum from the sawtooth formula
+    "q_mm_audio" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val assets = graft.operators.Multimodal.synthesizeAudio(t(dir, "documents"), $"doc_id")
+      graft.operators.Multimodal.audioStats(assets).toDF()
+        .orderBy("asset_id")
+    },
+    // REAL frame sampling: synthesize genuine animated GIFs, decode every
+    // 2nd frame, PNG-round-trip each kept frame, and sum its gray channel
+    // — the oracle replays frame selection + the pixel formula in SQL
+    "q_mm_frames" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val assets = graft.operators.Multimodal.synthesizeGifs(t(dir, "documents"), $"doc_id")
+      graft.operators.Multimodal.frameStats(assets, everyK = 2).toDF()
+        .orderBy("asset_id")
+    },
     // exact discrete percentiles per group: window rank + positional pick
     // (integer position logic — engine-independent, unlike interpolation)
     "q_percentile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -1438,6 +1454,27 @@ object SparkEntry {
         |  CAST(list_sum(flatten(list_transform(range(8), dx ->
         |    list_transform(range(8), dy ->
         |      (i*131 + ((dx*w)//8)*17 + ((dy*h)//8)*29) % 256)))) AS BIGINT) AS red_sum
+        |FROM m ORDER BY asset_id""".stripMargin,
+    // mirrors Multimodal.AudioCodec: 16-bit PCM samples ((i*7+t*13)%2003)-1001
+    // at 8 kHz, 500 + i%300 samples — lossless WAV ⇒ exact sums
+    "q_mm_audio" ->
+      """WITH m AS (SELECT doc_id AS i, 500 + doc_id%300 AS n FROM documents)
+        |SELECT i AS asset_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS INTEGER) AS n_samples, CAST(n*1000//8000 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(range(n), t ->
+        |    abs((i*7 + t*13) % 2003 - 1001))) AS BIGINT) AS abs_sum
+        |FROM m ORDER BY asset_id""".stripMargin,
+    // mirrors Multimodal.FrameCodec: 3 + i%5 frames of (8+i%8)×(8+i%4)
+    // gray (i*31+f*57+x*17+y*29)%256; every-2nd-frame sampling = range step 2
+    "q_mm_frames" ->
+      """WITH m AS (SELECT doc_id AS i, 3 + doc_id%5 AS nf, 8 + doc_id%8 AS w, 8 + doc_id%4 AS h
+        |           FROM documents)
+        |SELECT i AS asset_id, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST((nf + 1)//2 AS INTEGER) AS n_sampled,
+        |  CAST(list_sum(list_transform(range(0, nf, 2), f ->
+        |    list_sum(flatten(list_transform(range(w), x ->
+        |      list_transform(range(h), y ->
+        |        (i*31 + f*57 + x*17 + y*29) % 256)))))) AS BIGINT) AS gray_sum
         |FROM m ORDER BY asset_id""".stripMargin,
     "q_training_filter" -> {
       val (scores, caseExpr) = langidParts

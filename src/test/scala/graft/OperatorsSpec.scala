@@ -358,6 +358,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ImageCodec.resize(Array[Byte](1, 2, 3), 2, 2).isEmpty)
   }
 
+  test("multimodal: REAL WAV decode recovers exact PCM samples; meta reports true duration") {
+    import spark.implicits._
+    import Multimodal.AudioCodec
+    // encode→decode round trip is bit-exact (PCM is lossless)
+    val wav = AudioCodec.syntheticWav(7L, 600)
+    val (rate, samples) = AudioCodec.decode(wav).get
+    assert(rate == 8000 && samples.length == 600)
+    (0 until 600).foreach(t => assert(samples(t) == AudioCodec.sample(7L, t), s"t=$t"))
+    // distributed stats match a direct fold of the formula
+    val assets = Multimodal.synthesizeAudio(spark.range(0, 12).toDF("id"), col("id"))
+    Multimodal.audioStats(assets).collect().foreach { s =>
+      val n = 500 + (s.asset_id % 300).toInt
+      val want = (0 until n).map(t => math.abs(AudioCodec.sample(s.asset_id, t)).toLong).sum
+      assert(s.n_samples == n && s.sample_rate == 8000 &&
+        s.duration_ms == n.toLong * 1000 / 8000 && s.abs_sum == want, s)
+    }
+    // extractMeta reports the REAL duration for decodable audio,
+    // header-fallback for the synthetic fixtures
+    val meta = Multimodal.extractMeta(assets).collect()
+    meta.foreach(m => assert(m.durationMs == (500 + (m.asset_id % 300)) * 1000 / 8000, m))
+    // undecodable bytes degrade (header parse), never fail
+    assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("multimodal: REAL GIF frame sampling — exact gray pixels through GIF and PNG") {
+    import spark.implicits._
+    import Multimodal.FrameCodec
+    // 5 frames, sample every 2nd -> frames 0, 2, 4
+    val gif = FrameCodec.syntheticGif(3L, frames = 5, w = 9, h = 6)
+    val frames = FrameCodec.decodeFrames(gif)
+    assert(frames.length == 5)
+    // decoded GIF frames carry the exact gray values (identity palette)
+    for (f <- 0 until 5; y <- 0 until 6; x <- 0 until 9)
+      assert((frames(f).getRGB(x, y) >> 16 & 0xff) == FrameCodec.gray(3L, f, x, y),
+        s"f=$f x=$x y=$y")
+    val sampled = FrameCodec.sampleFrames(gif, 2)
+    assert(sampled.length == 3)
+    // each sampled frame PNG-round-trips bit-exactly
+    val dec0 = Multimodal.ImageCodec.decode(sampled(1)).get // frame index 2
+    assert((dec0.getRGB(4, 3) >> 16 & 0xff) == FrameCodec.gray(3L, 2, 4, 3))
+    // distributed stats match the formula
+    val assets = Multimodal.synthesizeGifs(spark.range(0, 10).toDF("id"), col("id"))
+    Multimodal.frameStats(assets, everyK = 2).collect().foreach { s =>
+      val (nf, w, h) = ((3 + s.asset_id % 5).toInt, (8 + s.asset_id % 8).toInt, (8 + s.asset_id % 4).toInt)
+      val want = (for { f <- 0 until nf by 2; x <- 0 until w; y <- 0 until h }
+        yield FrameCodec.gray(s.asset_id, f, x, y).toLong).sum
+      assert(s.n_frames == nf && s.n_sampled == (nf + 1) / 2 && s.gray_sum == want, s)
+    }
+    // non-image bytes yield no frames (degrade, not fail)
+    assert(FrameCodec.decodeFrames(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("skew: salted aggregations equal their plain counterparts") {
     import spark.implicits._
     // power-law key: one hub with 5000 rows, tail keys with a few
