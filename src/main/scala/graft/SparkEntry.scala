@@ -749,6 +749,63 @@ object SparkEntry {
       plans.Closure.transitive(edges, "src", "dst", maxDepth = 4)
         .orderBy($"src", $"dst")
     },
+    // Strongly connected components of a DIRECTED graph (plans.Scc):
+    // trim + forward-max coloring + same-color backward harvest — the
+    // distributed SCC formulation (no DFS; only equi-joins and
+    // partial-aggregable maxes). Contract: scc_id(u) = max{v : u →* v
+    // and v →* u}, which the oracle re-derives from a recursive-CTE
+    // reachability closure (O(n²) pairs — affordable for the oracle
+    // only; the engine never materializes reach pairs). Edge table:
+    // two overlaid deterministic functional graphs on 101 nodes.
+    "q_scc" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val g1 = ev.groupBy(($"user_id" % 101L).as("src"))
+        .agg((min($"event_id") % 101L).as("dst"))
+      val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
+        .agg((max($"user_id") % 101L).as("dst"))
+      plans.Scc.run(g1.union(g2)).orderBy("id")
+    },
+    // HyperLogLog as an explicit MERGEABLE register table
+    // (operators.Sketch): sha256-derived (register, rho), ONE
+    // partial-aggregable max shuffle, output ≤ 2^b rows regardless of
+    // input size. Unlike approx_count_distinct's opaque buffer, the
+    // registers persist/merge with plain relational ops — and being
+    // integer-exact, the full sketch STATE hash-matches the oracle.
+    "q_hll_registers" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Sketch.hllRegisters(t(dir, "lineitem"), $"l_partkey").orderBy("reg")
+    },
+    // the raw HLL estimate from those registers: 2^52-scaled integer
+    // harmonic sum; the single float op is one IEEE division both
+    // engines perform on exactly-agreed operands (then floored) —
+    // exact_distinct rides along to make the sketch error visible
+    "q_hll_estimate" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Sketch.hllEstimate(t(dir, "lineitem"), $"l_partkey")
+    },
+    // corpus-trained bigram LM fluency score in ppm (perplexity-style
+    // quality signal, integer-exact): in-row bigram flat map, one
+    // partial-aggregable model agg, model join back (AQE-broadcast when
+    // small), one per-doc agg
+    "q_lm_score" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.TextAnalysis.lmScore(t(dir, "documents"), $"doc_id", $"text")
+        .orderBy("doc_id")
+    },
+    // Count-Min sketch state (operators.Sketch.cmsSketch): 4 hash rows
+    // from disjoint sha256 slices, ONE partial-aggregable count
+    // shuffle, ≤ 4·width output rows — the mergeable (by SUM)
+    // approximate-frequency counterpart of q_hll_registers
+    "q_cms_sketch" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val toks = t(dir, "documents").select(explode(split($"text", " ")).as("tok"))
+      operators.Sketch.cmsSketch(toks, $"tok").orderBy("row", "col")
+    },
+    // point-frequency estimates: probe tokens re-derive their (row,col)
+    // pairs and broadcast-join the tiny sketch; est = min over rows
+    // (≥ true count always — the oracle replays the identical minimum)
+    "q_cms_lookup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val toks = t(dir, "documents").select(explode(split($"text", " ")).as("tok"))
+      val sketch = operators.Sketch.cmsSketch(toks, $"tok")
+      val probes = toks.distinct().orderBy("tok").limit(10)
+      operators.Sketch.cmsLookup(sketch, probes, $"tok").orderBy("probe")
+    },
     // Synchronous label propagation, 2 rounds (plans.LabelProp):
     // plurality label of neighbors, smallest-label tie-break, keep own
     // label when isolated — deterministic rules the oracle re-derives
@@ -1678,6 +1735,93 @@ object SparkEntry {
         |  WHERE r.depth < 4)
         |SELECT src, dst, MIN(depth) AS depth FROM reach GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
+    // SCC by definition: scc_id(u) = max{v : u →* v and v →* u}, over
+    // the full recursive-CTE reachability closure — an independent
+    // O(n²)-pairs algorithm the trim+coloring engine never runs.
+    // Self-loops drop from the edge set but their endpoints stay nodes
+    // (mirroring plans.Scc); GREATEST(id, …) includes the node itself.
+    "q_scc" ->
+      """WITH RECURSIVE
+        |g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst FROM events GROUP BY 1),
+        |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst FROM events GROUP BY 1),
+        |raw AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |nodes AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |mutual AS (
+        |  SELECT r1.src AS id, r1.dst AS other FROM reach r1
+        |  JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src)
+        |SELECT n.id, CAST(GREATEST(n.id, COALESCE(MAX(m.other), n.id)) AS BIGINT) AS scc_id
+        |FROM nodes n LEFT JOIN mutual m ON n.id = m.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // same sha256-hex register/rho derivation: CAST('0x…') replays
+    // Spark's conv(hex,16,10), length(to_base(v,2)) replays bitlength
+    "q_hll_registers" ->
+      """WITH h AS (SELECT sha256(CAST(l_partkey AS VARCHAR)) AS x FROM lineitem),
+        |d AS (SELECT CAST('0x' || substr(x, 1, 2) AS BIGINT) AS reg,
+        |             CAST('0x' || substr(x, 3, 13) AS BIGINT) AS v FROM h),
+        |r AS (SELECT reg, 53 - (CASE WHEN v = 0 THEN 0 ELSE length(to_base(v, 2)) END) AS rho FROM d)
+        |SELECT reg, CAST(MAX(rho) AS BIGINT) AS rho_max FROM r GROUP BY reg
+        |ORDER BY reg""".stripMargin,
+    // numerator literal = the identical Scala-side double (alpha_m·m²·2^52,
+    // same op order as Sketch.hllEstimate), so the one IEEE division
+    // agrees bit-for-bit and FLOOR lands on the same integer
+    "q_hll_estimate" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0
+      s"""WITH h AS (SELECT sha256(CAST(l_partkey AS VARCHAR)) AS x FROM lineitem),
+         |d AS (SELECT CAST('0x' || substr(x, 1, 2) AS BIGINT) AS reg,
+         |             CAST('0x' || substr(x, 3, 13) AS BIGINT) AS v FROM h),
+         |r AS (SELECT reg, MAX(53 - (CASE WHEN v = 0 THEN 0 ELSE length(to_base(v, 2)) END)) AS rho_max
+         |      FROM d GROUP BY reg),
+         |a AS (SELECT COUNT(*) AS nonzero_regs,
+         |             CAST(SUM(CAST(1 AS BIGINT) << (52 - rho_max)) AS BIGINT) AS s_nonzero FROM r),
+         |x AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+         |SELECT CAST(256 AS BIGINT) AS m, nonzero_regs,
+         |  CAST(s_nonzero + (256 - nonzero_regs) * 4503599627370496 AS BIGINT) AS harmonic_scaled,
+         |  CAST(FLOOR($num / CAST(s_nonzero + (256 - nonzero_regs) * 4503599627370496 AS DOUBLE)) AS BIGINT) AS hll_estimate,
+         |  exact_distinct
+         |FROM a, x""".stripMargin
+    },
+    // bigram LM in ppm integer arithmetic: // on positives == Spark div
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |       FROM t, UNNEST(range(1, len(w))) AS u(i)
+        |       WHERE len(w) >= 2),
+        |m2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2),
+        |m1 AS (SELECT w1, COUNT(*) AS cnt1 FROM bg GROUP BY w1),
+        |p AS (SELECT m2.w1, m2.w2, (cnt2 * 1000000) // cnt1 AS p_ppm
+        |      FROM m2 JOIN m1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS score_ppm
+        |FROM bg JOIN p USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same disjoint-sha256-slice hash rows; % on positives == pmod
+    "q_cms_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT sha256(tok) AS x FROM tok),
+        |p AS (SELECT j AS "row", CAST('0x' || substr(x, j * 13 + 1, 13) AS BIGINT) % 256 AS col
+        |      FROM h, UNNEST(range(0, 4)) AS u(j))
+        |SELECT CAST("row" AS BIGINT) AS "row", col, COUNT(*) AS cnt FROM p
+        |GROUP BY "row", col ORDER BY "row", col""".stripMargin,
+    "q_cms_lookup" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT sha256(tok) AS x FROM tok),
+        |sk AS (SELECT j AS "row", CAST('0x' || substr(x, j * 13 + 1, 13) AS BIGINT) % 256 AS col,
+        |              COUNT(*) AS cnt
+        |       FROM h, UNNEST(range(0, 4)) AS u(j) GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT tok FROM tok ORDER BY tok LIMIT 10),
+        |pp AS (SELECT p.tok AS probe, j AS "row",
+        |              CAST('0x' || substr(sha256(p.tok), j * 13 + 1, 13) AS BIGINT) % 256 AS col
+        |       FROM probes p, UNNEST(range(0, 4)) AS u(j))
+        |SELECT probe, CAST(MIN(cnt) AS BIGINT) AS est
+        |FROM pp JOIN sk USING ("row", col)
+        |GROUP BY probe ORDER BY probe""".stripMargin,
     // 3 PageRank iterations unrolled in scaled-integer arithmetic;
     // `//` (floor div) on positives == Spark's `div`, so ranks are
     // bit-exact across engines

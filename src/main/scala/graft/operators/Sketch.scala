@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog as an explicit, MERGEABLE register sketch — approximate
+  * distinct counting whose intermediate state is a table, not an opaque
+  * binary blob. `approx_count_distinct` hides its HLL++ sketch inside an
+  * aggregation buffer; materializing the registers instead makes the
+  * sketch (a) persistable next to the data (per-partition / per-day
+  * register tables), (b) mergeable with a plain `groupBy(reg).max(rho)`
+  * — union two corpora's register tables and re-max to get the sketch
+  * of the union without rescanning either corpus — and (c) exactly
+  * reproducible cross-engine, since every step is integer arithmetic on
+  * a sha256 both Spark and DuckDB compute identically (the basis of the
+  * DuckDB oracle: q_hll_registers hash-matches the full register table).
+  *
+  * Hash layout (sha256 hex of the value's canonical string form):
+  *  - register index = first b/4 hex chars (b bits, m = 2^b registers);
+  *  - rho           = 1 + leading-zero count of the NEXT 52 bits
+  *                    (13 hex chars — fits a signed long exactly),
+  *                    i.e. rho = 53 - bitlength(v), rho(0) = 53.
+  *
+  * Scale shape: one projection (sha256 + two substring-conv's, all
+  * codegen'd built-ins) and ONE partial-aggregable max shuffle whose
+  * output is ≤ m rows — the sketch never grows with the data. The raw
+  * estimate is `alpha_m * m^2 / sum_j 2^-M[j]`, computed here over the
+  * 2^52-scaled harmonic sum so the only floating-point step is a single
+  * IEEE division of two exactly-agreed numbers (deterministic
+  * cross-engine; floored to a BIGINT).
+  */
+object Sketch {
+
+  /** Per-register max-rho table: (reg: long, rho_max: long), only
+    * non-empty registers present (empty ⇔ rho 0 by convention). */
+  def hllRegisters(df: DataFrame, value: Column, b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16 && b % 4 == 0, s"b=$b must be a multiple of 4 in [4,16]")
+    val nHex = b / 4
+    val h = sha2(value.cast("string"), 256)
+    val vHex = substring(h, nHex + 1, 13) // 52 bits — exact in a long
+    val v = conv(vHex, 16, 10).cast("long")
+    // conv(_,16,2) drops leading zeros, so length == bitlength (v>0)
+    val bitlen = when(v === 0, lit(0)).otherwise(length(conv(vHex, 16, 2)))
+    df.select(
+        conv(substring(h, 1, nHex), 16, 10).cast("long").as("reg"),
+        (lit(53) - bitlen).cast("long").as("rho"))
+      .groupBy("reg").agg(max("rho").as("rho_max"))
+  }
+
+  /** One-row summary: (m, nonzero_regs, harmonic_scaled, hll_estimate,
+    * exact_distinct). `harmonic_scaled` = sum over all m registers of
+    * 2^(52 - rho_j) (empty register ⇒ rho 0 ⇒ 2^52) — an exact long
+    * (≤ m·2^52 ≤ 2^68... bounded by b ≤ 11 here to stay in 63 bits).
+    * `hll_estimate` = floor(alpha_m · m² · 2^52 / harmonic_scaled).
+    * `exact_distinct` rides along so the sketch's error is visible. */
+  def hllEstimate(df: DataFrame, value: Column, b: Int = 8): DataFrame = {
+    require(b <= 11, s"b=$b: harmonic_scaled must stay within a signed long (m·2^52)")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0 // ·2^52
+    val regs = hllRegisters(df, value, b)
+    val agg = regs.agg(
+      count(lit(1)).as("nonzero_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - rho_max AS INT))")).as("s_nonzero"))
+    val exact = df.agg(countDistinct(value).as("exact_distinct"))
+    agg.crossJoin(exact).select(
+      lit(m.toLong).as("m"),
+      col("nonzero_regs"),
+      (col("s_nonzero") + (lit(m.toLong) - col("nonzero_regs")) * lit(4503599627370496L))
+        .as("harmonic_scaled"),
+      floor(lit(num) / col("s_nonzero").plus(
+        (lit(m.toLong) - col("nonzero_regs")) * lit(4503599627370496L)).cast("double"))
+        .cast("long").as("hll_estimate"),
+      col("exact_distinct"))
+  }
+
+  /** Count-Min sketch as an explicit register table — approximate
+    * frequencies in bounded space, the counting counterpart of
+    * [[hllRegisters]]. Four independent hash rows from disjoint
+    * 13-hex-char (52-bit) slices of the value's sha256; column =
+    * slice mod width. The sketch is (row, col, cnt) with cnt summed —
+    * mergeable across corpora/partitions/days by plain
+    * `groupBy(row, col).sum(cnt)`, and integer-exact end to end (the
+    * DuckDB oracle hash-matches the full state).
+    *
+    * Scale shape: one in-row flat map (4 pairs per input row, no data
+    * widening beyond ×4) and ONE partial-aggregable count shuffle with
+    * ≤ depth·width output rows. Point estimate = min over the 4 rows
+    * (always ≥ the true count; ≤ true + 2eN/width w.p. 1−2^-4). */
+  def cmsSketch(df: DataFrame, value: Column, width: Int = 256): DataFrame = {
+    require(width >= 2 && width <= (1 << 20), s"width=$width")
+    val h = sha2(value.cast("string"), 256)
+    val pairs = transform(sequence(lit(0), lit(3)), j => struct(
+      j.as("row"),
+      pmod(conv(h.substr(j * 13 + 1, lit(13)), 16, 10).cast("long"), lit(width.toLong))
+        .as("col")))
+    df.select(explode(pairs).as("p"))
+      .select(col("p.row").cast("long").as("row"), col("p.col").as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` (a one-column DataFrame of
+    * values) against a sketch from [[cmsSketch]]: min over the 4 rows.
+    * The probe side re-derives its (row, col) pairs and equi-joins the
+    * ≤ depth·width-row sketch — broadcast-size by construction. */
+  def cmsLookup(sketch: DataFrame, probes: DataFrame, value: Column, width: Int = 256): DataFrame = {
+    val h = sha2(value.cast("string"), 256)
+    val pairs = transform(sequence(lit(0), lit(3)), j => struct(
+      j.as("row"),
+      pmod(conv(h.substr(j * 13 + 1, lit(13)), 16, 10).cast("long"), lit(width.toLong))
+        .as("col")))
+    probes.select(value.cast("string").as("probe"), explode(pairs).as("p"))
+      .select(col("probe"), col("p.row").cast("long").as("row"), col("p.col").as("col"))
+      .join(broadcast(sketch), Seq("row", "col"))
+      .groupBy("probe").agg(min("cnt").as("est"))
+  }
+}

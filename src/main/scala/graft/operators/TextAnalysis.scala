@@ -182,6 +182,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-trained bigram language-model fluency score — the
+    * perplexity-style quality signal (CCNet/KenLM family) reduced to
+    * integer arithmetic: train conditional bigram frequencies on the
+    * corpus itself, then score each document by the MEAN conditional
+    * probability of its bigrams, in parts-per-million. Boilerplate and
+    * in-domain text score high; lorem-ipsum/shuffled/garbled text
+    * scores low. Log-space perplexity needs floats (not hash-stable
+    * cross-engine); mean conditional probability is order-equivalent
+    * for ranking-threshold use and exact.
+    *
+    *   p_ppm(w1,w2)  = count(w1 w2) * 1e6 div count(w1 *)
+    *   score_ppm(doc) = sum(p_ppm over doc bigrams) div n_bigrams
+    *
+    * Scale shape: bigram extraction is an in-row flat map (zero
+    * shuffle); training is one partial-aggregable groupBy over (w1,w2)
+    * (the model is ≤ vocab² but Zipf-concentrated, far smaller than the
+    * corpus); scoring joins doc bigrams to the model on (w1,w2) — AQE
+    * broadcasts the model when it fits, else a plain hash join — and
+    * one final per-doc agg. Docs with < 2 tokens have no bigrams and
+    * are absent from the output (no fluency evidence). */
+  def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val bg = transform(sequence(lit(1), size(toks) - 1),
+      i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
+    val docBigrams = df.select(id.as("doc_id"),
+        explode(when(size(toks) >= 2, bg)
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = docBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("p_ppm"))
+    docBigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+  }
+
   /** Rabin-Karp rolling hash over character windows: O(n) for all
     * positions (each step adds one char, drops one). Used for
     * containment/overlap detection between documents (shared windows ⇒

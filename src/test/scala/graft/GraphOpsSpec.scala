@@ -180,4 +180,52 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Reference SCC by definition: Floyd-Warshall reachability, then
+    * scc_id(u) = max{v : u →* v ∧ v →* u} (self included). */
+  private def bruteScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val reach = Array.fill(n, n)(false)
+    for ((a, b) <- edges if a != b) reach(idx(a))(idx(b)) = true
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k); j <- 0 until n if reach(k)(j))
+      reach(i)(j) = true
+    nodes.map { u =>
+      val i = idx(u)
+      u -> nodes.filter(v => v == u || (reach(i)(idx(v)) && reach(idx(v))(i))).max
+    }.toMap
+  }
+
+  private def runScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.plans.Scc.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("scc: two cycles joined by a bridge — two nontrivial components") {
+    // 1→2→3→1 (scc 3) and 10→11→10 (scc 11); bridge 3→10; pendant 3→5
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10), (3, 5))
+    val got = runScc(edges)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 11L, 11L -> 11L, 5L -> 5L), got.toString)
+  }
+
+  test("scc: DAG is all singletons (pure trim path), self-loops tolerated") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (1, 3), (3, 4), (7, 7))
+    val got = runScc(edges)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 7L -> 7L), got.toString)
+  }
+
+  test("scc matches the reachability-definition reference on random digraphs") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(4200 + trial)
+      val n = 24
+      val edges = (1 to 50)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val got = runScc(edges)
+      val want = bruteScc(edges)
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+    }
+  }
 }

@@ -1224,4 +1224,110 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(got == want, s"$got vs $want")
   }
+
+  /** JVM-side HLL register reference: same sha256-hex layout as
+    * Sketch.hllRegisters (b=8: 2 index hex chars, 13 rho hex chars). */
+  private def refHllRegs(values: Seq[String]): Map[Long, Long] = {
+    def one(s: String): (Long, Long) = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val reg = java.lang.Long.parseLong(h.substring(0, 2), 16)
+      val v = java.lang.Long.parseLong(h.substring(2, 15), 16)
+      val bitlen = if (v == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+      (reg, 53L - bitlen)
+    }
+    values.map(one).groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).max }
+  }
+
+  test("hll registers match a JVM sha256 reference and are duplicate-insensitive") {
+    import spark.implicits._
+    val vals = (0 until 500).map(i => s"item-$i")
+    val withDups = vals ++ vals.take(200) ++ vals.take(50)
+    val got = graft.operators.Sketch.hllRegisters(withDups.toDF("v"), $"v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refHllRegs(vals), "registers must match reference and ignore duplicates")
+  }
+
+  test("hll registers merge: sketch(A ∪ B) == max-merge of sketch(A), sketch(B)") {
+    import spark.implicits._
+    val a = (0 until 400).map(i => s"a-$i")
+    val b = (0 until 400).map(i => if (i % 3 == 0) s"a-$i" else s"b-$i") // overlap
+    val sa = graft.operators.Sketch.hllRegisters(a.toDF("v"), $"v")
+    val sb = graft.operators.Sketch.hllRegisters(b.toDF("v"), $"v")
+    val merged = sa.union(sb).groupBy("reg").agg(max("rho_max").as("rho_max"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = graft.operators.Sketch.hllRegisters((a ++ b).toDF("v"), $"v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "register tables must merge by plain max")
+  }
+
+  test("hll estimate lands within the expected error band at n=5000") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => s"doc-$i").toDF("v")
+    val row = graft.operators.Sketch.hllEstimate(df, $"v").collect().head
+    val est = row.getAs[Long]("hll_estimate")
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact == 5000)
+    // raw HLL at m=256: typical rel. error 1.04/sqrt(256) ≈ 6.5%; allow 3σ
+    assert(math.abs(est - exact).toDouble / exact < 0.2, s"est=$est exact=$exact")
+  }
+
+  /** JVM-side CMS reference (width 256, depth 4, same sha256 slices). */
+  private def refCms(values: Seq[String]): Map[(Long, Long), Long] = {
+    def cols(s: String): Seq[(Long, Long)] = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 4).map(j =>
+        (j.toLong, java.lang.Long.parseLong(h.substring(j * 13, j * 13 + 13), 16) % 256L))
+    }
+    values.flatMap(cols).groupBy(identity).map { case (rc, xs) => rc -> xs.size.toLong }
+  }
+
+  test("cms sketch matches a JVM sha256 reference; merges by plain sum") {
+    import spark.implicits._
+    val a = (0 until 300).map(i => s"w${i % 40}") // heavy repetition
+    val b = (0 until 200).map(i => s"w${i % 25}")
+    val sa = graft.operators.Sketch.cmsSketch(a.toDF("v"), $"v")
+    val sb = graft.operators.Sketch.cmsSketch(b.toDF("v"), $"v")
+    val gotA = sa.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotA == refCms(a))
+    val merged = sa.union(sb).groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = graft.operators.Sketch.cmsSketch((a ++ b).toDF("v"), $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, "sketches must merge by plain sum")
+  }
+
+  test("cms lookup never underestimates and is exact absent collisions") {
+    import spark.implicits._
+    val stream = (0 until 1000).map(i => s"t${i % 60}")
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = stream.toDF("v")
+    val sketch = graft.operators.Sketch.cmsSketch(df, $"v")
+    val probes = exact.keys.toSeq.sorted.take(20).toDF("v")
+    val got = graft.operators.Sketch.cmsLookup(sketch, probes, $"v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, est) =>
+      assert(est >= exact(k), s"$k: est $est < exact ${exact(k)}")
+      // 60 distinct keys vs width 256, depth 4: the min over rows is
+      // exact unless the key collides in ALL four — check vs reference
+      val ref = refCms(stream)
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = (0 until 4).map(j => ref(
+        (j.toLong, java.lang.Long.parseLong(h.substring(j * 13, j * 13 + 13), 16) % 256L))).min
+      assert(est == want, s"$k: $est != replayed $want")
+    }
+  }
+
+  test("bigram LM score: hand-computed ppm on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(docs, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // model: p(a,b)=3e6 div 3=1000000; p(b,a)=1e6 div 2=500000; p(b,c)=500000
+    // doc1: (ab,ba,ab) -> 2500000 div 3 = 833333; doc2: (ab,bc) -> 750000
+    // doc3: no bigrams -> absent
+    assert(got == Set((1L, 3L, 833333L), (2L, 2L, 750000L)), got.toString)
+  }
 }
