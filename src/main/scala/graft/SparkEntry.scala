@@ -393,6 +393,28 @@ object SparkEntry {
         emb.filter(pmod($"vec_id", lit(100)) === 0), centroids, k = 1, nProbe = 2)
         .drop("rn").orderBy("qid")
     },
+    // ANN: product quantization (Pq) — per-subspace k-means codebooks,
+    // corpus stored as m=4 codes (64× smaller than the floats), probes
+    // score by ADC table lookup. The oracle replays the full per-subspace
+    // Lloyd training + encoding + LUT scoring in SQL (integer-exact, the
+    // q_ann_ivf convention). searchIvfAdc (pruning × compression) is
+    // equality- and plan-tested in OperatorsSpec.
+    "q_pq_topk" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      val books = graft.operators.Pq.train(emb, m = 4, k = 8, iters = 2)
+      val codes = graft.operators.Pq.encode(emb, books, m = 4, subdim = 16)
+      val luts = graft.operators.Pq.lut(
+        emb.filter(pmod($"vec_id", lit(100)) === 0), books, subdim = 16)
+      graft.operators.Pq.searchAdc(codes, luts, topK = 5).orderBy("qid", "rn")
+    },
+    // Johnson-Lindenstrauss random projection (Similarity.randomProject):
+    // d=64 → 16 sign-weighted sums, pure map-side over the literal ±1
+    // matrix (sha256-parity rule the oracle replays); the shuffle-width
+    // reducer for every downstream embedding op
+    "q_random_projection" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Similarity.randomProject(t(dir, "embeddings"), outDim = 16)
+        .orderBy("vec_id", "j")
+    },
     // multimodal: binary decode plumbing, fully oracle-checked — the
     // deterministic payload is reconstructable from doc_id in SQL, so
     // DuckDB re-derives width/height/duration/size AND a payload
@@ -596,6 +618,25 @@ object SparkEntry {
         .select($"doc_id", $"token".as("top_term"), $"tf", $"df")
         .orderBy($"doc_id")
     },
+    // BM25 retrieval (Retrieval.bm25TopK): integer-exact scoring —
+    // floor-log2 idf via bitlength (the HLL-rho device), ppm fixed-point
+    // tf normalization (k1=1.2, b=0.75) — so the DuckDB oracle replays
+    // it bit-for-bit. Query = the 4 most frequent mid-band terms
+    // (N/20 ≤ df ≤ N/2), derived deterministically from the corpus by
+    // both engines. Top-k via sort+limit (TakeOrderedAndProject, never
+    // a global sort).
+    "q_bm25" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val dfAll = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_all"))
+      val qterms = dfAll.crossJoin(broadcast(nDocs))
+        .filter($"df" * 20 >= $"n_all" && $"df" * 2 <= $"n_all")
+        .orderBy($"df".desc, $"term").limit(4).select("term")
+      operators.Retrieval.bm25TopK(docs, $"doc_id", $"text", qterms, topK = 15)
+        .orderBy("rn")
+    },
     // CUBE grouping-set lattice (Expand + hash agg)
     "q_cube" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       t(dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
@@ -764,6 +805,29 @@ object SparkEntry {
       val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
         .agg((max($"user_id") % 101L).as("dst"))
       plans.Scc.run(g1.union(g2)).orderBy("id")
+    },
+    // HyperBall neighborhood function (plans.HyperBall): per-node HLL
+    // register propagation — ball_estimate ≈ |{u : dist(v,u) ≤ 2}| for
+    // every node at once, with per-round cost = one equi-join + one
+    // (id, reg) max. The oracle replays the register propagation
+    // exactly (integer state) AND re-derives exact_ball from a bounded
+    // reachability closure — an all-pairs path the engine never takes —
+    // so the sketch's error is itself oracle-checked. Same two-overlay
+    // functional graph as q_scc.
+    "q_hyperball" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val g1 = ev.groupBy(($"user_id" % 101L).as("src"))
+        .agg((min($"event_id") % 101L).as("dst"))
+      val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
+        .agg((max($"user_id") % 101L).as("dst"))
+      val e = g1.union(g2).filter($"src" =!= $"dst").distinct()
+      val hb = plans.HyperBall.run(e, rounds = 2, b = 4)
+      val exact = plans.Closure.transitive(e, "src", "dst", maxDepth = 2)
+        .filter($"dst" =!= $"src").groupBy($"src".as("id"))
+        .agg((countDistinct($"dst") + lit(1L)).as("exact_ball"))
+      hb.join(exact, Seq("id"), "left_outer")
+        .withColumn("exact_ball", coalesce($"exact_ball", lit(1L)))
+        .orderBy("id")
     },
     // HyperLogLog as an explicit MERGEABLE register table
     // (operators.Sketch): sha256-derived (register, rho), ONE
@@ -1179,6 +1243,15 @@ object SparkEntry {
         label = ($"lang" === "en").cast("int"))
         .orderBy("bin")
     },
+    // EXACT ROC-AUC with ties (Eval.auc): Mann-Whitney pair count via
+    // ONE corpus hash-agg + a window over the score-GROUP table only
+    // (never a global rank over the corpus). Doubled-integer arithmetic
+    // absorbs the ½-tie term, so the oracle (an independent per-pair
+    // CASE formulation DuckDB can afford at this scale) matches exactly.
+    "q_auc" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Eval.auc(t(dir, "events"),
+        score = floor($"value" / 10.0), label = ($"event_id" % 3 === 0).cast("int"))
+    },
     // diversity coreset (greedy k-center, Gonzalez 2-approx): k map-side
     // min-distance aggs, corpus never shuffles; integer-quantized so the
     // oracle unrolls the same greedy rounds
@@ -1482,6 +1555,21 @@ object SparkEntry {
          |  FROM pairs) WHERE rn = 1 ORDER BY qid""".stripMargin
     },
     "q_ann_ivf" -> ivfOracleSql(k = 8, iters = 3, nProbe = 2, topK = 1),
+    "q_pq_topk" -> pqOracleSql(m = 4, subdim = 16, k = 8, iters = 2, topK = 5),
+    // JL projection: replay the ±1 matrix from the sha256-parity rule
+    // and re-derive each projected coordinate as a (pos = i) join-agg
+    "q_random_projection" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM q),
+        |signs AS (SELECT j, i,
+        |    CASE WHEN CAST('0x' || substr(sha256(j || '_' || i), 1, 1) AS INT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(16) t(j), (SELECT DISTINCT pos AS i FROM qv) u)
+        |SELECT vec_id, CAST(s.j AS BIGINT) AS j, CAST(SUM(s.s * q.v) AS BIGINT) AS p
+        |FROM qv q JOIN signs s ON s.i = q.pos
+        |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
     // mirrors Multimodal.synthesize exactly: 12-byte big-endian header
     // (width, height, durationMs) + 64 body bytes (i*131 + j*17) % 251
     "q_mm_meta" ->
@@ -1650,6 +1738,34 @@ object SparkEntry {
         |      ORDER BY CAST(tf.tf AS DOUBLE)/CAST(df.df AS DOUBLE) DESC, tf.token) AS rn
         |  FROM tf JOIN df USING (token))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // BM25: identical integer formulation — `//` on positives == div,
+    // to_base(x,2) length == conv(x,10,2) length (bitlength)
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |nd AS (SELECT COUNT(*) AS n_all FROM documents),
+        |dfall AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |qt AS (SELECT term FROM dfall, nd WHERE df * 20 >= n_all AND df * 2 <= n_all
+        |       ORDER BY df DESC, term LIMIT 4),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |       (CAST(SUM(dl) AS BIGINT) * 1000000) // COUNT(*) AS avgdl_ppm FROM dl),
+        |m AS (SELECT doc_id, term FROM tok JOIN qt USING (term)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM m GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.tf, dft.df, dl.dl, st.n_docs, st.avgdl_ppm
+        |       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |x AS (SELECT doc_id,
+        |  CASE WHEN (2 * n_docs - 2 * df + 1) // (2 * df + 1) <= 0 THEN 0
+        |       ELSE length(to_base((2 * n_docs - 2 * df + 1) // (2 * df + 1), 2)) END AS idf_bits,
+        |  (tf * 2200000 * 1000000) //
+        |    (tf * 1000000 + (1200 * (250000 +
+        |      (750 * ((dl * 1000000000000) // avgdl_ppm)) // 1000)) // 1000) AS tfc_ppm
+        |  FROM sc),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+        |        CAST(SUM(idf_bits * tfc_ppm) AS BIGINT) AS score_ppm FROM x GROUP BY doc_id)
+        |SELECT doc_id, n_terms, score_ppm,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn
+        |FROM agg ORDER BY score_ppm DESC, doc_id LIMIT 15""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
         |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -1757,6 +1873,44 @@ object SparkEntry {
         |SELECT n.id, CAST(GREATEST(n.id, COALESCE(MAX(m.other), n.id)) AS BIGINT) AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON n.id = m.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // HyperBall: replay 2 register-propagation rounds (integer state,
+    // same sha256 derivation as q_hll_registers at b=4 ⇒ m=16), then
+    // the per-node harmonic estimate (q_hll_estimate convention: one
+    // IEEE division on exactly-agreed operands, floored). exact_ball
+    // from the depth-≤2 closure e ∪ e∘e.
+    "q_hyperball" -> {
+      val m = 16
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0
+      s"""WITH
+         |g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst FROM events GROUP BY 1),
+         |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst FROM events GROUP BY 1),
+         |raw AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+         |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT id,
+         |  CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 1, 1) AS BIGINT) AS reg,
+         |  53 - (CASE WHEN CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 2, 13) AS BIGINT) = 0
+         |        THEN 0 ELSE length(to_base(CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 2, 13) AS BIGINT), 2)) END) AS rho
+         |  FROM nodes),
+         |r1 AS (SELECT id, reg, MAX(rho) AS rho FROM (
+         |  SELECT * FROM r0 UNION ALL
+         |  SELECT e.src AS id, r.reg, r.rho FROM e JOIN r0 r ON e.dst = r.id) GROUP BY 1, 2),
+         |r2 AS (SELECT id, reg, MAX(rho) AS rho FROM (
+         |  SELECT * FROM r1 UNION ALL
+         |  SELECT e.src AS id, r.reg, r.rho FROM e JOIN r1 r ON e.dst = r.id) GROUP BY 1, 2),
+         |agg AS (SELECT id, COUNT(*) AS nonzero_regs,
+         |  SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INT)) AS s_nonzero FROM r2 GROUP BY id),
+         |reach AS (SELECT src, dst FROM e
+         |  UNION SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+         |ex AS (SELECT src AS id, COUNT(DISTINCT dst) + 1 AS exact_ball
+         |  FROM reach WHERE dst <> src GROUP BY src)
+         |SELECT a.id, a.nonzero_regs,
+         |  CAST(s_nonzero + (16 - nonzero_regs) * 4503599627370496 AS BIGINT) AS harmonic_scaled,
+         |  CAST(FLOOR($num / CAST(s_nonzero + (16 - nonzero_regs) * 4503599627370496 AS DOUBLE)) AS BIGINT) AS ball_estimate,
+         |  CAST(COALESCE(ex.exact_ball, 1) AS BIGINT) AS exact_ball
+         |FROM agg a LEFT JOIN ex USING (id) ORDER BY a.id""".stripMargin
+    },
     // same sha256-hex register/rho derivation: CAST('0x…') replays
     // Spark's conv(hex,16,10), length(to_base(v,2)) replays bitlength
     "q_hll_registers" ->
@@ -2240,6 +2394,25 @@ object SparkEntry {
         |  CASE WHEN tot = 0 THEN NULL
         |       ELSE CAST((tp * 1000000) // tot AS BIGINT) END AS recall_ppm
         |FROM c ORDER BY bin""".stripMargin,
+    // AUC by the RANK formulation (independent of the engine's pair
+    // formulation): 2U = Σ_pos 2·avg_rank − n_pos(n_pos+1), with the
+    // tie-group average rank 2r̄ = 2(below+1) + cnt − 1 kept doubled to
+    // stay integer
+    "q_auc" ->
+      """WITH s AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS s,
+        |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y FROM events),
+        |g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM s GROUP BY s),
+        |c AS (SELECT s, cnt, pos,
+        |    COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |    FROM g),
+        |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(cnt - pos) AS BIGINT) AS nn,
+        |    CAST(SUM(pos * (2 * (below + 1) + cnt - 1)) AS BIGINT) AS sum2r FROM c)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  sum2r - np * (np + 1) AS auc_num2,
+        |  2 * np * nn AS auc_den2,
+        |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+        |       ELSE ((sum2r - np * (np + 1)) * 1000000) // (2 * np * nn) END AS auc_ppm
+        |FROM t""".stripMargin,
     // the same greedy rounds unrolled: seed = min vec_id, farthest point
     // next, ties to the smaller vec_id
     "q_coreset" ->
@@ -2373,6 +2546,52 @@ object SparkEntry {
        |SELECT qid, nid, dot FROM (
        |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
        |  FROM dots) WHERE rn <= $topK ORDER BY qid""".stripMargin
+  }
+
+  /** PQ oracle: per-subspace Lloyd unrolled in SQL (the ivfOracleSql
+    * pattern with a `sub` key), then encoding + ADC LUT scoring — the
+    * same integer conventions (quantize ×1000, half-up means,
+    * (d2, cid) lexicographic argmin). */
+  private def pqOracleSql(m: Int, subdim: Int, k: Int, iters: Int, topK: Int): String = {
+    def iteration(i: Int): String = {
+      val prev = s"cv${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, v.sub, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+         |  FROM qv v JOIN $prev c ON c.sub = v.sub AND c.spos = v.spos GROUP BY 1,2,3),
+         |a$i AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT vec_id, sub, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |s$i AS (SELECT a.sub, a.cid, v.spos,
+         |  CAST(FLOOR((2*SUM(v.v)+COUNT(*))/(2.0*COUNT(*))) AS BIGINT) AS cv
+         |  FROM a$i a JOIN qv v ON v.vec_id = a.vec_id AND v.sub = a.sub GROUP BY 1,2,3),
+         |cv$i AS (SELECT c.sub, c.cid, c.spos, COALESCE(s.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN s$i s ON s.sub = c.sub AND s.cid = c.cid AND s.spos = c.spos),""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |p AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) // $k) AS stride),
+       |qv AS (SELECT vec_id, CAST(pos // $subdim AS INT) AS sub, pos % $subdim AS spos, v FROM
+       |  (SELECT vec_id, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM q)),
+       |cv0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, spos, v AS cv
+       |  FROM qv, p WHERE vec_id % stride = 0 AND vec_id < stride*$k),
+       |${(1 to iters).map(iteration).mkString("\n")}
+       |de AS (SELECT v.vec_id, v.sub, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+       |  FROM qv v JOIN cv$iters c ON c.sub = v.sub AND c.spos = v.spos GROUP BY 1,2,3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM de)
+       |  WHERE rn = 1),
+       |lut AS (SELECT v.vec_id AS qid, c.sub, c.cid, CAST(SUM(v.v * c.cv) AS BIGINT) AS dot
+       |  FROM qv v JOIN cv$iters c ON c.sub = v.sub AND c.spos = v.spos
+       |  WHERE v.vec_id % 100 = 0 GROUP BY 1,2,3),
+       |sc AS (SELECT l.qid, co.vec_id AS nid, CAST(SUM(l.dot) AS BIGINT) AS score
+       |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+       |  WHERE co.vec_id <> l.qid GROUP BY 1,2)
+       |SELECT qid, nid, score, rn FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+       |  FROM sc) WHERE rn <= $topK ORDER BY qid, rn""".stripMargin
   }
 
   /** SQL mirror of Similarity.signBucket: sum of sign bits over the

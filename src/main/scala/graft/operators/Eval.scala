@@ -47,4 +47,35 @@ object Eval {
         expr("case when tp + fn = 0 then null else (tp * 1000000) div (tp + fn) end")
           .as("recall_ppm"))
   }
+
+  /** EXACT ROC-AUC with tie handling, via the pair (Mann-Whitney)
+    * formulation instead of ranks: AUC = [#(pos-score > neg-score) +
+    * ½·#(pos-score = neg-score)] / (n_pos·n_neg). Ranks need a global
+    * prefix sum over the corpus; pairs only need it over the DISTINCT
+    * scores — so the corpus sees ONE partial-aggregable hash agg
+    * (groupBy score) and the window runs over the score-group table
+    * (the prCurve bin-table pattern; callers bucket continuous scores
+    * exactly like there).
+    *
+    * Integer-exact: everything is doubled to absorb the ½-tie term —
+    * output (n_pos, n_neg, auc_num2, auc_den2, auc_ppm) with
+    * auc = auc_num2/auc_den2, auc_ppm = (num2·10^6) div den2. Bound:
+    * num2 ≤ 2·n_pos·n_neg must fit a signed long ⇒ per-slice AUC up to
+    * ~2·10^9 examples per class; shard larger evals by slice (the
+    * normal reporting axis anyway). */
+  def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.select(score.cast("long").as("s"), label.cast("long").as("y"))
+      .groupBy("s").agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // negatives STRICTLY below this score-group: exclusive prefix sum
+    // over the score-group table only
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(lit(2L) * col("pos") * col("cumneg") + col("pos") * col("neg"))
+          .as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"),
+        expr("case when n_pos = 0 or n_neg = 0 then null " +
+          "else (auc_num2 * 1000000) div (2 * n_pos * n_neg) end").as("auc_ppm"))
+  }
 }

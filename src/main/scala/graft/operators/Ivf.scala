@@ -119,6 +119,18 @@ object Ivf {
       nearestCid(quantize(col("embedding")), cLit).as("cid"))
   }
 
+  /** The nProbe nearest cells per probe, map-side (array_sort of the k
+    * (d2, cid) structs, slice the prefix): (qid, emb_q, cid). Shared by
+    * [[search]] and the IVF+PQ path ([[Pq.searchIvfAdc]]). */
+  def probeCells(probes: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cLit = centroidLiteral(centroids)
+    probes
+      .select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
+        explode(slice(array_sort(transform(cLit,
+          c => distCid(quantize(col("embedding")), c))), 1, nProbe)).as("probe"))
+      .select(col("qid"), col("emb_q"), col("probe.cid").as("cid"))
+  }
+
   /** IVF search: probes visit their nProbe nearest cells only; top-k by
     * quantized dot product (consistent with Similarity.qdot). */
   def search(vectors: DataFrame, probes: DataFrame, centroids: DataFrame,
@@ -126,15 +138,8 @@ object Ivf {
     val cLit = centroidLiteral(centroids)
     val indexed = vectors.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
       nearestCid(quantize(col("embedding")), cLit).as("cid"))
-    // probe cells: nProbe nearest centroids per probe, map-side
-    // (array_sort of the k (d2, cid) structs, slice the prefix)
-    val probeCells = probes
-      .select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
-        explode(slice(array_sort(transform(cLit,
-          c => distCid(quantize(col("embedding")), c))), 1, nProbe)).as("probe"))
-      .select(col("qid"), col("emb_q"), col("probe.cid").as("cid"))
     val wr = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
-    probeCells.join(indexed, "cid")
+    probeCells(probes, centroids, nProbe).join(indexed, "cid")
       .filter(col("qid") =!= col("nid"))
       .withColumn("dot", Similarity.qdot(col("emb_q"), col("emb_n")))
       .withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)

@@ -145,4 +145,39 @@ object Similarity {
       .filter(col("dot") >= minDot)
       .select(col("id_a"), col("id_b"), col("dot"))
   }
+
+  /** Deterministic ±1 sign for the random-projection matrix cell
+    * (j, i): parity of the first hex digit of sha256("j_i") — the same
+    * rule the SQL oracle replays with substr(sha256(...), 1, 1). */
+  def rpSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(s"${j}_$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas ±1 variant):
+    * compress d-dim embeddings to outDim sign-weighted sums —
+    * proj_j = Σ_i sign(j,i)·q_i over the quantized (round(x*1000))
+    * coordinates. Distances are preserved within (1±ε) for
+    * outDim = O(log n / ε²), which is what makes 100 TB embedding
+    * shuffles (LSH banding, near-dup joins, coresets) d/outDim-fold
+    * cheaper: project first, shuffle the short vectors, verify survivors
+    * on the full vectors.
+    *
+    * Scale shape: the sign matrix rides as a LITERAL (outDim·d ints,
+    * driver-computed from the sha256 rule), so projection is a pure
+    * map-side transform — zero shuffle, codegen-friendly, and
+    * integer-exact (DuckDB-oracled). Output exploded to
+    * (vec_id, j, p) rows for engine-portable comparison. */
+  def randomProject(vectors: DataFrame, outDim: Int = 16): DataFrame = {
+    val d = vectors.select(size(col("embedding"))).head.getInt(0)
+    val signs: Seq[Seq[Long]] = Seq.tabulate(outDim, d)((j, i) => rpSign(j, i))
+    val mLit = typedlit(signs)
+    val qe = Ivf.quantize(col("embedding"))
+    vectors.select(col("vec_id"),
+        posexplode(transform(mLit, row =>
+          aggregate(zip_with(qe, row, (x, s) => x * s),
+            lit(0L), (acc, v) => acc + v))).as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
+  }
 }

@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** Per-register max-rho table: (reg: long, rho_max: long), only
-    * non-empty registers present (empty ⇔ rho 0 by convention). */
-  def hllRegisters(df: DataFrame, value: Column, b: Int = 8): DataFrame = {
+  /** The per-row (reg, rho) pair of a value — the insert half of the
+    * sketch, exposed so other operators (e.g. [[graft.plans.HyperBall]])
+    * can build per-KEY register tables with the identical derivation. */
+  def regRho(value: Column, b: Int): (Column, Column) = {
     require(b >= 4 && b <= 16 && b % 4 == 0, s"b=$b must be a multiple of 4 in [4,16]")
     val nHex = b / 4
     val h = sha2(value.cast("string"), 256)
@@ -41,10 +42,39 @@ object Sketch {
     val v = conv(vHex, 16, 10).cast("long")
     // conv(_,16,2) drops leading zeros, so length == bitlength (v>0)
     val bitlen = when(v === 0, lit(0)).otherwise(length(conv(vHex, 16, 2)))
-    df.select(
-        conv(substring(h, 1, nHex), 16, 10).cast("long").as("reg"),
-        (lit(53) - bitlen).cast("long").as("rho"))
+    (conv(substring(h, 1, nHex), 16, 10).cast("long"),
+      (lit(53) - bitlen).cast("long"))
+  }
+
+  /** Per-register max-rho table: (reg: long, rho_max: long), only
+    * non-empty registers present (empty ⇔ rho 0 by convention). */
+  def hllRegisters(df: DataFrame, value: Column, b: Int = 8): DataFrame = {
+    val (reg, rho) = regRho(value, b)
+    df.select(reg.as("reg"), rho.as("rho"))
       .groupBy("reg").agg(max("rho").as("rho_max"))
+  }
+
+  /** The estimate derivation over a per-key register table — the read
+    * half of the sketch, shared by [[hllEstimate]] (one global key) and
+    * HyperBall (one key per node). Input: (key..., reg, rho) with one
+    * row per non-empty register; output per key: (nonzero_regs,
+    * harmonic_scaled, estimate). All integer except the single final
+    * IEEE division (exactly-agreed operands, floored). */
+  def estimateFromRegs(regs: DataFrame, keys: Seq[String], b: Int): DataFrame = {
+    require(b <= 11, s"b=$b: harmonic_scaled must stay within a signed long (m·2^52)")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0 // ·2^52
+    regs.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("nonzero_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - rho AS INT))")).as("s_nonzero"))
+      .select(keys.map(col) ++ Seq(
+        col("nonzero_regs"),
+        (col("s_nonzero") + (lit(m.toLong) - col("nonzero_regs")) * lit(4503599627370496L))
+          .as("harmonic_scaled"),
+        floor(lit(num) / col("s_nonzero").plus(
+          (lit(m.toLong) - col("nonzero_regs")) * lit(4503599627370496L)).cast("double"))
+          .cast("long").as("estimate")): _*)
   }
 
   /** One-row summary: (m, nonzero_regs, harmonic_scaled, hll_estimate,

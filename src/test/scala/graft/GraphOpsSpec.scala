@@ -228,4 +228,82 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
     }
   }
+
+  /** JVM reference of the HyperBall register propagation: exact-set BFS
+    * balls, then the identical sha256 register derivation per member. */
+  private def refHyperBall(edges: Seq[(Long, Long)], rounds: Int)
+      : (Map[(Long, Long), Long], Map[Long, Long]) = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def ball(v: Long): Set[Long] = {
+      var b = Set(v)
+      (1 to rounds).foreach { _ =>
+        b = b ++ b.flatMap(u => out.getOrElse(u, Seq.empty))
+      }
+      b
+    }
+    def regRho(id: Long): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val reg = java.lang.Long.parseLong(hex.substring(0, 1), 16)
+      val v = java.lang.Long.parseLong(hex.substring(1, 14), 16)
+      val rho = 53L - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      (reg, if (v == 0) 53L else rho)
+    }
+    val regs = nodes.flatMap { v =>
+      ball(v).map(regRho).groupBy(_._1).map { case (r, xs) =>
+        (v, r) -> xs.map(_._2).max
+      }
+    }.toMap
+    val exact = nodes.map(v => v -> ball(v).size.toLong).toMap
+    (regs, exact)
+  }
+
+  test("hyperball: registers equal the exact-ball JVM reference on random digraphs") {
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val rnd = new scala.util.Random(77 + trial)
+      val edges = (1 to 60)
+        .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+      val rounds = 1 + trial
+      val (wantRegs, exact) = refHyperBall(edges, rounds)
+      val gotRegs = graft.plans.HyperBall
+        .registers(edges.toDF("src", "dst"), rounds, b = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(gotRegs == wantRegs, s"trial $trial register mismatch")
+      // ball_estimate == the RAW-estimate arithmetic replayed in the JVM
+      // (alpha·m²·2^52 / harmonic, floored — identical IEEE ops), and
+      // estimates are monotone in exact ball size on average (the raw
+      // sketch overestimates small ranges by a bias that cancels in
+      // comparisons; the engine documents this convention)
+      val alpha = 0.7213 / (1.0 + 1.079 / 16)
+      val num = alpha * 256.0 * 4503599627370496.0
+      val est = graft.plans.HyperBall.run(edges.toDF("src", "dst"), rounds, b = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      exact.keys.foreach { v =>
+        val byNode = wantRegs.collect { case ((n, _), rho) if n == v => rho }
+        val harmonic = byNode.map(r => 1L << (52 - r)).sum +
+          (16L - byNode.size) * 4503599627370496L
+        val want = math.floor(num / harmonic.toDouble).toLong
+        assert(est(v) == want, s"node $v: est ${est(v)} vs ref $want")
+      }
+      // rank correlation sanity: the biggest exact ball never estimates
+      // below the smallest exact ball
+      val maxV = exact.maxBy(_._2)._1
+      val minV = exact.minBy(_._2)._1
+      if (exact(maxV) > 3 * exact(minV)) assert(est(maxV) >= est(minV))
+    }
+  }
+
+  test("hyperball: registers only grow with rounds (ball monotonicity)") {
+    import spark.implicits._
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    def regsAt(r: Int) = graft.plans.HyperBall.registers(edges, r, b = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val r1 = regsAt(1); val r2 = regsAt(2)
+    r1.foreach { case (k, rho) => assert(r2.contains(k) && r2(k) >= rho) }
+    assert(r2.size >= r1.size)
+  }
 }

@@ -1330,4 +1330,120 @@ class OperatorsSpec extends AnyFunSuite {
     // doc3: no bigrams -> absent
     assert(got == Set((1L, 3L, 833333L), (2L, 2L, 750000L)), got.toString)
   }
+
+  test("auc: hand cases — ties, perfect separation, all-tied, single class") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Int)]): org.apache.spark.sql.Row =
+      graft.operators.Eval.auc(rows.toDF("s", "y"), col("s"), col("y")).head
+    // pos scores {3,2}, neg {2,1}: pairs >,>,tie,> -> U=3.5 -> ppm 875000
+    val r = run(Seq((3L, 1), (2L, 1), (2L, 0), (1L, 0)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == (2L, 2L, 7L, 8L, 875000L), r.toString)
+    // perfect separation -> 1.0
+    assert(run(Seq((5L, 1), (4L, 1), (2L, 0), (1L, 0))).getLong(4) == 1000000L)
+    // everything tied -> exactly 0.5
+    assert(run(Seq((7L, 1), (7L, 1), (7L, 0))).getLong(4) == 500000L)
+    // single class -> null auc
+    assert(run(Seq((1L, 1), (2L, 1))).isNullAt(4))
+  }
+
+  test("bm25: engine equals an independent scalar reference implementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (1L to 40L).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val query = Seq("beta", "eta", "gamma")
+    // scalar reference: same integer formulas, plain Scala longs
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = docs.size.toLong
+    val avgdlPpm = toks.values.map(_.size.toLong).sum * 1000000L / nDocs
+    val dfT = query.map(q => q -> toks.count(_._2.contains(q)).toLong).toMap
+    def score(id: Long): (Long, Long) = {
+      val dl = toks(id).size.toLong
+      val terms = query.filter(q => toks(id).contains(q))
+      val s = terms.map { q =>
+        val tf = toks(id).count(_ == q).toLong
+        val df = dfT(q)
+        val ratioQ = (2 * nDocs - 2 * df + 1) / (2 * df + 1)
+        val idf = if (ratioQ <= 0) 0L else 64L - java.lang.Long.numberOfLeadingZeros(ratioQ)
+        val ratioPpm = dl * 1000000000000L / avgdlPpm
+        val normPpm = 250000L + 750L * ratioPpm / 1000L
+        val denPpm = tf * 1000000L + 1200L * normPpm / 1000L
+        idf * (tf * 2200000L * 1000000L / denPpm)
+      }.sum
+      (terms.size.toLong, s)
+    }
+    val want = docs.map(_._1).map(id => (id, score(id)))
+      .filter(_._2._1 > 0)
+      .sortBy { case (id, (_, s)) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, (nt, s)), i) => (id, nt, s, i + 1L) }
+    val got = graft.operators.Retrieval.bm25TopK(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        query.toDF("term"), topK = 10)
+      .orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"\n got=$got\nwant=$want")
+  }
+
+  test("random projection: equals JVM reference; plan is zero-shuffle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val out = Similarity.randomProject(vecs.toDF("vec_id", "embedding"), outDim = 5)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def q(x: Float): Long =
+      BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    vecs.foreach { case (id, emb) =>
+      (0 until 5).foreach { j =>
+        val want = emb.zipWithIndex.map { case (x, i) =>
+          Similarity.rpSign(j, i) * q(x)
+        }.sum
+        assert(got((id, j.toLong)) == want, s"vec $id dim $j")
+      }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pq: ADC finds cluster neighbors; ivf+pq scores equal plain ADC; plans clean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 4 well-separated clusters of 10 vectors in 32 dims
+    val centers = Array.fill(4, 32)(rnd.nextFloat() * 4 - 2)
+    val vecs = (0L until 40L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.1f - 0.05f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") < 4)
+    val books = graft.operators.Pq.train(df, m = 4, k = 8, iters = 2)
+    val codes = graft.operators.Pq.encode(df, books, m = 4, subdim = 8)
+    val luts = graft.operators.Pq.lut(probes, books, subdim = 8)
+    val adc = graft.operators.Pq.searchAdc(codes, luts, topK = 5)
+    // every ADC top-5 neighbor of probe i is in i's cluster
+    adc.collect().foreach { r =>
+      assert(r.getLong(1) % 4 == r.getLong(0) % 4,
+        s"probe ${r.getLong(0)} pulled cross-cluster ${r.getLong(1)}")
+    }
+    // IVF+PQ returns a subset of the full-ADC scoring (same score values)
+    val full = graft.operators.Pq.searchAdc(codes, luts, topK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivfC = Ivf.train(df, k = 4, iters = 2)
+    val ivfpq = graft.operators.Pq.searchIvfAdc(df, probes, ivfC, books,
+      m = 4, subdim = 8, topK = 5, nProbe = 2).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getLong(2),
+        s"ivf+pq score drift at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // plans: ADC join is a real equi-join; encoding never shuffles
+    val adcPlan = adc.queryExecution.executedPlan.toString
+    assert(!adcPlan.contains("CartesianProduct") &&
+      !adcPlan.contains("BroadcastNestedLoopJoin"), adcPlan)
+    val encPlan = codes.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan)
+  }
 }
