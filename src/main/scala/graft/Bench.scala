@@ -92,7 +92,13 @@ object Bench {
     "q_pagerank", "q_label_prop",
     // temporal joins + bloom decontamination: single-shuffle as-of,
     // bucketed range join, map-side bloom prefilter
-    "q_asof_attrib", "q_interval_join", "q_decontaminate")
+    "q_asof_attrib", "q_interval_join", "q_decontaminate",
+    // round-4 additions: directed-graph SCC (trim+color rounds),
+    // HyperBall register propagation, mergeable sketches (one agg
+    // each), LM fluency scoring, BM25 retrieval, PQ train+encode+ADC,
+    // JL projection (pure map-side), exact AUC (score-group prefix)
+    "q_scc", "q_hyperball", "q_hll_registers", "q_cms_sketch",
+    "q_lm_score", "q_bm25", "q_pq_topk", "q_random_projection", "q_auc")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -829,6 +829,35 @@ object SparkEntry {
         .withColumn("exact_ball", coalesce($"exact_ball", lit(1L)))
         .orderBy("id")
     },
+    // harmonic centrality from the same HyperBall propagation (ONE
+    // register loop, estimates snapshotted per round): H(v) =
+    // Σ_d (est_d − est_{d−1})/d in exact ppm — the Boldi-Vigna
+    // application, oracle-replayed round by round
+    "q_harmonic" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val g1 = ev.groupBy(($"user_id" % 101L).as("src"))
+        .agg((min($"event_id") % 101L).as("dst"))
+      val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
+        .agg((max($"user_id") % 101L).as("dst"))
+      plans.HyperBall.harmonicCentrality(g1.union(g2), maxDepth = 2, b = 4)
+        .orderBy("id")
+    },
+    // KMV bottom-k sketch: mergeable distinct estimates AND
+    // cross-corpus Jaccard from ≤ 3k hash rows — the two corpora (even/
+    // odd documents' token sets) never meet. Fully integer, so sketch
+    // state, estimates and the ppm Jaccard all hash-match the oracle.
+    "q_kmv_jaccard" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      def toks(p: Int) = docs.filter(pmod($"doc_id", lit(2)) === p)
+        .select(explode(split($"text", " ")).as("tok"))
+      val ska = operators.Sketch.kmvSketch(toks(0), $"tok", 64)
+      val skb = operators.Sketch.kmvSketch(toks(1), $"tok", 64)
+      val ea = operators.Sketch.kmvEstimate(ska, 64).select(
+        $"n_hashes".as("n_a"), $"kth".as("kth_a"), $"distinct_estimate".as("est_a"))
+      val eb = operators.Sketch.kmvEstimate(skb, 64).select(
+        $"n_hashes".as("n_b"), $"kth".as("kth_b"), $"distinct_estimate".as("est_b"))
+      ea.crossJoin(eb).crossJoin(operators.Sketch.kmvJaccard(ska, skb, 64))
+    },
     // HyperLogLog as an explicit MERGEABLE register table
     // (operators.Sketch): sha256-derived (register, rho), ONE
     // partial-aggregable max shuffle, output ≤ 2^b rows regardless of
@@ -1911,6 +1940,65 @@ object SparkEntry {
          |  CAST(COALESCE(ex.exact_ball, 1) AS BIGINT) AS exact_ball
          |FROM agg a LEFT JOIN ex USING (id) ORDER BY a.id""".stripMargin
     },
+    // harmonic centrality: the same propagation with a per-round
+    // estimate snapshot; H_ppm = Σ_d (est_d − est_{d−1})·10^6 // d
+    "q_harmonic" -> {
+      val m = 16
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0
+      def estCte(r: Int): String =
+        s"""e$r AS (SELECT id, CAST(FLOOR($num / CAST(
+           |  SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INT))
+           |  + (16 - COUNT(*)) * 4503599627370496 AS DOUBLE)) AS BIGINT) AS est$r
+           |  FROM r$r GROUP BY id)""".stripMargin
+      s"""WITH
+         |g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst FROM events GROUP BY 1),
+         |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst FROM events GROUP BY 1),
+         |raw AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+         |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT id,
+         |  CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 1, 1) AS BIGINT) AS reg,
+         |  53 - (CASE WHEN CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 2, 13) AS BIGINT) = 0
+         |        THEN 0 ELSE length(to_base(CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 2, 13) AS BIGINT), 2)) END) AS rho
+         |  FROM nodes),
+         |r1 AS (SELECT id, reg, MAX(rho) AS rho FROM (
+         |  SELECT * FROM r0 UNION ALL
+         |  SELECT e.src AS id, r.reg, r.rho FROM e JOIN r0 r ON e.dst = r.id) GROUP BY 1, 2),
+         |r2 AS (SELECT id, reg, MAX(rho) AS rho FROM (
+         |  SELECT * FROM r1 UNION ALL
+         |  SELECT e.src AS id, r.reg, r.rho FROM e JOIN r1 r ON e.dst = r.id) GROUP BY 1, 2),
+         |${estCte(0)},
+         |${estCte(1)},
+         |${estCte(2)}
+         |SELECT id, est2 AS ball_estimate,
+         |  ((est1 - est0) * 1000000) // 1 + ((est2 - est1) * 1000000) // 2 AS harmonic_ppm
+         |FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) ORDER BY id""".stripMargin
+    },
+    // KMV: bottom-k via ORDER BY h LIMIT k, union-merge re-take, and
+    // the same single integer division per estimate
+    "q_kmv_jaccard" ->
+      """WITH ta AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ska AS (SELECT DISTINCT CAST('0x' || substr(sha256(tok), 1, 13) AS BIGINT) AS h
+        |        FROM ta ORDER BY h LIMIT 64),
+        |skb AS (SELECT DISTINCT CAST('0x' || substr(sha256(tok), 1, 13) AS BIGINT) AS h
+        |        FROM tb ORDER BY h LIMIT 64),
+        |ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a, MAX(h) AS kth_a FROM ska),
+        |eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b, MAX(h) AS kth_b FROM skb),
+        |u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        |      ORDER BY h LIMIT 64),
+        |j AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+        |      CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |      FROM u LEFT JOIN ska a ON u.h = a.h LEFT JOIN skb b ON u.h = b.h)
+        |SELECT n_a, kth_a,
+        |  CAST(CASE WHEN n_a < 64 THEN n_a ELSE (63 * 4503599627370496) // kth_a END AS BIGINT) AS est_a,
+        |  n_b, kth_b,
+        |  CAST(CASE WHEN n_b < 64 THEN n_b ELSE (63 * 4503599627370496) // kth_b END AS BIGINT) AS est_b,
+        |  k_used, n_both, CAST((n_both * 1000000) // k_used AS BIGINT) AS jaccard_ppm
+        |FROM ea, eb, j""".stripMargin,
     // same sha256-hex register/rho derivation: CAST('0x…') replays
     // Spark's conv(hex,16,10), length(to_base(v,2)) replays bitlength
     "q_hll_registers" ->

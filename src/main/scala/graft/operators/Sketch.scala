@@ -129,6 +129,50 @@ object Sketch {
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
   }
 
+  /** KMV (bottom-k) distinct sketch: the k smallest 52-bit sha256
+    * hashes of the column's distinct values — (h: long) rows, ≤ k of
+    * them. The third mergeable sketch next to HLL (distinct) and CMS
+    * (frequency), and the one that supports SET OPERATIONS: bottom-k of
+    * a union = re-take bottom-k of the concatenated sketches, which is
+    * what [[kmvJaccard]] exploits for cross-corpus similarity without
+    * comparing the corpora. Purely integer (the estimate is one integer
+    * division), so state AND estimates hash-match the DuckDB oracle.
+    *
+    * Scale shape: one projection + distinct + sort-limit =
+    * TakeOrderedAndProject (per-partition heaps of k; never a global
+    * sort). */
+  def kmvSketch(df: DataFrame, value: Column, k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"k=$k")
+    df.select(conv(substring(sha2(value.cast("string"), 256), 1, 13), 16, 10)
+        .cast("long").as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** One-row distinct estimate from a KMV sketch: when the sketch is
+    * saturated (n_hashes == k), est = (k−1)·2^52 div kth-smallest-hash;
+    * under-filled sketches saw every distinct value, so the count is
+    * exact. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth"))
+      .select(col("n_hashes"), col("kth"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"((${k - 1} * 4503599627370496) div kth)"))
+          .cast("long").as("distinct_estimate"))
+
+  /** Jaccard similarity of two value sets from their KMV sketches only:
+    * take the bottom-k of the sketch union, count how many of those
+    * hashes appear in BOTH input sketches — J ≈ both/k_used, reported
+    * in exact ppm. The two corpora never meet; only ≤ 3k hash rows do. */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame = {
+    val u = a.select("h").union(b.select("h")).distinct().orderBy("h").limit(k)
+    u.join(a.select(col("h"), lit(1L).as("ina")), Seq("h"), "left_outer")
+      .join(b.select(col("h"), lit(1L).as("inb")), Seq("h"), "left_outer")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("ina") === 1L && col("inb") === 1L, 1L).otherwise(0L)).as("n_both"))
+      .select(col("k_used"), col("n_both"),
+        expr("(n_both * 1000000) div k_used").as("jaccard_ppm"))
+  }
+
   /** Point-frequency estimates for `probes` (a one-column DataFrame of
     * values) against a sketch from [[cmsSketch]]: min over the 4 rows.
     * The probe side re-derives its (row, col) pairs and equi-joins the

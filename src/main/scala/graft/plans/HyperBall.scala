@@ -67,4 +67,46 @@ object HyperBall {
   def run(edges: DataFrame, rounds: Int, b: Int = 4): DataFrame =
     Sketch.estimateFromRegs(registers(edges, rounds, b), Seq("id"), b)
       .withColumnRenamed("estimate", "ball_estimate")
+
+  /** Harmonic centrality from the same propagation — THE application
+    * HyperBall was built for (Boldi & Vigna):
+    *
+    *   H(v) = Σ_{u≠v} 1/d(v,u) = Σ_{d=1..D} (|ball_d(v)| − |ball_{d−1}(v)|)/d
+    *
+    * evaluated on the per-round sketch estimates (monotone by
+    * construction: registers only grow ⇒ estimates only grow ⇒ every
+    * difference is ≥ 0), in exact ppm integer arithmetic:
+    * harmonic_ppm = Σ_d (est_d − est_{d−1})·10^6 div d. One extra
+    * per-round (id) agg on top of [[registers]]' join+max; output one
+    * row per node: (id, ball_estimate, harmonic_ppm). */
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int, b: Int = 4): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth=$maxDepth")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val (reg, rho) = Sketch.regRho(col("id"), b)
+    // ONE propagation (the registers loop), snapshotting the per-round
+    // estimate — maxDepth rounds total, not maxDepth²
+    var regs = nodes.select(col("id"), reg.as("reg"), rho.as("rho"))
+      .localCheckpoint(true)
+    def estOf(r: Int): DataFrame =
+      Sketch.estimateFromRegs(regs, Seq("id"), b)
+        .select(col("id"), col("estimate").as(s"est$r"))
+    var acc = estOf(0)
+    (1 to maxDepth).foreach { d =>
+      val fromNbr = e.join(regs, e("dst") === regs("id"))
+        .select(e("src").as("id"), col("reg"), col("rho"))
+      regs = regs.union(fromNbr)
+        .groupBy("id", "reg").agg(max("rho").as("rho"))
+        .localCheckpoint(true)
+      acc = acc.join(estOf(d), "id")
+    }
+    val terms = (1 to maxDepth).map(d =>
+      expr(s"((est$d - est${d - 1}) * 1000000) div $d"))
+    acc.select(col("id"), col(s"est$maxDepth").as("ball_estimate"),
+      terms.reduce(_ + _).as("harmonic_ppm"))
+  }
 }

@@ -297,6 +297,34 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperball harmonic centrality: matches per-round reference replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val edges = (1 to 50)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)).distinct
+    val maxDepth = 3
+    val alpha = 0.7213 / (1.0 + 1.079 / 16)
+    val num = alpha * 256.0 * 4503599627370496.0
+    def estAt(r: Int): Map[Long, Long] = {
+      val (regs, _) = refHyperBall(edges, r)
+      regs.keys.map(_._1).toSeq.distinct.map { v =>
+        val rhos = regs.collect { case ((n, _), rho) if n == v => rho }
+        val harmonic = rhos.map(x => 1L << (52 - x)).sum +
+          (16L - rhos.size) * 4503599627370496L
+        v -> math.floor(num / harmonic.toDouble).toLong
+      }.toMap
+    }
+    val ests = (0 to maxDepth).map(estAt)
+    val want = ests(0).keys.map { v =>
+      val h = (1 to maxDepth).map(d => (ests(d)(v) - ests(d - 1)(v)) * 1000000L / d).sum
+      v -> (ests(maxDepth)(v), h)
+    }.toMap
+    val got = graft.plans.HyperBall
+      .harmonicCentrality(edges.toDF("src", "dst"), maxDepth, b = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("hyperball: registers only grow with rounds (ball monotonicity)") {
     import spark.implicits._
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")

@@ -1408,6 +1408,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("kmv sketch: JVM reference, union-merge, exact-when-underfilled, jaccard") {
+    import spark.implicits._
+    def h(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 13), 16)
+    val a = (1 to 300).map(i => s"tok${i % 120}")
+    val b = (1 to 300).map(i => s"tok${60 + (i % 120)}") // overlap 60..119
+    val k = 32
+    val ska = graft.operators.Sketch.kmvSketch(a.toDF("v"), col("v"), k)
+    val skb = graft.operators.Sketch.kmvSketch(b.toDF("v"), col("v"), k)
+    // state == JVM bottom-k reference
+    val wantA = a.distinct.map(h).distinct.sorted.take(k)
+    assert(ska.collect().map(_.getLong(0)).sorted.toSeq == wantA)
+    // merge: bottom-k over the two SKETCHES == sketch of (A ∪ B) —
+    // the sketches suffice, the corpora never meet
+    val merged = ska.select("h").union(skb.select("h")).distinct()
+      .orderBy("h").limit(k).collect().map(_.getLong(0)).sorted.toSeq
+    val wantU = (a ++ b).distinct.map(h).distinct.sorted.take(k)
+    assert(merged == wantU, "union-merge drifted from direct sketch")
+    // underfilled sketch counts exactly
+    val small = graft.operators.Sketch.kmvSketch(
+      Seq("x", "y", "z", "x").toDF("v"), col("v"), k)
+    val est = graft.operators.Sketch.kmvEstimate(small, k).head
+    assert(est.getLong(0) == 3 && est.getLong(2) == 3)
+    // jaccard estimate lands near the true 60/180 = 1/3 (k=32 ⇒ σ≈8pp)
+    val j = graft.operators.Sketch.kmvJaccard(ska, skb, k).head
+    val jPpm = j.getLong(2)
+    assert(jPpm > 120000 && jPpm < 550000, s"jaccard_ppm $jPpm vs true 333333")
+    assert(j.getLong(0) == k && j.getLong(1) == jPpm * k / 1000000)
+  }
+
   test("pq: ADC finds cluster neighbors; ivf+pq scores equal plain ADC; plans clean") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
