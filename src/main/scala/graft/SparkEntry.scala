@@ -763,6 +763,20 @@ object SparkEntry {
       s.table(name).select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("total")).orderBy("ws", "event_type")
     },
+    // Streaming sketch state: per-window HLL registers over the user
+    // stream (distinct-users-per-hour in ≤ 256 state rows per window);
+    // the register max is merge-associative ⇒ micro-batch-invariant,
+    // and the final state equals the batch sketch the oracle replays
+    "q_stream_hll" -> { (s, dir) =>
+      val regs = graft.streaming.StreamingPipeline
+        .windowedDistinctRegisters(s, s"$dir/events.parquet")
+      val name = "hl" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = regs.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      val tbl = s.table(name).select(col("w.start").as("ws"), col("reg"), col("rho"))
+      graft.operators.Sketch.estimateFromRegs(tbl, Seq("ws"), 8)
+        .withColumnRenamed("estimate", "distinct_estimate").orderBy("ws")
+    },
     // Structured Streaming keyed state (mapGroupsWithState): running
     // per-user counts in update mode; the final (max) update per user
     // equals the batch count — robust to any micro-batch split since
@@ -947,6 +961,27 @@ object SparkEntry {
         docs.filter($"lang" === "en" && $"n_chars" >= 300), table, "lang", replace = true)
       sources.SnapshotTable.read(s, table)
         .select($"doc_id", $"lang", $"n_chars").orderBy($"doc_id")
+    },
+    // MERGE INTO (SnapshotTable.merge, Iceberg/Delta COW analog):
+    // upserts + inserts + tombstone deletes against a committed base,
+    // one atomic replace-partitions commit rewriting only affected
+    // partitions. Oracle replays the merge relationally (updates ∪
+    // inserts ∪ base-minus-touched-keys).
+    "q_snapshot_merge" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft-snap-mg").toString
+      val docs = t(dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      sources.SnapshotTable.commit(docs, table, "lang")
+      val upd = docs.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"lang", ($"n_chars" + 1000L).as("n_chars"), lit(false).as("del"))
+      val insNew = docs.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
+          lit(7L).as("n_chars"), lit(false).as("del"))
+      val dels = docs.filter($"doc_id" % 17 === 0)
+        .select($"doc_id", $"lang", $"n_chars", lit(true).as("del"))
+      sources.SnapshotTable.merge(s, table, upd.union(insNew).union(dels),
+        "lang", Seq("doc_id"), tombstoneCol = Some("del"))
+      sources.SnapshotTable.read(s, table)
+        .select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
     },
     // Time travel + manifest pruning: after the REPLACE commit, read the
     // PRE-replace snapshot (version 1) restricted to two partitions —
@@ -1867,6 +1902,27 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_stream_state" ->
       "SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id",
+    // streaming HLL == batch sketch over the same files: same register
+    // derivation per hour window, same harmonic estimate (m=256)
+    "q_stream_hll" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS ws,
+         |  sha256(CAST(user_id AS VARCHAR)) AS x FROM events),
+         |d AS (SELECT ws, CAST('0x' || substr(x, 1, 2) AS BIGINT) AS reg,
+         |             CAST('0x' || substr(x, 3, 13) AS BIGINT) AS v FROM h),
+         |r AS (SELECT ws, reg,
+         |  MAX(53 - (CASE WHEN v = 0 THEN 0 ELSE length(to_base(v, 2)) END)) AS rho
+         |  FROM d GROUP BY 1, 2),
+         |a AS (SELECT ws, COUNT(*) AS nonzero_regs,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INT)) AS BIGINT) AS s_nonzero
+         |  FROM r GROUP BY ws)
+         |SELECT ws, nonzero_regs,
+         |  CAST(s_nonzero + (256 - nonzero_regs) * 4503599627370496 AS BIGINT) AS harmonic_scaled,
+         |  CAST(FLOOR($num / CAST(s_nonzero + (256 - nonzero_regs) * 4503599627370496 AS DOUBLE)) AS BIGINT) AS distinct_estimate
+         |FROM a ORDER BY ws""".stripMargin
+    },
     // min-depth over ALL path lengths == BFS minimal hop count (the
     // engine's visited-set BFS); UNION keeps recursion finite, depth
     // bound matches maxDepth = 4
@@ -2127,6 +2183,21 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
         |UNION ALL
         |SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 300
+        |ORDER BY doc_id""".stripMargin,
+    // MERGE replayed relationally: updates win, inserts add, tombstoned
+    // and updated keys leave the base exactly once
+    "q_snapshot_merge" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |upd AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base WHERE doc_id % 10 = 0),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, CAST(7 AS BIGINT) AS n_chars
+        |        FROM base WHERE doc_id % 25 = 0),
+        |allkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins
+        |            UNION SELECT doc_id FROM base WHERE doc_id % 17 = 0),
+        |keep AS (SELECT b.* FROM base b WHERE NOT EXISTS
+        |         (SELECT 1 FROM allkeys k WHERE k.doc_id = b.doc_id))
+        |SELECT doc_id, lang, n_chars FROM upd
+        |UNION ALL SELECT doc_id, lang, n_chars FROM ins
+        |UNION ALL SELECT doc_id, lang, n_chars FROM keep
         |ORDER BY doc_id""".stripMargin,
     // pre-replace snapshot, pruned to two partitions = the original
     // table filtered to those languages

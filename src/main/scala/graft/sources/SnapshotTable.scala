@@ -315,6 +315,40 @@ object SnapshotTable {
     }
   }
 
+  /** Keyed MERGE (Iceberg/Delta `MERGE INTO` analog, copy-on-write):
+    * upsert `updates` into the table by `keyCols` — matched keys are
+    * replaced, unmatched keys are inserted, and rows whose optional
+    * `tombstoneCol` is true DELETE their key. Only the partitions the
+    * updates touch are rewritten (read → anti-join old rows on key →
+    * union updates → ONE atomic replace-partitions commit); untouched
+    * partitions keep their files, and older versions stay readable
+    * until vacuum (time travel across the merge).
+    *
+    * Scale shape: the distinct-partition collect is bounded by the
+    * table's partition count (control plane); the rewrite reads and
+    * shuffles ONLY affected partitions — the Iceberg COW cost model.
+    * Invariant: keys must be partition-stable (an update may not move a
+    * key to a different partition value — the standard partition-scoped
+    * COW assumption; a cross-partition move needs the old partition in
+    * the update set as a tombstone). */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            partitionCol: String, keyCols: Seq[String],
+            tombstoneCol: Option[String] = None,
+            statsCols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    val affected = updates.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) NullPartition else r.getString(0)).toSeq
+    val ins = tombstoneCol.map(c => updates.filter(!col(c)).drop(c)).getOrElse(updates)
+    val current = read(spark, table, partitions = Some(affected))
+    val merged =
+      if (current.columns.isEmpty) ins // no affected partition existed yet
+      else ins.unionByName(
+        current.join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .select(ins.columns.map(col).toSeq: _*))
+    commit(merged, table, partitionCol, replace = true,
+      statsCols = statsCols, clearPartitions = affected)
+  }
+
   /** Small-file compaction (Iceberg `rewrite_data_files` analog):
     * partitions whose file count exceeds `maxFiles` — the inevitable
     * debris of many small append commits — are rewritten into one file

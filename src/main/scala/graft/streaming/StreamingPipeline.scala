@@ -72,6 +72,28 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** Streaming approximate-distinct: per-window HyperLogLog REGISTER
+    * state ((window, reg) → max rho, the
+    * [[graft.operators.Sketch.regRho]] derivation) — "distinct users
+    * per hour" over an unbounded stream in ≤ 2^b rows of state per
+    * window instead of a per-window distinct-set that grows with the
+    * traffic. Register max is merge-associative, so the result is
+    * micro-batch-split invariant by construction, and the final state
+    * equals the batch sketch over the same files (the oracle contract).
+    * Read the estimate off the registers with
+    * [[graft.operators.Sketch.estimateFromRegs]] keyed by window. */
+  def windowedDistinctRegisters(spark: SparkSession, eventsDir: String,
+                                valueCol: String = "user_id",
+                                window_ : String = "1 hour",
+                                watermark: String = "2 hours",
+                                b: Int = 8): DataFrame = {
+    val (reg, rho) = graft.operators.Sketch.regRho(col(valueCol), b)
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"), reg.as("reg"), rho.as("rho"))
+      .groupBy(col("w"), col("reg")).agg(max("rho").as("rho"))
+  }
+
   /** Stream-static join: enrich the event stream with a slowly-changing
     * dimension table (user → segment, doc → license, …). Stateless on
     * the stream side — Spark re-plans the static side per micro-batch,

@@ -236,4 +236,34 @@ class SnapshotTableSpec extends AnyFunSuite {
       replace = true, clearPartitions = Seq("de"))
     assert(SnapshotTable.read(spark, t).count() == 0)
   }
+
+  test("merge: upsert + insert + tombstone delete; untouched partition keeps its files") {
+    val t = freshTable()
+    SnapshotTable.commit(
+      docs((1, "en", 10), (2, "en", 20), (3, "de", 30), (4, "fr", 40)), t, "lang")
+    val deFiles = SnapshotTable.snapshotAt(t, 1).partitions("de").map(_.path)
+    // update 1, insert 9, delete 2 — en only; de/fr untouched
+    val updates = Seq(
+      (1L, "en", 11L, false), (9L, "en", 90L, false), (2L, "en", 20L, true))
+      .toDF("doc_id", "lang", "n_chars", "del")
+    SnapshotTable.merge(spark, t, updates, "lang", Seq("doc_id"),
+      tombstoneCol = Some("del"))
+    val cur = SnapshotTable.read(spark, t)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)].collect().toSet
+    assert(cur == Set((1L, "en", 11L), (9L, "en", 90L), (3L, "de", 30L), (4L, "fr", 40L)))
+    // COW: the de partition's data files are byte-identical entries —
+    // the merge rewrote only the affected (en) partition
+    val snap2 = SnapshotTable.snapshotAt(t, 2)
+    assert(snap2.operation == "replace-partitions")
+    assert(snap2.partitions("de").map(_.path) == deFiles, "de was rewritten needlessly")
+    // time travel: the pre-merge state is intact
+    val v1 = SnapshotTable.read(spark, t, version = 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(v1 == Set(1L, 2L, 3L, 4L))
+    // merging into a brand-new partition inserts it
+    SnapshotTable.merge(spark, t,
+      Seq((50L, "pt", 5L, false)).toDF("doc_id", "lang", "n_chars", "del"),
+      "lang", Seq("doc_id"), tombstoneCol = Some("del"))
+    assert(SnapshotTable.read(spark, t).where($"lang" === "pt").count() == 1)
+  }
 }
