@@ -407,6 +407,18 @@ object SparkEntry {
         emb.filter(pmod($"vec_id", lit(100)) === 0), books, subdim = 16)
       graft.operators.Pq.searchAdc(codes, luts, topK = 5).orderBy("qid", "rn")
     },
+    // IVF+PQ combined (Pq.searchIvfAdc): coarse cells prune candidates,
+    // ADC codes score them — the FAISS IVFADC layout. The oracle
+    // replays BOTH trainings (full-vector Lloyd for cells, per-subspace
+    // Lloyd for codebooks), the cell probe, and the LUT scoring.
+    "q_ann_ivfpq" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings")
+      val probes = emb.filter(pmod($"vec_id", lit(100)) === 0)
+      val ivfC = graft.operators.Ivf.train(emb, k = 8, iters = 2)
+      val books = graft.operators.Pq.train(emb, m = 4, k = 8, iters = 2)
+      graft.operators.Pq.searchIvfAdc(emb, probes, ivfC, books,
+        m = 4, subdim = 16, topK = 3, nProbe = 2).orderBy("qid", "rn")
+    },
     // Johnson-Lindenstrauss random projection (Similarity.randomProject):
     // d=64 → 16 sign-weighted sums, pure map-side over the literal ±1
     // matrix (sha256-parity rule the oracle replays); the shuffle-width
@@ -946,6 +958,26 @@ object SparkEntry {
       val edges = t(dir, "orders")
         .select($"o_custkey".as("src"), ($"o_orderkey" % 1000).as("dst"))
       plans.PageRank.run(s, edges, iters = 3).orderBy($"id")
+    },
+    // personalized PageRank (random walk with restart into the id%50
+    // seed set): teleport mass goes to the seeds only — "entities
+    // related to THESE" — in the same fixed-point integer arithmetic as
+    // q_pagerank, so the oracle unrolls the identical rounds
+    "q_ppr" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "orders")
+        .select($"o_custkey".as("src"), ($"o_orderkey" % 1000).as("dst"))
+      val nodes = edges.select($"src".as("id")).union(edges.select($"dst".as("id")))
+      val seeds = nodes.filter($"id" % 50 === 0).distinct()
+      plans.PageRank.personalized(s, edges, seeds, iters = 3).orderBy($"id")
+    },
+    // log2-binned degree profile (Profiling.log2Histogram): the
+    // power-law histogram that tells the planner which hub keys need
+    // salting — bitlength bins, one hash agg over ≤ 64 bins
+    "q_degree_profile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val deg = t(dir, "orders")
+        .select($"o_custkey".as("src"), ($"o_orderkey" % 1000).as("dst"))
+        .distinct().groupBy($"src").agg(count(lit(1)).as("deg"))
+      graft.operators.Profiling.log2Histogram(deg, $"deg").orderBy("bin")
     },
     // Iceberg-style snapshot table (sources.SnapshotTable): commit the
     // documents table partitioned by lang, then REPLACE the `en`
@@ -1620,6 +1652,8 @@ object SparkEntry {
     },
     "q_ann_ivf" -> ivfOracleSql(k = 8, iters = 3, nProbe = 2, topK = 1),
     "q_pq_topk" -> pqOracleSql(m = 4, subdim = 16, k = 8, iters = 2, topK = 5),
+    "q_ann_ivfpq" -> ivfPqOracleSql(k = 8, ivfIters = 2, nProbe = 2,
+      subdim = 16, pqIters = 2, topK = 3),
     // JL projection: replay the ±1 matrix from the sha256-parity rule
     // and re-derive each projected coordinate as a (pos = i) join-agg
     "q_random_projection" ->
@@ -2145,6 +2179,41 @@ object SparkEntry {
         |    + (85 * COALESCE(c3.sc, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
         |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin,
+    // personalized PageRank: same unrolled integer rounds with the
+    // teleport term gated by the seed flag (seeds = id % 50 = 0)
+    "q_ppr" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 1000 AS dst FROM orders),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+        |sn AS (SELECT COUNT(*) AS ns FROM nodes WHERE id % 50 = 0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CASE WHEN id % 50 = 0
+        |    THEN 1000000000000 // (SELECT ns FROM sn) ELSE 0 END AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM(r0.r // d.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r0 ON e.src = r0.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, CASE WHEN nodes.id % 50 = 0
+        |    THEN (1000000000000 * 15) // (100 * (SELECT ns FROM sn)) ELSE 0 END
+        |    + (85 * COALESCE(c1.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM(r1.r // d.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, CASE WHEN nodes.id % 50 = 0
+        |    THEN (1000000000000 * 15) // (100 * (SELECT ns FROM sn)) ELSE 0 END
+        |    + (85 * COALESCE(c2.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON nodes.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(SUM(r2.r // d.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r2 ON e.src = r2.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, CASE WHEN nodes.id % 50 = 0
+        |    THEN (1000000000000 * 15) // (100 * (SELECT ns FROM sn)) ELSE 0 END
+        |    + (85 * COALESCE(c3.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin,
+    // bitlength == length(to_base(v, 2)), the engine's exact log2 bin
+    "q_degree_profile" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 1000 AS dst FROM orders),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        |SELECT CAST(length(to_base(deg, 2)) AS BIGINT) AS bin,
+        |  COUNT(*) AS n, MIN(deg) AS min_v, MAX(deg) AS max_v
+        |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin,
     // 2 label-propagation rounds unrolled; plurality-with-smallest-
     // label-tie = ROW_NUMBER ordered by (n DESC, label ASC)
     "q_label_prop" ->
@@ -2747,6 +2816,81 @@ object SparkEntry {
        |sc AS (SELECT l.qid, co.vec_id AS nid, CAST(SUM(l.dot) AS BIGINT) AS score
        |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
        |  WHERE co.vec_id <> l.qid GROUP BY 1,2)
+       |SELECT qid, nid, score, rn FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+       |  FROM sc) WHERE rn <= $topK ORDER BY qid, rn""".stripMargin
+  }
+
+  /** IVF+PQ oracle: BOTH trainings unrolled — full-vector Lloyd for the
+    * coarse cells (the ivfOracleSql iteration shape) AND per-subspace
+    * Lloyd for the codebooks (the pqOracleSql shape, CTEs prefixed
+    * `p`) — then cell-probe candidate generation ⋈ ADC LUT scoring.
+    * kIvf == kPq so the init stride CTE is shared. */
+  private def ivfPqOracleSql(k: Int, ivfIters: Int, nProbe: Int,
+                             subdim: Int, pqIters: Int, topK: Int): String = {
+    def ivfIter(i: Int): String = {
+      val prev = s"cv${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+         |  FROM qv v JOIN $prev c USING (pos) GROUP BY 1,2),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |s$i AS (SELECT a.cid, v.pos,
+         |  CAST(FLOOR((2*SUM(v.v)+COUNT(*))/(2.0*COUNT(*))) AS BIGINT) AS cv
+         |  FROM a$i a JOIN qv v USING (vec_id) GROUP BY 1,2),
+         |cv$i AS (SELECT c.cid, c.pos, COALESCE(s.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN s$i s USING (cid, pos)),""".stripMargin
+    }
+    def pqIter(i: Int): String = {
+      val prev = s"pcv${i - 1}"
+      s"""pd$i AS (SELECT v.vec_id, v.sub, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+         |  FROM sqv v JOIN $prev c ON c.sub = v.sub AND c.spos = v.spos GROUP BY 1,2,3),
+         |pa$i AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT vec_id, sub, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM pd$i)
+         |  WHERE rn = 1),
+         |ps$i AS (SELECT a.sub, a.cid, v.spos,
+         |  CAST(FLOOR((2*SUM(v.v)+COUNT(*))/(2.0*COUNT(*))) AS BIGINT) AS cv
+         |  FROM pa$i a JOIN sqv v ON v.vec_id = a.vec_id AND v.sub = a.sub GROUP BY 1,2,3),
+         |pcv$i AS (SELECT c.sub, c.cid, c.spos, COALESCE(s.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN ps$i s ON s.sub = c.sub AND s.cid = c.cid AND s.spos = c.spos),""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |p AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) // $k) AS stride),
+       |qv AS (SELECT vec_id, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM q),
+       |cv0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, pos, v AS cv
+       |  FROM qv, p WHERE vec_id % stride = 0 AND vec_id < stride*$k),
+       |${(1 to ivfIters).map(ivfIter).mkString("\n")}
+       |df AS (SELECT v.vec_id, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+       |  FROM qv v JOIN cv$ivfIters c USING (pos) GROUP BY 1,2),
+       |cells AS (SELECT vec_id AS nid, cid FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+       |  WHERE rn = 1),
+       |pcells AS (SELECT vec_id AS qid, cid FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM df WHERE vec_id % 100 = 0) WHERE rn <= $nProbe),
+       |sqv AS (SELECT vec_id, CAST(pos // $subdim AS INT) AS sub, pos % $subdim AS spos, v FROM qv),
+       |pcv0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, spos, v AS cv
+       |  FROM sqv, p WHERE vec_id % stride = 0 AND vec_id < stride*$k),
+       |${(1 to pqIters).map(pqIter).mkString("\n")}
+       |pde AS (SELECT v.vec_id, v.sub, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+       |  FROM sqv v JOIN pcv$pqIters c ON c.sub = v.sub AND c.spos = v.spos GROUP BY 1,2,3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM pde)
+       |  WHERE rn = 1),
+       |lut AS (SELECT v.vec_id AS qid, c.sub, c.cid, CAST(SUM(v.v * c.cv) AS BIGINT) AS dot
+       |  FROM sqv v JOIN pcv$pqIters c ON c.sub = v.sub AND c.spos = v.spos
+       |  WHERE v.vec_id % 100 = 0 GROUP BY 1,2,3),
+       |cand AS (SELECT p.qid, i.nid FROM pcells p JOIN cells i USING (cid)
+       |  WHERE i.nid <> p.qid),
+       |sc AS (SELECT c.qid, c.nid, CAST(SUM(l.dot) AS BIGINT) AS score
+       |  FROM cand c JOIN codes co ON co.vec_id = c.nid
+       |  JOIN lut l ON l.qid = c.qid AND l.sub = co.sub AND l.cid = co.cid
+       |  GROUP BY 1,2)
        |SELECT qid, nid, score, rn FROM (
        |  SELECT qid, nid, score,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn

@@ -49,4 +49,19 @@ object Profiling {
     df.groupBy((c - pmod(c, lit(width))).as("bucket_lo"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Log2-binned histogram of a positive integer column — the
+    * power-law profile (degree distributions, token frequencies, file
+    * sizes) that drives skew decisions: the top bins tell you which
+    * hub keys need salting before any join touches them. bin =
+    * bitlength(v) (the HLL-rho device: exact integer log2 + 1), so the
+    * result is engine-exact; one partial-aggregable hash agg over ≤ 64
+    * bins. Non-positive values land in bin 0. */
+  def log2Histogram(df: DataFrame, c: Column): DataFrame = {
+    val v = c.cast("long")
+    df.select(when(v <= 0, lit(0L))
+        .otherwise(length(conv(v, 10, 2)).cast("long")).as("bin"), v.as("v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+  }
 }

@@ -48,4 +48,45 @@ object PageRank {
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass returns to a SEED set instead of the uniform vector — "what
+    * is related to THESE entities", the related-entities /
+    * recommendation / neighborhood-expansion workhorse on a KG. Same
+    * fixed-point integer arithmetic and per-iteration shuffle shape as
+    * [[run]] (one equi-join + one partial-aggregable hash agg + one
+    * left join back); the seed flag is a broadcast join (seed sets are
+    * small by definition). Seeds outside the graph are ignored;
+    * dangling mass drops as in [[run]]; init mass `scale/|S|` on seeds.
+    *
+    * @return (id, rank_scaled) in units of 1/scale */
+  def personalized(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                   iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val seed = seeds.select(col("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi").localCheckpoint()
+    val ns = seed.count()
+    require(ns > 0, "personalized PageRank needs at least one seed present in the graph")
+    val flagged = nodes
+      .join(broadcast(seed.withColumn("is_seed", lit(1L))), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (scale * 15L) / (100L * ns)
+    var rank = flagged.select(col("id"), col("is_seed"),
+      (col("is_seed") * lit(scale / ns)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("sc"))
+      rank = flagged.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          (col("is_seed") * lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("r").as("rank_scaled"))
+  }
 }

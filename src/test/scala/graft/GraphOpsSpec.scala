@@ -229,6 +229,35 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized pagerank: integer reference replay; mass stays near seeds") {
+    import spark.implicits._
+    // two components: a 3-cycle seeded at 0, and an unseeded pair 10↔11
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
+    val seeds = Seq(0L)
+    val iters = 3
+    val scale = 1000000000000L
+    // scalar reference: same fixed-point rules
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val ns = seeds.size.toLong
+    val base = scale * 15L / (100L * ns)
+    var r = nodes.map(v => v -> (if (seeds.contains(v)) scale / ns else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(v => v -> ((if (seeds.contains(v)) base else 0L)
+        + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = graft.plans.PageRank.personalized(spark,
+        edges.toDF("src", "dst"), seeds.toDF("id"), iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r, s"got $got want $r")
+    // the unseeded component holds zero mass; the seeded one holds it all
+    assert(got(10L) == 0L && got(11L) == 0L && got(0L) > 0L && got(1L) > 0L)
+  }
+
   /** JVM reference of the HyperBall register propagation: exact-set BFS
     * balls, then the identical sha256 register derivation per member. */
   private def refHyperBall(edges: Seq[(Long, Long)], rounds: Int)

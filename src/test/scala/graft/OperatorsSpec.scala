@@ -1408,6 +1408,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("log2 histogram: bitlength bins, non-positive values in bin 0") {
+    import spark.implicits._
+    val got = graft.operators.Profiling.log2Histogram(
+        Seq(-3L, 0L, 1L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L).toDF("v"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      0L -> (2L, -3L, 0L),   // non-positive
+      1L -> (2L, 1L, 1L),    // 1
+      2L -> (2L, 2L, 3L),    // 2-3
+      3L -> (2L, 4L, 7L),    // 4-7
+      4L -> (1L, 8L, 8L),    // 8-15
+      10L -> (1L, 1023L, 1023L)), got.toString)
+  }
+
   test("kmv sketch: JVM reference, union-merge, exact-when-underfilled, jaccard") {
     import spark.implicits._
     def h(x: String): Long = java.lang.Long.parseLong(
