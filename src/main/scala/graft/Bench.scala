@@ -93,11 +93,16 @@ object Bench {
     // temporal joins + bloom decontamination: single-shuffle as-of,
     // bucketed range join, map-side bloom prefilter
     "q_asof_attrib", "q_interval_join", "q_decontaminate",
-    // round-4 additions: directed-graph SCC (trim+color rounds),
-    // HyperBall register propagation, mergeable sketches (one agg
-    // each), LM fluency scoring, BM25 retrieval, PQ train+encode+ADC,
-    // JL projection (pure map-side), exact AUC (score-group prefix)
-    "q_scc", "q_hyperball", "q_hll_registers", "q_cms_sketch",
+    // round-4 additions: HyperBall register propagation, mergeable
+    // sketches (one agg each), LM fluency scoring, BM25 retrieval, PQ
+    // train+encode+ADC, JL projection (pure map-side), exact AUC
+    // (score-group prefix). q_scc is correctness-gated in Verify but
+    // NOT perf-tracked here (same rationale as q_minhash_pairs): its
+    // mod-101 benchmark graph has ~50-hop cycles, so the hop-per-round
+    // coloring runs ~100 driver rounds — at test scale that measures
+    // fixed per-round scheduling, not engine throughput (kg_cc and
+    // q_hyperball already track iterative-graph shuffle cost).
+    "q_hyperball", "q_hll_registers", "q_cms_sketch",
     "q_lm_score", "q_bm25", "q_pq_topk", "q_random_projection", "q_auc")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job

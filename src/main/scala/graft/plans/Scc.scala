@@ -102,17 +102,23 @@ object Scc {
       }
 
       if (active.limit(1).count() > 0) {
-        // ---- 2. COLOR: forward max propagation to fixpoint
+        // ---- 2. COLOR: forward max propagation to fixpoint. Colors
+        // only ever increase, so Σcolor strictly increases until the
+        // fixpoint — change detection is a one-row aggregate instead of
+        // a next⨝old join (halves the per-round job count; sums of ≤2^31
+        // ids fit a long far beyond any realistic node count)
         var color = mat(active.select(col("id"), col("id").as("color")))
+        def colorSum(c: DataFrame): Long =
+          c.agg(sum(col("color"))).head.getLong(0)
+        var prevSum = colorSum(color)
         var changed = true
         while (changed) {
           val msgs = e.join(color.withColumnRenamed("id", "cs"), col("src") === col("cs"))
             .select(col("dst").as("id"), col("color"))
           val next = mat(color.union(msgs).groupBy("id").agg(max("color").as("color")))
-          changed = next.alias("n")
-            .join(color.alias("o"), col("n.id") === col("o.id"))
-            .where(col("n.color") =!= col("o.color"))
-            .limit(1).count() > 0
+          val s = colorSum(next)
+          changed = s != prevSum
+          prevSum = s
           color = next
         }
 
