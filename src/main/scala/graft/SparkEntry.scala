@@ -925,6 +925,19 @@ object SparkEntry {
       val probes = toks.distinct().orderBy("tok").limit(10)
       operators.Sketch.cmsLookup(sketch, probes, $"tok").orderBy("probe")
     },
+    // CMS join-size estimation (Sketch.cmsJoinSize): the planner's
+    // "broadcast, shuffle or salt?" answered from two ≤ 4·256-row
+    // sketches without scanning either table — min over hash rows of
+    // the column-wise count inner product (≥ the true join size
+    // always); the exact join count rides along to expose the error
+    "q_join_size_est" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ska = operators.Sketch.cmsSketch(t(dir, "events"), $"user_id")
+      val skb = operators.Sketch.cmsSketch(t(dir, "orders"), $"o_custkey")
+      val exact = t(dir, "events").select($"user_id".as("k"))
+        .join(t(dir, "orders").select($"o_custkey".as("k")), "k")
+        .agg(count(lit(1)).as("exact_join_size"))
+      operators.Sketch.cmsJoinSize(ska, skb).crossJoin(exact)
+    },
     // Synchronous label propagation, 2 rounds (plans.LabelProp):
     // plurality label of neighbors, smallest-label tie-break, keep own
     // label when isolated — deterministic rules the oracle re-derives
@@ -2154,6 +2167,23 @@ object SparkEntry {
         |SELECT probe, CAST(MIN(cnt) AS BIGINT) AS est
         |FROM pp JOIN sk USING ("row", col)
         |GROUP BY probe ORDER BY probe""".stripMargin,
+    // CMS inner-product estimate replayed over both sketches + the
+    // exact join count
+    "q_join_size_est" ->
+      """WITH ha AS (SELECT sha256(CAST(user_id AS VARCHAR)) AS x FROM events),
+        |pa AS (SELECT j AS "row", CAST('0x' || substr(x, j * 13 + 1, 13) AS BIGINT) % 256 AS col
+        |       FROM ha, UNNEST(range(0, 4)) AS u(j)),
+        |ska AS (SELECT "row", col, COUNT(*) AS cnt FROM pa GROUP BY 1, 2),
+        |hb AS (SELECT sha256(CAST(o_custkey AS VARCHAR)) AS x FROM orders),
+        |pb AS (SELECT j AS "row", CAST('0x' || substr(x, j * 13 + 1, 13) AS BIGINT) % 256 AS col
+        |       FROM hb, UNNEST(range(0, 4)) AS u(j)),
+        |skb AS (SELECT "row", col, COUNT(*) AS cnt FROM pb GROUP BY 1, 2),
+        |rowest AS (SELECT a."row", CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS est
+        |           FROM ska a JOIN skb b ON a."row" = b."row" AND a.col = b.col
+        |           GROUP BY a."row")
+        |SELECT (SELECT MIN(est) FROM rowest) AS join_size_est,
+        |       (SELECT COUNT(*) FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        |         AS exact_join_size""".stripMargin,
     // 3 PageRank iterations unrolled in scaled-integer arithmetic;
     // `//` (floor div) on positives == Spark's `div`, so ranks are
     // bit-exact across engines

@@ -173,6 +173,21 @@ object Sketch {
         expr("(n_both * 1000000) div k_used").as("jaccard_ppm"))
   }
 
+  /** Equi-join SIZE estimation from two Count-Min sketches — the
+    * planner question ("will this join explode? broadcast or shuffle or
+    * salt?") answered from ≤ 4·width rows per side without scanning
+    * either table: |A ⋈_k B| = Σ_v f_A(v)·f_B(v) ≤ min over hash rows
+    * of Σ_col cntA(row,col)·cntB(row,col) (the classic CM inner-product
+    * estimate — never underestimates, error ≤ εN_A·N_B/width per row).
+    * Integer-exact, so the oracle replays it verbatim. One broadcast
+    * equi-join of two tiny sketches + one agg. */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("row"), col("col"), col("cnt").as("cnt_a"))
+      .join(broadcast(b.select(col("row"), col("col"), col("cnt").as("cnt_b"))),
+        Seq("row", "col"))
+      .groupBy("row").agg(sum(expr("cnt_a * cnt_b")).as("est"))
+      .agg(min(col("est")).as("join_size_est"))
+
   /** Point-frequency estimates for `probes` (a one-column DataFrame of
     * values) against a sketch from [[cmsSketch]]: min over the 4 rows.
     * The probe side re-derives its (row, col) pairs and equi-joins the

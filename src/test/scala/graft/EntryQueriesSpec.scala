@@ -225,6 +225,26 @@ class EntryQueriesSpec extends AnyFunSuite {
     assert(h.map(_._1).distinct.length == h.length)
   }
 
+  test("round-4 queries: scale-relevant plan shapes") {
+    assume(available)
+    // BM25: global top-k must be TakeOrderedAndProject (per-partition
+    // heaps), never a global Sort of the scored corpus
+    val bm25 = physical("q_bm25")
+    assert(bm25.contains("TakeOrderedAndProject"), bm25)
+    // KMV: bottom-k of the hash stream is a TakeOrdered too
+    assert(physical("q_kmv_jaccard").contains("TakeOrderedAndProject"))
+    // iterative graph ops and ADC scoring: equi-joins only. The one-row
+    // corpus-stats cross joins (BM25 avgdl, HLL exact rider) are
+    // broadcast by construction and allowed; a CartesianProduct is not.
+    Seq("q_hyperball", "q_ppr", "q_pq_topk").foreach { q =>
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // degree profile: one hash aggregate, no window, no join
+    val dp = physical("q_degree_profile")
+    assert(!dp.contains("Window") && !dp.contains("Join"), dp)
+  }
+
   test("enrichedEvents: stream-static left join keeps unmatched rows, broadcasts dim") {
     assume(available)
     import spark.implicits._

@@ -1408,6 +1408,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("cms join-size estimate never underestimates; exact on distinct keys") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => s"k${i % 40}").toDF("v")   // 40 keys ×5
+    val b = (1 to 120).map(i => s"k${20 + (i % 40)}").toDF("v") // overlap 20..39
+    val ska = graft.operators.Sketch.cmsSketch(a, col("v"))
+    val skb = graft.operators.Sketch.cmsSketch(b, col("v"))
+    val est = graft.operators.Sketch.cmsJoinSize(ska, skb).head.getLong(0)
+    val exact = a.join(b, "v").count()
+    assert(est >= exact, s"CM inner product must never underestimate: $est < $exact")
+    // with 60 distinct keys in 256 columns, collisions are rare enough
+    // that the estimate stays within 2x (deterministic hash — stable)
+    assert(est <= exact * 2, s"est $est way above exact $exact")
+  }
+
   test("log2 histogram: bitlength bins, non-positive values in bin 0") {
     import spark.implicits._
     val got = graft.operators.Profiling.log2Histogram(
