@@ -925,6 +925,28 @@ object SparkEntry {
       val probes = toks.distinct().orderBy("tok").limit(10)
       operators.Sketch.cmsLookup(sketch, probes, $"tok").orderBy("probe")
     },
+    // weighted single-source shortest paths (plans.Sssp): 3 bounded
+    // Bellman-Ford relaxations over the deterministic weighted graph —
+    // per round one equi-join + one partial-aggregable min; exact
+    // integer distances the oracle re-derives round by round
+    "q_sssp" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 101L).as("src"),
+        ($"event_id" % 101L).as("dst"), ($"event_id" % 97L + 1L).as("w"))
+      plans.Sssp.run(edges, source = 0L, rounds = 3).orderBy("id")
+    },
+    // schema-on-read JSON extraction (from_json, codegen'd — the
+    // semi-structured face of S2's fixed-schema parse): pull the `k`
+    // field out of the props JSON column and aggregate on it
+    "q_json_extract" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      t(dir, "events")
+        .select(from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+        .groupBy(($"k" % 10L).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+        .orderBy("k_mod")
+    },
     // CMS join-size estimation (Sketch.cmsJoinSize): the planner's
     // "broadcast, shuffle or salt?" answered from two ≤ 4·256-row
     // sketches without scanning either table — min over hash rows of
@@ -2167,6 +2189,27 @@ object SparkEntry {
         |SELECT probe, CAST(MIN(cnt) AS BIGINT) AS est
         |FROM pp JOIN sk USING ("row", col)
         |GROUP BY probe ORDER BY probe""".stripMargin,
+    // 3 Bellman-Ford rounds unrolled: min over (carry, relax) per round
+    "q_sssp" ->
+      """WITH e0 AS (SELECT user_id % 101 AS src, event_id % 101 AS dst,
+        |    event_id % 97 + 1 AS w FROM events),
+        |e AS (SELECT src, dst, MIN(w) AS w FROM e0 GROUP BY 1, 2),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM e JOIN d0 d ON e.src = d.id) GROUP BY id),
+        |d2 AS (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM e JOIN d1 d ON e.src = d.id) GROUP BY id),
+        |d3 AS (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM e JOIN d2 d ON e.src = d.id) GROUP BY id)
+        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""".stripMargin,
+    // DuckDB's ->> extracts the same field as from_json's schema read
+    "q_json_extract" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
     // CMS inner-product estimate replayed over both sketches + the
     // exact join count
     "q_join_size_est" ->

@@ -229,6 +229,21 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sssp: multi-hop cheaper than direct edge; bounded rounds; parallel edges keep min") {
+    import spark.implicits._
+    // 0→1 (1), 1→2 (1), 0→2 (10, plus a parallel 12), 2→3 (1), 9 isolated-ish
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 10L), (0L, 2L, 12L),
+      (2L, 3L, 1L), (7L, 9L, 5L)).toDF("src", "dst", "w")
+    def distAt(r: Int) = graft.plans.Sssp.run(edges, 0L, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // one round: only direct edges (cheapest parallel edge wins)
+    assert(distAt(1) == Map(0L -> 0L, 1L -> 1L, 2L -> 10L))
+    // two rounds: the 0→1→2 path (cost 2) beats the direct 10
+    assert(distAt(2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 11L))
+    // three rounds: 3 settles through the cheap path; 7/9 unreachable
+    assert(distAt(3) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("personalized pagerank: integer reference replay; mass stays near seeds") {
     import spark.implicits._
     // two components: a 3-cycle seeded at 0, and an unseeded pair 10↔11
