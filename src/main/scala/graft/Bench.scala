@@ -103,7 +103,10 @@ object Bench {
     // fixed per-round scheduling, not engine throughput (kg_cc and
     // q_hyperball already track iterative-graph shuffle cost).
     "q_hyperball", "q_hll_registers", "q_cms_sketch",
-    "q_lm_score", "q_bm25", "q_pq_topk", "q_random_projection", "q_auc")
+    "q_lm_score", "q_bm25", "q_pq_topk", "q_random_projection", "q_auc",
+    // harmonic = HyperBall + per-round estimates; KMV sort+limit heaps;
+    // bounded Bellman-Ford; schema-on-read JSON parse cost
+    "q_harmonic", "q_kmv_jaccard", "q_sssp", "q_json_extract")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

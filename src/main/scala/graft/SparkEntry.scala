@@ -789,6 +789,18 @@ object SparkEntry {
       graft.operators.Sketch.estimateFromRegs(tbl, Seq("ws"), 8)
         .withColumnRenamed("estimate", "distinct_estimate").orderBy("ws")
     },
+    // Streaming frequency state: per-window Count-Min registers over
+    // the user stream (bounded 4·64 rows per window); counts sum
+    // associatively ⇒ micro-batch invariant, equal to the batch sketch
+    "q_stream_cms" -> { (s, dir) =>
+      val regs = graft.streaming.StreamingPipeline
+        .windowedCmsRegisters(s, s"$dir/events.parquet")
+      val name = "cw" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = regs.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("w.start").as("ws"), col("row"), col("col"), col("cnt"))
+        .orderBy("ws", "row", "col")
+    },
     // Structured Streaming keyed state (mapGroupsWithState): running
     // per-user counts in update mode; the final (max) update per user
     // equals the batch count — robust to any micro-batch split since
@@ -1373,6 +1385,14 @@ object SparkEntry {
         scoreBin = least(expr("n_chars div 50"), lit(19L)).cast("long"),
         label = ($"lang" === "en").cast("int"))
         .orderBy("bin")
+    },
+    // calibration table (Eval.calibration): per-bin label rate vs the
+    // bin's nominal score in exact ppm — over/under-confidence of the
+    // quality classifier, one hash agg
+    "q_calibration" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Eval.calibration(t(dir, "documents"),
+        scoreBin = least(expr("n_chars div 50"), lit(19L)).cast("long"),
+        label = ($"lang" === "en").cast("int"), bins = 20).orderBy("bin")
     },
     // EXACT ROC-AUC with ties (Eval.auc): Mann-Whitney pair count via
     // ONE corpus hash-agg + a window over the score-GROUP table only
@@ -1971,6 +1991,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_stream_state" ->
       "SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id",
+    // streaming CMS == batch sketch per hour window (width 64)
+    "q_stream_cms" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS ws,
+        |  sha256(CAST(user_id AS VARCHAR)) AS x FROM events),
+        |p AS (SELECT ws, j AS "row",
+        |  CAST('0x' || substr(x, j * 13 + 1, 13) AS BIGINT) % 64 AS col
+        |  FROM h, UNNEST(range(0, 4)) AS u(j))
+        |SELECT ws, CAST("row" AS BIGINT) AS "row", col, COUNT(*) AS cnt
+        |FROM p GROUP BY 1, 2, 3 ORDER BY ws, "row", col""".stripMargin,
     // streaming HLL == batch sketch over the same files: same register
     // derivation per hour window, same harmonic estimate (m=256)
     "q_stream_hll" -> {
@@ -2695,6 +2724,13 @@ object SparkEntry {
         |  CASE WHEN tot = 0 THEN NULL
         |       ELSE CAST((tp * 1000000) // tot AS BIGINT) END AS recall_ppm
         |FROM c ORDER BY bin""".stripMargin,
+    // same binning; ppm floor-div replayed
+    "q_calibration" ->
+      """SELECT LEAST(n_chars // 50, 19) AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  (LEAST(n_chars // 50, 19) * 1000000) // 20 AS bin_score_ppm,
+        |  (CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_ppm
+        |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
     // AUC by the RANK formulation (independent of the engine's pair
     // formulation): 2U = Σ_pos 2·avg_rank − n_pos(n_pos+1), with the
     // tie-group average rank 2r̄ = 2(below+1) + cnt − 1 kept doubled to

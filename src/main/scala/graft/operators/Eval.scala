@@ -48,6 +48,23 @@ object Eval {
           .as("recall_ppm"))
   }
 
+  /** Calibration (reliability) table: per score bin, how often the
+    * label actually fires vs what the bin's score claims — the third
+    * leg of the eval family next to [[prCurve]] (ranking) and [[auc]]
+    * (discrimination). One partial-aggregable hash agg; rates in exact
+    * ppm. Callers bin raw scores exactly as for prCurve; `binScorePpm`
+    * = the bin's nominal predicted probability (bin·10^6 div bins) so
+    * over/under-confidence reads directly off the two ppm columns. */
+  def calibration(df: DataFrame, scoreBin: Column, label: Column, bins: Int): DataFrame = {
+    require(bins > 0, s"bins=$bins")
+    df.select(scoreBin.cast("long").as("bin"), label.cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr(s"(bin * 1000000) div $bins").as("bin_score_ppm"),
+        expr("(pos * 1000000) div n").as("pos_rate_ppm"))
+  }
+
   /** EXACT ROC-AUC with tie handling, via the pair (Mann-Whitney)
     * formulation instead of ranks: AUC = [#(pos-score > neg-score) +
     * ½·#(pos-score = neg-score)] / (n_pos·n_neg). Ranks need a global

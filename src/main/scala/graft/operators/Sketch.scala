@@ -117,17 +117,21 @@ object Sketch {
     * widening beyond ×4) and ONE partial-aggregable count shuffle with
     * ≤ depth·width output rows. Point estimate = min over the 4 rows
     * (always ≥ the true count; ≤ true + 2eN/width w.p. 1−2^-4). */
-  def cmsSketch(df: DataFrame, value: Column, width: Int = 256): DataFrame = {
+  /** the 4 (row, col) sketch coordinates of a value — the insert half,
+    * exposed for the streaming windowed variant */
+  def cmsPairs(value: Column, width: Int): Column = {
     require(width >= 2 && width <= (1 << 20), s"width=$width")
     val h = sha2(value.cast("string"), 256)
-    val pairs = transform(sequence(lit(0), lit(3)), j => struct(
+    transform(sequence(lit(0), lit(3)), j => struct(
       j.as("row"),
       pmod(conv(h.substr(j * 13 + 1, lit(13)), 16, 10).cast("long"), lit(width.toLong))
         .as("col")))
-    df.select(explode(pairs).as("p"))
+  }
+
+  def cmsSketch(df: DataFrame, value: Column, width: Int = 256): DataFrame =
+    df.select(explode(cmsPairs(value, width)).as("p"))
       .select(col("p.row").cast("long").as("row"), col("p.col").as("col"))
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
-  }
 
   /** KMV (bottom-k) distinct sketch: the k smallest 52-bit sha256
     * hashes of the column's distinct values — (h: long) rows, ≤ k of

@@ -94,6 +94,26 @@ object StreamingPipeline {
       .groupBy(col("w"), col("reg")).agg(max("rho").as("rho"))
   }
 
+  /** Streaming approximate-frequency: per-window Count-Min register
+    * state — the counting counterpart of [[windowedDistinctRegisters]]
+    * ("how often did each user/token hit, per hour" in ≤ 4·width state
+    * rows per window). Counts sum associatively, so the state is
+    * micro-batch-split invariant and equals the batch sketch over the
+    * same files; point estimates read off via
+    * [[graft.operators.Sketch.cmsLookup]] against a window's slice. */
+  def windowedCmsRegisters(spark: SparkSession, eventsDir: String,
+                           valueCol: String = "user_id",
+                           window_ : String = "1 hour",
+                           watermark: String = "2 hours",
+                           width: Int = 64): DataFrame =
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"),
+        explode(graft.operators.Sketch.cmsPairs(col(valueCol), width)).as("p"))
+      .select(col("w"), col("p.row").cast("long").as("row"), col("p.col").as("col"))
+      .groupBy(col("w"), col("row"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Stream-static join: enrich the event stream with a slowly-changing
     * dimension table (user → segment, doc → license, …). Stateless on
     * the stream side — Spark re-plans the static side per micro-batch,
