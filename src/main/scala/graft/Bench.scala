@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -66,7 +66,7 @@ object Bench {
     s
   }
 
-  private def force(df: DataFrame): Long = {
+  private[graft] def force(df: DataFrame): Long = {
     // noop sink computes every column (count() would prune projections)
     df.write.format("noop").mode("overwrite").save()
     0L
@@ -77,7 +77,7 @@ object Bench {
   }
 
   /** headline subset: scale-safe operators (no quadratic verify joins) */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q1_agg", "q_join_multi", "q_left_outer", "q_semi_exists", "q_topk",
     "q_bestrank_window", "q_distinct", "q_event_counters", "q_time_window",
     "q_exact_dedup", "q_fingerprint", "q_tokens", "q_langid", "q_minhash_scale",
