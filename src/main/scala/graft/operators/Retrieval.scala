@@ -64,9 +64,15 @@ object Retrieval {
     val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = matched.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+    // dft is ≤ |query terms| rows (broadcast); dl is CORPUS-sized — it
+    // joins tf on doc_id as a plain shuffle join (both sides hash on
+    // doc_id; AQE may still broadcast it at small scale, but nothing
+    // forces a corpus-sized build side); the one-row stats ride as a
+    // broadcast cross join
     val scored = tf
       .join(broadcast(dft), "term")
-      .join(broadcast(dl.join(broadcast(stats))), "doc_id")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
       .withColumn("idf_bits", idfBits)
       .withColumn("ratio_ppm", expr("(dl * 1000000000000) div avgdl_ppm"))
       .withColumn("norm_ppm", expr("250000 + (750 * ratio_ppm) div 1000"))
