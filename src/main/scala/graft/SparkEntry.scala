@@ -959,6 +959,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
         .orderBy("k_mod")
     },
+    // mergeable quantiles off the log2 histogram (DDSketch-at-γ=2,
+    // Profiling.log2Quantiles): the ≤64-row histogram IS the sketch
+    // (merges by bin-wise SUM); each quantile is bracketed by its
+    // answering bin's observed [min_v, max_v]
+    "q_log2_quantiles" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Profiling.log2Quantiles(t(dir, "documents"), $"n_chars",
+        Seq(250000L, 500000L, 900000L, 990000L)).orderBy("q_ppm")
+    },
     // CMS join-size estimation (Sketch.cmsJoinSize): the planner's
     // "broadcast, shuffle or salt?" answered from two ≤ 4·256-row
     // sketches without scanning either table — min over hash rows of
@@ -2239,6 +2247,22 @@ object SparkEntry {
       """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    // same bitlength bins + cumulative walk + all-positive ceil rank
+    "q_log2_quantiles" ->
+      """WITH h AS (SELECT CASE WHEN n_chars <= 0 THEN 0
+        |    ELSE length(to_base(n_chars, 2)) END AS bin, n_chars AS v FROM documents),
+        |g AS (SELECT bin, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v FROM h GROUP BY bin),
+        |c AS (SELECT bin, n, min_v, max_v,
+        |    SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum,
+        |    SUM(n) OVER () AS total FROM g),
+        |q AS (SELECT unnest([250000, 500000, 900000, 990000]) AS q_ppm)
+        |SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+        |  CAST(GREATEST(1, (q_ppm * total + 999999) // 1000000) AS BIGINT) AS rank,
+        |  CAST(bin AS BIGINT) AS bin, min_v AS lo, max_v AS hi
+        |FROM q, c
+        |WHERE n_cum >= GREATEST(1, (q_ppm * total + 999999) // 1000000)
+        |  AND n_cum - n < GREATEST(1, (q_ppm * total + 999999) // 1000000)
+        |ORDER BY q_ppm""".stripMargin,
     // CMS inner-product estimate replayed over both sketches + the
     // exact join count
     "q_join_size_est" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** One-pass column profiling (dataset-card / data-quality stats): for
   * each requested column — non-null count, null count, exact distinct
@@ -63,5 +64,41 @@ object Profiling {
         .otherwise(length(conv(v, 10, 2)).cast("long")).as("bin"), v.as("v"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+  }
+
+  /** MERGEABLE approximate quantiles off the log2 histogram — the
+    * DDSketch idea at γ=2: the histogram is the sketch (≤ 64 rows,
+    * merges across corpora/partitions/days by plain bin-wise SUM, the
+    * [[graft.operators.Sketch]] family convention), and a quantile
+    * query walks its cumulative counts. The q-th value is bracketed by
+    * the answering bin's OBSERVED [min_v, max_v] (≤ 2× relative error
+    * by construction, usually far tighter). Unlike
+    * [[graft.operators.Quantiles]] (exact, driver-bounded refinement)
+    * this needs no second pass and no driver state — the 100 TB
+    * pattern: histogram once per partition, merge forever, query any
+    * quantile later.
+    *
+    * Scale shape: one hash agg over ≤ 64 bins + a window over the BIN
+    * table only (the prCurve pattern). Output one row per requested
+    * q_ppm: (q_ppm, rank, bin, lo, hi). Rank convention:
+    * ceil(q·N / 10^6), clamped to ≥ 1. */
+  def log2Quantiles(df: DataFrame, c: Column, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L), s"qsPpm=$qsPpm")
+    val hist = log2Histogram(df, c)
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("n_cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(all))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = qsPpm.toDF("q_ppm")
+    qs.crossJoin(broadcast(cum))
+      // ceil(q·N/10^6) in all-positive arithmetic (Spark div == DuckDB
+      // // only on non-negatives)
+      .withColumn("rank", expr("greatest(1L, (q_ppm * total + 999999) div 1000000)"))
+      .filter(col("n_cum") >= col("rank") && col("n_cum") - col("n") < col("rank"))
+      .select(col("q_ppm"), col("rank"), col("bin"),
+        col("min_v").as("lo"), col("max_v").as("hi"))
   }
 }

@@ -1436,6 +1436,39 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> (1L, 1023L, 1023L)), got.toString)
   }
 
+  test("log2 quantiles: true quantile falls inside the reported bin bracket; merge = sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vals = (1 to 500).map(_ => (rnd.nextInt(5000) + 1).toLong)
+    val df = vals.toDF("v")
+    val qs = Seq(100000L, 500000L, 950000L)
+    val got = graft.operators.Profiling.log2Quantiles(df, col("v"), qs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val (rank, lo, hi) = got(q)
+      assert(rank == math.max(1, math.ceil(q * vals.size / 1e6).toLong))
+      val truth = sorted((rank - 1).toInt)
+      assert(truth >= lo && truth <= hi, s"q=$q: true $truth outside [$lo, $hi]")
+    }
+    // the histogram-sketch merges by bin-wise sum: hist(A ∪ B) == merged
+    val (a, b) = vals.splitAt(250)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val whole = graft.operators.Profiling.log2Histogram(vals.toDF("v"), col("v"))
+      .collect().map(r => key(r) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ha = graft.operators.Profiling.log2Histogram(a.toDF("v"), col("v"))
+      .collect().map(r => key(r) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val hb = graft.operators.Profiling.log2Histogram(b.toDF("v"), col("v"))
+      .collect().map(r => key(r) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merged = (ha.keySet ++ hb.keySet).map { bin =>
+      val x = ha.get(bin); val y = hb.get(bin)
+      bin -> ((x.map(_._1).getOrElse(0L) + y.map(_._1).getOrElse(0L)),
+        Seq(x.map(_._2), y.map(_._2)).flatten.min,
+        Seq(x.map(_._3), y.map(_._3)).flatten.max)
+    }.toMap
+    assert(merged == whole)
+  }
+
   test("kmv sketch: JVM reference, union-merge, exact-when-underfilled, jaccard") {
     import spark.implicits._
     def h(x: String): Long = java.lang.Long.parseLong(
