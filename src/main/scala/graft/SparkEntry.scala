@@ -959,6 +959,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
         .orderBy("k_mod")
     },
+    // bounded top-k per group as a PARTIAL-AGGREGABLE custom Aggregator
+    // (functions.TopKAgg): ≤ k rows of state per group per task,
+    // map-side combined — the shuffle carries k·|groups| rows, never
+    // the corpus (vs the window formulation's full per-group sort)
+    "q_group_topk_agg" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.functions.TopKAgg.groupTopK(t(dir, "events"),
+        group = $"event_type", value = floor($"value" * 100), id = $"event_id", k = 3)
+        .orderBy("g", "rn")
+    },
     // mergeable quantiles off the log2 histogram (DDSketch-at-γ=2,
     // Profiling.log2Quantiles): the ≤64-row histogram IS the sketch
     // (merges by bin-wise SUM); each quantile is bracketed by its
@@ -2247,6 +2256,15 @@ object SparkEntry {
       """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    // the aggregate's (v desc, id asc) order == ROW_NUMBER's
+    "q_group_topk_agg" ->
+      """SELECT g, rn, v, id FROM (
+        |  SELECT event_type AS g,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC, event_id) AS BIGINT) AS rn,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS v, event_id AS id
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY g, rn""".stripMargin,
     // same bitlength bins + cumulative walk + all-positive ceil rank
     "q_log2_quantiles" ->
       """WITH h AS (SELECT CASE WHEN n_chars <= 0 THEN 0

@@ -1436,6 +1436,26 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> (1L, 1023L, 1023L)), got.toString)
   }
 
+  test("TopKAgg: == window top-k incl. ties; partial-aggregable plan, no Window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(53)
+    // heavy ties: values from a tiny domain force the id tie-break
+    val rows = (1L to 400L).map(i => (s"g${i % 7}", rnd.nextInt(5).toLong, i))
+    val df = rows.toDF("g", "v", "id")
+    val got = graft.functions.TopKAgg.groupTopK(df, col("g"), col("v"), col("id"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = df.withColumn("rn",
+        row_number().over(W.partitionBy("g").orderBy(col("v").desc, col("id"))).cast("long"))
+      .filter(col("rn") <= 3).select("g", "rn", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // the whole point: an aggregation plan (map-side combinable), no Window
+    val plan = graft.functions.TopKAgg.groupTopK(df, col("g"), col("v"), col("id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("Aggregate"), plan)
+  }
+
   test("log2 quantiles: true quantile falls inside the reported bin bracket; merge = sum") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
