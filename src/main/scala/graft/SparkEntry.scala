@@ -1370,6 +1370,34 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table(name).orderBy("purchase_id", "click_id")
     },
+    // stream-stream LEFT OUTER interval join: unattributed purchases
+    // emit with null click_id only once the watermark has provably
+    // passed their match window — so a bounded replay appends a
+    // far-future FLUSH SENTINEL on each side (user -1, excluded from
+    // the output) to advance both watermarks past every real row; with
+    // the flush, stream ≡ batch LEFT JOIN exactly
+    "q_stream_stream_left" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft-ssl")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("part-0.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      val sent = Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
+          (-2L, far, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssl-sent")
+      sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, d.resolve("part-1.parquet"))
+      val joined = graft.streaming.StreamingPipeline.purchaseClickJoinLeft(
+        s, d.toString, windowMinutes = 360)
+      val name = "sssl" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).filter($"user_id" =!= -1L).orderBy("purchase_id", "click_id")
+    },
     // Z-order (Morton) clustering value: unrolled static-shift integer
     // arithmetic, whole-stage codegen — the multi-dimension file-skipping
     // layout key (tile effect asserted in OperatorsSpec; this query
@@ -2731,6 +2759,12 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q_stream_stream_left" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
     // Morton interleave unrolled in integer SQL — bit i of u at 4^i,

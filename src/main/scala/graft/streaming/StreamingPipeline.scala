@@ -152,6 +152,36 @@ object StreamingPipeline {
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — attribution that also
+    * reports the UNATTRIBUTED purchases. The outer side is the hard
+    * streaming surface: a purchase with no click can only emit once the
+    * click-side watermark has passed its whole match window (Spark
+    * holds it in state until then, then emits with nulls) — which is
+    * exactly why both watermarks AND the time-bound condition are
+    * mandatory here, not just advisable: without them the engine could
+    * neither GC state nor ever prove "no match will arrive". On a
+    * bounded replay the result equals the batch left join (the oracle
+    * contract). */
+  def purchaseClickJoinLeft(spark: SparkSession, eventsDir: String,
+                            windowMinutes: Int = 360,
+                            watermark: String = "2 hours"): DataFrame = {
+    val purchases = eventsStream(spark, eventsDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val clicks = eventsStream(spark, eventsDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("cts") <= col("pts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Streaming dedup with bounded state: duplicates dropped within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of D1/exact dedup; state is GC'd as the watermark advances, so
