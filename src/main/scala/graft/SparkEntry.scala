@@ -735,6 +735,18 @@ object SparkEntry {
       graft.operators.Skew.saltedCountDistinct(t(dir, "events"), $"user_id", $"event_type")
         .withColumnRenamed("key", "user_id").orderBy("user_id")
     },
+    // explicit hub-key salted join (Skew.saltedJoin): each (key, salt)
+    // bucket joins independently so one hub key spreads over `salt`
+    // tasks; result ≡ the plain join (oracle) with per-user aggregation
+    // to keep the comparison relational
+    "q_skew_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val dim = t(dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      graft.operators.Skew.saltedJoin(t(dir, "events"), dim, "user_id", salt = 8)
+        .groupBy($"user_id", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .orderBy("user_id")
+    },
     // Structured Streaming sessionization (flatMapGroupsWithState,
     // event-time timeout): the closed sessions of the whole events
     // stream must equal batch gaps-and-islands sessionization — the
@@ -2030,6 +2042,12 @@ object SparkEntry {
     "q_skew_distinct" ->
       """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // salting is invisible relationally: == the plain inner join
+    "q_skew_join" ->
+      """SELECT e.user_id, c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY e.user_id""".stripMargin,
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
