@@ -735,6 +735,17 @@ object SparkEntry {
       graft.operators.Skew.saltedCountDistinct(t(dir, "events"), $"user_id", $"event_type")
         .withColumnRenamed("key", "user_id").orderBy("user_id")
     },
+    // first-seen cohort / growth curve: min-date per user (one partial
+    // agg), daily new-user counts, cumulative over the DAY table only
+    // (the prCurve bounded-window pattern — never a corpus window)
+    "q_retention" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val first = t(dir, "events").groupBy($"user_id")
+        .agg(min(date_trunc("hour", $"ts".cast("timestamp"))).as("d"))
+      val daily = first.groupBy("d").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum($"new_users").over(w)).orderBy("d")
+    },
     // explicit hub-key salted join (Skew.saltedJoin): each (key, salt)
     // bucket joins independently so one hub key spreads over `salt`
     // tasks; result ≡ the plain join (oracle) with per-user aggregation
@@ -2042,6 +2053,12 @@ object SparkEntry {
     "q_skew_distinct" ->
       """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, MIN(date_trunc('hour', ts)) AS d FROM events GROUP BY user_id),
+        |n AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY d)
+        |SELECT d, new_users, CAST(SUM(new_users) OVER (ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM n ORDER BY d""".stripMargin,
     // salting is invisible relationally: == the plain inner join
     "q_skew_join" ->
       """SELECT e.user_id, c.c_mktsegment, COUNT(*) AS n,
