@@ -735,9 +735,10 @@ object SparkEntry {
       graft.operators.Skew.saltedCountDistinct(t(dir, "events"), $"user_id", $"event_type")
         .withColumnRenamed("key", "user_id").orderBy("user_id")
     },
-    // first-seen cohort / growth curve: min-date per user (one partial
-    // agg), daily new-user counts, cumulative over the DAY table only
-    // (the prCurve bounded-window pattern — never a corpus window)
+    // first-seen cohort / growth curve: min first-seen HOUR per user
+    // (one partial agg), hourly new-user counts, cumulative over the
+    // hour-bucket table only (the prCurve bounded-window pattern —
+    // never a corpus window)
     "q_retention" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       val first = t(dir, "events").groupBy($"user_id")
         .agg(min(date_trunc("hour", $"ts".cast("timestamp"))).as("d"))
@@ -952,8 +953,9 @@ object SparkEntry {
       operators.Sketch.cmsSketch(toks, $"tok").orderBy("row", "col")
     },
     // point-frequency estimates: probe tokens re-derive their (row,col)
-    // pairs and broadcast-join the tiny sketch; est = min over rows
-    // (≥ true count always — the oracle replays the identical minimum)
+    // pairs and broadcast LEFT-join the tiny sketch (empty cell ⇒ 0,
+    // the canonical min-over-ALL-rows); est = min over rows (≥ true
+    // count always — the oracle replays the identical minimum)
     "q_cms_lookup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       val toks = t(dir, "documents").select(explode(split($"text", " ")).as("tok"))
       val sketch = operators.Sketch.cmsSketch(toks, $"tok")
@@ -1095,7 +1097,9 @@ object SparkEntry {
       val insNew = docs.filter($"doc_id" % 25 === 0)
         .select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
           lit(7L).as("n_chars"), lit(false).as("del"))
-      val dels = docs.filter($"doc_id" % 17 === 0)
+      // %10 rows excluded: merge requires key-unique updates (a key may
+      // not be both updated and tombstoned — Iceberg/Delta raise too)
+      val dels = docs.filter($"doc_id" % 17 === 0 && $"doc_id" % 10 =!= 0)
         .select($"doc_id", $"lang", $"n_chars", lit(true).as("del"))
       sources.SnapshotTable.merge(s, table, upd.union(insNew).union(dels),
         "lang", Seq("doc_id"), tombstoneCol = Some("del"))
@@ -2094,7 +2098,7 @@ object SparkEntry {
          |  MAX(53 - (CASE WHEN v = 0 THEN 0 ELSE length(to_base(v, 2)) END)) AS rho
          |  FROM d GROUP BY 1, 2),
          |a AS (SELECT ws, COUNT(*) AS nonzero_regs,
-         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INT)) AS BIGINT) AS s_nonzero
+         |  CAST(SUM(CAST(1 AS BIGINT) << GREATEST(0, CAST(52 - rho AS INT))) AS BIGINT) AS s_nonzero
          |  FROM r GROUP BY ws)
          |SELECT ws, nonzero_regs,
          |  CAST(s_nonzero + (256 - nonzero_regs) * 4503599627370496 AS BIGINT) AS harmonic_scaled,
@@ -2163,7 +2167,7 @@ object SparkEntry {
          |  SELECT * FROM r1 UNION ALL
          |  SELECT e.src AS id, r.reg, r.rho FROM e JOIN r1 r ON e.dst = r.id) GROUP BY 1, 2),
          |agg AS (SELECT id, COUNT(*) AS nonzero_regs,
-         |  SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INT)) AS s_nonzero FROM r2 GROUP BY id),
+         |  SUM(CAST(1 AS BIGINT) << GREATEST(0, CAST(52 - rho AS INT))) AS s_nonzero FROM r2 GROUP BY id),
          |reach AS (SELECT src, dst FROM e
          |  UNION SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
          |ex AS (SELECT src AS id, COUNT(DISTINCT dst) + 1 AS exact_ball
@@ -2182,7 +2186,7 @@ object SparkEntry {
       val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0
       def estCte(r: Int): String =
         s"""e$r AS (SELECT id, CAST(FLOOR($num / CAST(
-           |  SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INT))
+           |  SUM(CAST(1 AS BIGINT) << GREATEST(0, CAST(52 - rho AS INT)))
            |  + (16 - COUNT(*)) * 4503599627370496 AS DOUBLE)) AS BIGINT) AS est$r
            |  FROM r$r GROUP BY id)""".stripMargin
       s"""WITH
@@ -2255,7 +2259,7 @@ object SparkEntry {
          |r AS (SELECT reg, MAX(53 - (CASE WHEN v = 0 THEN 0 ELSE length(to_base(v, 2)) END)) AS rho_max
          |      FROM d GROUP BY reg),
          |a AS (SELECT COUNT(*) AS nonzero_regs,
-         |             CAST(SUM(CAST(1 AS BIGINT) << (52 - rho_max)) AS BIGINT) AS s_nonzero FROM r),
+         |             CAST(SUM(CAST(1 AS BIGINT) << GREATEST(0, 52 - rho_max)) AS BIGINT) AS s_nonzero FROM r),
          |x AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
          |SELECT CAST(256 AS BIGINT) AS m, nonzero_regs,
          |  CAST(s_nonzero + (256 - nonzero_regs) * 4503599627370496 AS BIGINT) AS harmonic_scaled,
@@ -2295,8 +2299,8 @@ object SparkEntry {
         |pp AS (SELECT p.tok AS probe, j AS "row",
         |              CAST('0x' || substr(sha256(p.tok), j * 13 + 1, 13) AS BIGINT) % 256 AS col
         |       FROM probes p, UNNEST(range(0, 4)) AS u(j))
-        |SELECT probe, CAST(MIN(cnt) AS BIGINT) AS est
-        |FROM pp JOIN sk USING ("row", col)
+        |SELECT probe, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+        |FROM pp LEFT JOIN sk USING ("row", col)
         |GROUP BY probe ORDER BY probe""".stripMargin,
     // 3 Bellman-Ford rounds unrolled: min over (carry, relax) per round
     "q_sssp" ->
@@ -2468,7 +2472,7 @@ object SparkEntry {
         |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, CAST(7 AS BIGINT) AS n_chars
         |        FROM base WHERE doc_id % 25 = 0),
         |allkeys AS (SELECT doc_id FROM upd UNION SELECT doc_id FROM ins
-        |            UNION SELECT doc_id FROM base WHERE doc_id % 17 = 0),
+        |            UNION SELECT doc_id FROM base WHERE doc_id % 17 = 0 AND doc_id % 10 <> 0),
         |keep AS (SELECT b.* FROM base b WHERE NOT EXISTS
         |         (SELECT 1 FROM allkeys k WHERE k.doc_id = b.doc_id))
         |SELECT doc_id, lang, n_chars FROM upd

@@ -67,7 +67,7 @@ object Sketch {
     val num = alpha * m.toDouble * m.toDouble * 4503599627370496.0 // ·2^52
     regs.groupBy(keys.map(col): _*).agg(
         count(lit(1)).as("nonzero_regs"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - rho AS INT))")).as("s_nonzero"))
+        sum(expr("shiftleft(CAST(1 AS BIGINT), greatest(0, CAST(52 - rho AS INT)))")).as("s_nonzero"))
       .select(keys.map(col) ++ Seq(
         col("nonzero_regs"),
         (col("s_nonzero") + (lit(m.toLong) - col("nonzero_regs")) * lit(4503599627370496L))
@@ -79,7 +79,9 @@ object Sketch {
 
   /** One-row summary: (m, nonzero_regs, harmonic_scaled, hll_estimate,
     * exact_distinct). `harmonic_scaled` = sum over all m registers of
-    * 2^(52 - rho_j) (empty register ⇒ rho 0 ⇒ 2^52) — an exact long
+    * 2^(52 - rho_j) (empty register ⇒ rho 0 ⇒ 2^52; rho 53 — the
+    * ~2^-52 all-zero-slice case — clamps to shift 0, since a negative
+    * Java shift would wrap to 1<<63 and corrupt the sum) — an exact long
     * (≤ m·2^52 ≤ 2^68... bounded by b ≤ 11 here to stay in 63 bits).
     * `hll_estimate` = floor(alpha_m · m² · 2^52 / harmonic_scaled).
     * `exact_distinct` rides along so the sketch's error is visible. */
@@ -91,7 +93,7 @@ object Sketch {
     val regs = hllRegisters(df, value, b)
     val agg = regs.agg(
       count(lit(1)).as("nonzero_regs"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - rho_max AS INT))")).as("s_nonzero"))
+      sum(expr("shiftleft(CAST(1 AS BIGINT), greatest(0, CAST(52 - rho_max AS INT)))")).as("s_nonzero"))
     val exact = df.agg(countDistinct(value).as("exact_distinct"))
     agg.crossJoin(exact).select(
       lit(m.toLong).as("m"),
@@ -194,8 +196,11 @@ object Sketch {
 
   /** Point-frequency estimates for `probes` (a one-column DataFrame of
     * values) against a sketch from [[cmsSketch]]: min over the 4 rows.
-    * The probe side re-derives its (row, col) pairs and equi-joins the
-    * ≤ depth·width-row sketch — broadcast-size by construction. */
+    * The probe side re-derives its (row, col) pairs and LEFT-joins the
+    * ≤ depth·width-row sketch — broadcast-size by construction. An
+    * empty sketch cell counts as 0 (canonical CMS: the min ranges over
+    * ALL depth rows), so a never-seen probe estimates 0 instead of
+    * vanishing or inflating to the min of its non-empty cells. */
   def cmsLookup(sketch: DataFrame, probes: DataFrame, value: Column, width: Int = 256): DataFrame = {
     val h = sha2(value.cast("string"), 256)
     val pairs = transform(sequence(lit(0), lit(3)), j => struct(
@@ -204,7 +209,7 @@ object Sketch {
         .as("col")))
     probes.select(value.cast("string").as("probe"), explode(pairs).as("p"))
       .select(col("probe"), col("p.row").cast("long").as("row"), col("p.col").as("col"))
-      .join(broadcast(sketch), Seq("row", "col"))
-      .groupBy("probe").agg(min("cnt").as("est"))
+      .join(broadcast(sketch), Seq("row", "col"), "left_outer")
+      .groupBy("probe").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

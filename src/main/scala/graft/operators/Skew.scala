@@ -25,14 +25,23 @@ object Skew {
       .groupBy(col("key"), col("_salt")).agg(count(lit(1)).as("c"))
       .groupBy(col("key")).agg(sum("c").as("count"))
 
-  /** Salted exact count-distinct per key: stage 1 dedups (key, value)
-    * within salt buckets, stage 2 dedups across buckets and counts.
-    * Beats a single-reducer distinct for hub keys. */
+  /** Exact count-distinct per key, hub-key-safe in BOUNDED memory:
+    * stage 1 dedups (key, value) pairs — that shuffle hash-partitions
+    * on the PAIR, so a hub key's rows spread across reducers by value
+    * hash (the value hash IS the salt; no explicit `_salt` column
+    * needed) and each reducer holds one pair at a time (sort/hash agg
+    * row-by-row, never a per-bucket array) — then stage 2 counts rows
+    * per key with map-side partial aggregation, so the hub key enters
+    * the second shuffle as at most one (key, partial-count) row per
+    * partition. Semantically identical to
+    * `df.groupBy(key).agg(countDistinct(value))`, but no reducer ever
+    * materializes a hub key's full value set (the earlier collect_set
+    * variant held one array per (key, salt) bucket — O(distinct/salt)
+    * memory, a hazard at extreme cardinality; this holds O(1)). */
   def saltedCountDistinct(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
-    df.select(key.as("key"), value.as("v"), pmod(xxhash64(value), lit(salt)).as("_salt"))
-      .groupBy(col("key"), col("_salt")).agg(collect_set(col("v")).as("vs"))
-      .select(col("key"), explode(col("vs")).as("v"))
-      .groupBy(col("key")).agg(countDistinct(col("v")).as("n_distinct"))
+    df.select(key.as("key"), value.as("v"))
+      .distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("n_distinct"))
 
   /** Broadcast-salted join for a skewed left key against a small-ish
     * right side: right is exploded `salt`-fold so each (key, salt)

@@ -61,11 +61,48 @@ object Scc {
     chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
   }
 
+  /** Per-phase telemetry: inner-round counts of the three fixpoints
+    * plus how many nodes the phase disposed of. Emitted through the
+    * `telemetry` callback after every phase — the operational handle
+    * for the algorithm's one genuine hazard: coloring is hop-per-round,
+    * so rounds grow with the REMAINING subgraph's diameter (a
+    * 10^6-hop path cycle = 10^6 color rounds). Watch `colorRounds`;
+    * if it climbs, either raise `maxRounds` knowingly or pre-shrink
+    * the graph (run [[ConnectedComponents]] first and SCC each weak
+    * component separately — SCCs never span weak components, and the
+    * per-component diameter is what actually bounds the rounds). */
+  final case class PhaseStats(phase: Int, trimRounds: Int, colorRounds: Int,
+                              harvestRounds: Int, assignedThisPhase: Long)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def logStats(s: PhaseStats): Unit =
+    log.info(s"Scc phase ${s.phase}: trim=${s.trimRounds} color=${s.colorRounds} " +
+      s"harvest=${s.harvestRounds} assigned=${s.assignedThisPhase}")
+
   /** @param edges two columns (src, dst), one row per directed edge.
+    * @param maxPhases cap on trim+color+harvest PHASES (each phase
+    *        harvests ≥1 SCC, so this bounds nontrivial SCC "layers").
+    * @param maxRounds total budget of INNER fixpoint rounds (trim +
+    *        color + harvest, summed across phases) — the guard against
+    *        the O(diameter) coloring on a deep remaining subgraph.
+    * @param telemetry per-phase stats hook (defaults to log.info).
     * @return (id, scc_id) for every node appearing in `edges`;
     *         scc_id = max member id of the node's SCC. */
-  def run(edges: DataFrame, maxPhases: Int = 64): DataFrame = {
+  def run(edges: DataFrame, maxPhases: Int = 64, maxRounds: Int = 10000,
+          telemetry: PhaseStats => Unit = logStats): DataFrame = {
     require(maxPhases >= 1, s"maxPhases=$maxPhases")
+    require(maxRounds >= 1, s"maxRounds=$maxRounds")
+    var roundsUsed = 0
+    def spendRound(kind: String, phase: Int): Unit = {
+      roundsUsed += 1
+      if (roundsUsed > maxRounds) throw new IllegalStateException(
+        s"Scc exceeded maxRounds=$maxRounds during $kind (phase $phase). " +
+          "Coloring is hop-per-round, so round count grows with the remaining " +
+          "subgraph's diameter. Either raise maxRounds (the state per round is " +
+          "bounded — only wall-clock grows), or pre-partition the graph by weak " +
+          "component (ConnectedComponents.run) and SCC each component separately: " +
+          "SCCs never span weak components, and per-component diameters are smaller.")
+    }
     val spark = edges.sparkSession
     val sch = StructType(Seq(StructField("id", LongType), StructField("scc_id", LongType)))
     var assigned = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
@@ -83,9 +120,15 @@ object Scc {
 
     var phase = 0
     while (active.limit(1).count() > 0 && phase < maxPhases) {
+      var trimRounds = 0
+      var colorRounds = 0
+      var harvestRounds = 0
+      var assignedThisPhase = 0L
       // ---- 1. TRIM to fixpoint: no-in or no-out ⇒ singleton SCC
       var trimming = true
       while (trimming) {
+        spendRound("trim", phase)
+        trimRounds += 1
         val srcs = e.select(col("src").as("id")).distinct()
         val dsts = e.select(col("dst").as("id")).distinct()
         val cyclic = mat(srcs.intersect(dsts)) // has both in- and out-edges
@@ -94,6 +137,7 @@ object Scc {
         trimming = nTrim > 0
         if (nTrim > 0) {
           assigned = assigned.union(trimmed.select(col("id"), col("id").as("scc_id")))
+          assignedThisPhase += nTrim
           active = cyclic
           e = mat(e
             .join(trimmed.withColumnRenamed("id", "t1"), col("src") === col("t1"), "left_anti")
@@ -113,6 +157,8 @@ object Scc {
         var prevSum = colorSum(color)
         var changed = true
         while (changed) {
+          spendRound("color", phase)
+          colorRounds += 1
           val msgs = e.join(color.withColumnRenamed("id", "cs"), col("src") === col("cs"))
             .select(col("dst").as("id"), col("color"))
           val next = mat(color.union(msgs).groupBy("id").agg(max("color").as("color")))
@@ -128,6 +174,8 @@ object Scc {
         var nMembers = members.count()
         var growing = true
         while (growing) {
+          spendRound("harvest", phase)
+          harvestRounds += 1
           val grow = e.join(members.withColumnRenamed("id", "w"), col("dst") === col("w"))
             .select(col("src").as("id"), col("scc_id"))
             .join(color.withColumnRenamed("id", "ci"),
@@ -141,12 +189,18 @@ object Scc {
 
         // ---- 4. assign + shrink
         assigned = assigned.union(members)
+        assignedThisPhase += nMembers
         active = mat(active.join(members, Seq("id"), "left_anti"))
         e = mat(e
           .join(members.withColumnRenamed("id", "m1"), col("src") === col("m1"), "left_anti")
           .join(members.withColumnRenamed("id", "m2"), col("dst") === col("m2"), "left_anti"))
       }
+      // truncate the accumulated-union lineage once per phase — plain
+      // unions across ~100-round phases otherwise grow the plan tree
+      // with phase count (slow analysis / driver stack risk)
+      assigned = mat(assigned)
       phase += 1
+      telemetry(PhaseStats(phase, trimRounds, colorRounds, harvestRounds, assignedThisPhase))
     }
     require(active.limit(1).count() == 0,
       s"Scc did not converge in $maxPhases phases — raise maxPhases")

@@ -330,12 +330,24 @@ object SnapshotTable {
     * Invariant: keys must be partition-stable (an update may not move a
     * key to a different partition value — the standard partition-scoped
     * COW assumption; a cross-partition move needs the old partition in
-    * the update set as a tombstone). */
+    * the update set as a tombstone).
+    *
+    * Invariant: `updates` must be key-unique — a key appearing twice
+    * (two updates, or an update AND a tombstone) is ambiguous, and
+    * Iceberg/Delta `MERGE INTO` raise on multiple matches; so do we
+    * (checked with one partial-aggregable count over the update set —
+    * update sets are deltas, small next to the table rewrite). */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             partitionCol: String, keyCols: Seq[String],
             tombstoneCol: Option[String] = None,
             statsCols: Seq[String] = Nil): Snapshot = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: update set has duplicate rows for key ${dup.headOption.orNull} " +
+        "(multiple updates, or an update and a tombstone, for one key) — " +
+        "MERGE requires key-unique updates, matching Iceberg/Delta MERGE INTO")
     val affected = updates.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => if (r.isNullAt(0)) NullPartition else r.getString(0)).toSeq
     val ins = tombstoneCol.map(c => updates.filter(!col(c)).drop(c)).getOrElse(updates)

@@ -217,6 +217,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 7L -> 7L), got.toString)
   }
 
+  test("scc: round budget fires with an actionable message; telemetry reports per-phase rounds") {
+    import spark.implicits._
+    // a single 12-cycle: coloring needs ~12 hop rounds, so a budget of
+    // 3 total inner rounds must trip mid-coloring
+    val cyc = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val ex = intercept[IllegalStateException] {
+      graft.plans.Scc.run(cyc.toDF("src", "dst"), maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("maxRounds") && ex.getMessage.contains("ConnectedComponents"),
+      ex.getMessage)
+    // with budget headroom, telemetry sees the O(diameter) coloring cost
+    val stats = scala.collection.mutable.ArrayBuffer[graft.plans.Scc.PhaseStats]()
+    val got = graft.plans.Scc.run(cyc.toDF("src", "dst"), telemetry = stats += _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 12L).map(_ -> 11L).toMap, got.toString)
+    assert(stats.map(_.assignedThisPhase).sum == 12L, stats.toString)
+    assert(stats.exists(_.colorRounds >= 12), stats.toString) // hop-per-round, visible
+  }
+
   test("scc matches the reachability-definition reference on random digraphs") {
     for (trial <- 1 to 3) {
       val rnd = new scala.util.Random(4200 + trial)

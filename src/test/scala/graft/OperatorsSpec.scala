@@ -423,9 +423,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plainCount)
     val plainDistinct = df.groupBy("k").agg(countDistinct("v").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val saltedDistinct = Skew.saltedCountDistinct(df, col("k"), col("v"))
+    val saltedDistinctDf = Skew.saltedCountDistinct(df, col("k"), col("v"))
+    val saltedDistinct = saltedDistinctDf
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(saltedDistinct == plainDistinct)
+    // bounded-memory shape: no reducer materializes a per-key value set
+    // (no collect_set / ObjectHashAggregate anywhere in the plan)
+    val distinctPlan = saltedDistinctDf.queryExecution.executedPlan.toString
+    assert(!distinctPlan.contains("collect_set"), distinctPlan)
+    assert(!distinctPlan.contains("ObjectHashAggregate"), distinctPlan)
     // salted join == plain join (small dim side)
     val dim = Seq(("hub", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
     val plainJoin = df.join(dim, "k").groupBy("label").count()

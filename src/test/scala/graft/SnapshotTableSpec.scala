@@ -266,4 +266,28 @@ class SnapshotTableSpec extends AnyFunSuite {
       "lang", Seq("doc_id"), tombstoneCol = Some("del"))
     assert(SnapshotTable.read(spark, t).where($"lang" === "pt").count() == 1)
   }
+
+  test("merge: duplicate keys in the update set are rejected (Iceberg/Delta MERGE semantics)") {
+    val t = freshTable()
+    SnapshotTable.commit(docs((1, "en", 10), (2, "en", 20)), t, "lang")
+    val before = SnapshotTable.currentVersion(t)
+    // two updates for one key
+    val dupUpd = Seq((1L, "en", 11L, false), (1L, "en", 12L, false))
+      .toDF("doc_id", "lang", "n_chars", "del")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t, dupUpd, "lang", Seq("doc_id"), tombstoneCol = Some("del"))
+    }
+    assert(e1.getMessage.contains("key-unique"))
+    // an update AND a tombstone for one key is equally ambiguous
+    val updAndDel = Seq((2L, "en", 21L, false), (2L, "en", 20L, true))
+      .toDF("doc_id", "lang", "n_chars", "del")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t, updAndDel, "lang", Seq("doc_id"), tombstoneCol = Some("del"))
+    }
+    // the failed merges committed nothing
+    assert(SnapshotTable.currentVersion(t) == before)
+    val cur = SnapshotTable.read(spark, t)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toSet
+    assert(cur == Set((1L, 10L), (2L, 20L)))
+  }
 }
