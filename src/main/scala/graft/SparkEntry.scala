@@ -1162,6 +1162,19 @@ object SparkEntry {
       graft.operators.Dedup.dedupChunks(t(dir, "documents"), $"doc_id", $"text", 2)
         .orderBy("doc_id")
     },
+    // ExactSubstr duplicate-SPAN removal (Lee et al. 2022 family):
+    // every char inside a ≥20-char substring occurring ≥2× corpus-wide
+    // (multiplicity counted) is excised from EVERY occurrence, after
+    // merging overlapping windows into maximal spans. Detection = one
+    // partial-aggregable count on the window hash + a semi-join back;
+    // excision = one groupBy(doc_id) + in-row fold over sorted starts.
+    // Oracle replays detection on the substrings themselves and the
+    // cut as covered-position anti-join + ordered string_agg.
+    "q_exactsubstr" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      graft.operators.Dedup.exactSubstrDedup(
+          t(dir, "documents"), $"doc_id", $"text", window = 20)
+        .orderBy("doc_id")
+    },
     // overlapping sliding windows (RAG passage splitting): in-row
     // sequence→slice flat map, zero shuffle; window count integer-exact
     "q_sliding_chunks" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -2534,6 +2547,32 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
         |       COUNT(*) AS n_chunks_kept
         |FROM s WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ExactSubstr replay: dup windows via GROUP BY the 20-char
+    // substring itself (content-exact; the engine keys on xxhash64 of
+    // the same content), covered positions = dup-start × offset,
+    // spans = islands (covered i with i-1 uncovered), cut = ordered
+    // string_agg over uncovered chars
+    "q_exactsubstr" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |p AS (SELECT doc_id, i AS p, substr(text, i + 1, 20) AS w
+        |      FROM d, UNNEST(range(0, length(text) - 19)) AS u(i)),
+        |dup AS (SELECT w FROM p GROUP BY w HAVING COUNT(*) > 1),
+        |ds AS (SELECT doc_id, p FROM p JOIN dup USING (w)),
+        |cov AS (SELECT DISTINCT doc_id, p + j AS i FROM ds, UNNEST(range(0, 20)) AS v(j)),
+        |chars AS (SELECT d.doc_id, c.i, substr(d.text, c.i + 1, 1) AS ch
+        |          FROM d, UNNEST(range(0, length(text))) AS c(i)),
+        |kept AS (SELECT c.doc_id,
+        |  COALESCE(string_agg(CASE WHEN v.i IS NULL THEN ch END, '' ORDER BY c.i), '') AS text_dedup,
+        |  SUM(CASE WHEN v.i IS NULL THEN 0 ELSE 1 END) AS n_removed,
+        |  SUM(CASE WHEN v.i IS NOT NULL AND pv.i IS NULL THEN 1 ELSE 0 END) AS n_dup_spans
+        |  FROM chars c
+        |  LEFT JOIN cov v ON c.doc_id = v.doc_id AND c.i = v.i
+        |  LEFT JOIN cov pv ON c.doc_id = pv.doc_id AND c.i - 1 = pv.i
+        |  GROUP BY c.doc_id)
+        |SELECT d.doc_id, COALESCE(k.text_dedup, '') AS text_dedup,
+        |  CAST(COALESCE(k.n_dup_spans, 0) AS INT) AS n_dup_spans,
+        |  CAST(COALESCE(k.n_removed, 0) AS INT) AS n_removed
+        |FROM d LEFT JOIN kept k USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // chunk=6 stride=4; nwin = 1 + ceil((len-6)/4) via integer //;
     // DuckDB 1-based inclusive slice clamps at the end like Spark slice
     "q_sliding_chunks" ->

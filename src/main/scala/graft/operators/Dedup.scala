@@ -341,4 +341,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** ExactSubstr duplicate-SPAN removal (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operation, as its released suffix-array tool behaves): every
+    * character lying inside some length-`window` substring that occurs
+    * ≥ 2 times in the corpus — counting multiplicity, including twice
+    * within ONE document — is excised from EVERY occurrence; what
+    * survives is the concatenation of the uncovered gaps. Detection is
+    * exact on window CONTENT (the reference tool's suffix array); here
+    * content is keyed by xxhash64 of the window, so two distinct
+    * windows merge only on a 64-bit collision (~2^-64 per pair —
+    * documented trade for not shuffling `window` bytes per position).
+    *
+    * Returns (doc_id, text_dedup, n_dup_spans, n_removed) for every
+    * input document: `n_dup_spans` = maximal contiguous covered runs
+    * after merging overlapping/abutting duplicate windows, `n_removed`
+    * = covered characters. Docs shorter than `window` pass through
+    * untouched (no window ⇒ no evidence).
+    *
+    * Scale shape: the position table is O(total chars) rows of ~20
+    * bytes — the same asymptotic footprint as the reference's suffix
+    * array, built as an in-row transform (the struct array is built
+    * BEFORE the explode so the document text is never replicated per
+    * position) and exploded. Duplicate detection is one
+    * partial-aggregable count on the window hash plus one left-semi
+    * join back (both keyed on the hash; boilerplate hub windows are
+    * exactly the shape AQE skew-split handles). Excision is one
+    * groupBy(doc_id) whose per-doc state — the sorted duplicate-start
+    * array — is bounded by the document's own length (same magnitude
+    * as the text value already on the row), then a pure in-row fold
+    * that walks starts left-to-right, merging intervals and
+    * concatenating the gaps. No step is quadratic; nothing is
+    * cartesian. */
+  def exactSubstrDedup(df: DataFrame, id: Column, text: Column, window: Int = 20): DataFrame = {
+    require(window >= 2 && window <= 4096, s"window=$window")
+    val w = lit(window)
+    val base = df.select(id.cast("long").as("doc_id"), text.as("text"))
+    // 1. the distributed suffix-array stand-in: (doc_id, p, h) per window
+    val pos = base.where(length(col("text")) >= window)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), length(col("text")) - w),
+        p => struct(p.as("p"), xxhash64(col("text").substr(p + 1, w)).as("h")))).as("ph"))
+      .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
+    // 2. window hashes seen ≥2 times anywhere → the duplicate starts
+    val dupH = pos.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    val dupStarts = pos.join(dupH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+    // 3. merge intervals + excise, one in-row fold per document
+    val folded = aggregate(coalesce(col("ps"), array().cast("array<int>")),
+      struct(lit(0).as("cur"), lit("").as("kept"), lit(0).as("n_spans")),
+      (acc, s) => {
+        val cur = acc.getField("cur")
+        struct(
+          greatest(cur, s + w).as("cur"),
+          when(s > cur, concat(acc.getField("kept"), col("text").substr(cur + 1, s - cur)))
+            .otherwise(acc.getField("kept")).as("kept"),
+          (acc.getField("n_spans") +
+            when(acc.getField("n_spans") === 0 || s > cur, 1).otherwise(0)).as("n_spans"))
+      },
+      acc => struct(
+        concat(acc.getField("kept"),
+          col("text").substr(acc.getField("cur") + 1, length(col("text")) - acc.getField("cur")))
+          .as("text_dedup"),
+        acc.getField("n_spans").as("n_dup_spans")))
+    base.join(dupStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), folded.as("f"), length(col("text")).as("n_orig"))
+      .select(col("doc_id"), col("f.text_dedup").as("text_dedup"),
+        col("f.n_dup_spans").as("n_dup_spans"),
+        (col("n_orig") - length(col("f.text_dedup"))).as("n_removed"))
+  }
 }

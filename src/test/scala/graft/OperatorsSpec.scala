@@ -498,6 +498,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"dedupChunks must not use a window:\n$plan")
   }
 
+  /** Reference ExactSubstr by definition: count every length-n window
+    * (multiplicity included), mark chars covered by any window seen ≥2
+    * times, excise; spans = maximal covered runs. */
+  private def bruteExactSubstr(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Int, Int)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, t) <- docs; i <- 0 to t.length - n) counts(t.substring(i, i + n)) += 1
+    docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - n; if counts(t.substring(i, i + n)) > 1; j <- i until i + n)
+        covered(j) = true
+      val kept = t.indices.collect { case i if !covered(i) => t.charAt(i) }.mkString
+      val spans = t.indices.count(i => covered(i) && (i == 0 || !covered(i - 1)))
+      id -> (kept, spans, covered.count(identity))
+    }.toMap
+  }
+
+  test("exactSubstrDedup excises duplicated spans exactly (vs brute force), no cartesian") {
+    import spark.implicits._
+    val shared = "THE QUICK BROWN FOX JUMPS" // 25 chars ≥ window
+    val docs = Seq(
+      1L -> s"alpha $shared omega",             // shares a span with doc 2
+      2L -> s"prefix text $shared suffix tail", // → both copies excised
+      3L -> "no repeated content here at all, unique stuff",
+      4L -> "short",                            // < window: untouched
+      5L -> "",                                 // empty: untouched
+      6L -> "SELFSELFSELFSELFSELFSELFSELFSELF", // period-4 self-repeat: windows recur in-doc
+      7L -> s"$shared$shared",                  // dup span twice in one doc AND vs 1,2
+      8L -> "completely duplicated document body",
+      9L -> "completely duplicated document body" // exact pair → both fully excised
+    ) ++ (10L to 24L).map { i =>                 // noise docs with a planted common prefix
+      val rnd = new scala.util.Random(900 + i)
+      i -> ("COMMON BOILERPLATE HEADER " + (1 to 8).map(_ => rnd.nextInt(1000)).mkString(" "))
+    }
+    val want = bruteExactSubstr(docs, 12)
+    val got = graft.operators.Dedup.exactSubstrDedup(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), window = 12)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got == want, s"got:\n${got.toSeq.sortBy(_._1).mkString("\n")}\nwant:\n${want.toSeq.sortBy(_._1).mkString("\n")}")
+    // sanity on the planted structure: the shared span died in 1,2,7; doc 3 intact;
+    // the exact pair 8,9 vanished entirely; boilerplate header excised from 10..24
+    assert(!got(1L)._1.contains("QUICK") && !got(2L)._1.contains("QUICK"))
+    assert(got(3L) == ("no repeated content here at all, unique stuff", 0, 0))
+    assert(got(4L) == ("short", 0, 0) && got(5L) == ("", 0, 0))
+    assert(got(8L)._1 == "" && got(9L)._1 == "")
+    assert(!got(15L)._1.contains("BOILERPLATE"))
+    // plan: keyed joins only — never a cartesian / nested-loop product
+    val plan = graft.operators.Dedup.exactSubstrDedup(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), window = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("keepBestPerCluster: transitive clusters, quality argmax, singletons") {
     import spark.implicits._
     // pair list is non-transitive: (10,11) and (11,12) — the cluster is {10,11,12}
