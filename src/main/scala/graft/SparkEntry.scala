@@ -649,6 +649,35 @@ object SparkEntry {
       operators.Retrieval.bm25TopK(docs, $"doc_id", $"text", qterms, topK = 15)
         .orderBy("rn")
     },
+    // Batched multi-query BM25 (Retrieval.bm25MultiTopK): 3 queries of
+    // 3 mid-band terms each, scored in ONE corpus pass — per-(doc,term)
+    // contributions computed once, fanned out to the query-term table,
+    // per-query top-5 via the partial-aggregable TopKAgg (shuffle
+    // carries ≤ k·|queries| rows). Terms are word BIGRAMS (w1_w2): the
+    // synthetic vocabulary is ~30 near-universal words, so unigram
+    // document frequencies are all > N/2 (idf floor 0); bigrams give a
+    // real mid-band. Query sets derived deterministically by both
+    // engines: the 9 most frequent mid-band bigrams (N/20 ≤ df ≤ N/2)
+    // round-robined over query ids 0..2.
+    "q_bm25_multi" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", concat_ws(" ",
+          transform(sequence(lit(1), size($"w") - 1),
+            i => concat(element_at($"w", i), lit("_"), element_at($"w", i + 1)))).as("text"))
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val dfAll = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_all"))
+      val qterms = dfAll.crossJoin(broadcast(nDocs))
+        .filter($"df" * 20 >= $"n_all" && $"df" * 2 <= $"n_all")
+        .orderBy($"df".desc, $"term").limit(9)
+        .withColumn("r", row_number().over(Window.orderBy($"df".desc, $"term")))
+        .select((($"r" - 1) % 3).cast("long").as("query_id"), $"term")
+      operators.Retrieval.bm25MultiTopK(docs, $"doc_id", $"text", qterms, topK = 5)
+        .orderBy("query_id", "rn")
+    },
     // CUBE grouping-set lattice (Expand + hash agg)
     "q_cube" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       t(dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
@@ -2004,6 +2033,42 @@ object SparkEntry {
         |SELECT doc_id, n_terms, score_ppm,
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn
         |FROM agg ORDER BY score_ppm DESC, doc_id LIMIT 15""".stripMargin,
+    // multi-query BM25: identical contribution arithmetic over bigram
+    // terms, query sets from the same deterministic mid-band ranking,
+    // per-query top-5
+    "q_bm25_multi" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |tok AS (SELECT doc_id, w[i] || '_' || w[i + 1] AS term
+        |        FROM d, UNNEST(range(1, len(w))) AS u(i)),
+        |nd AS (SELECT COUNT(*) AS n_all FROM d),
+        |dfall AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |q0 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+        |       FROM dfall, nd WHERE df * 20 >= n_all AND df * 2 <= n_all
+        |       ORDER BY df DESC, term LIMIT 9),
+        |qt AS (SELECT CAST((r - 1) % 3 AS BIGINT) AS query_id, term FROM q0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |       (CAST(SUM(dl) AS BIGINT) * 1000000) // COUNT(*) AS avgdl_ppm FROM dl),
+        |m AS (SELECT doc_id, term FROM tok JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM m GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df, dl.dl, st.n_docs, st.avgdl_ppm
+        |       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |x AS (SELECT doc_id, term,
+        |  (CASE WHEN (2 * n_docs - 2 * df + 1) // (2 * df + 1) <= 0 THEN 0
+        |        ELSE length(to_base((2 * n_docs - 2 * df + 1) // (2 * df + 1), 2)) END) *
+        |  ((tf * 2200000 * 1000000) //
+        |    (tf * 1000000 + (1200 * (250000 +
+        |      (750 * ((dl * 1000000000000) // avgdl_ppm)) // 1000)) // 1000)) AS contrib_ppm
+        |  FROM sc),
+        |agg AS (SELECT query_id, doc_id, CAST(SUM(contrib_ppm) AS BIGINT) AS score_ppm
+        |        FROM x JOIN qt USING (term) GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score_ppm,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn FROM agg)
+        |SELECT query_id, rn, doc_id, score_ppm FROM rk
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
         |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -89,4 +89,52 @@ object Retrieval {
       row_number().over(Window.orderBy(col("score_ppm").desc, col("doc_id")))
         .cast("long"))
   }
+
+  /** Batched multi-query BM25 — real retrieval evals score MANY
+    * queries per corpus pass. `queries` carries (query_id, term) rows
+    * (first two columns, any names); scoring arithmetic is identical
+    * to [[bm25TopK]] per query.
+    *
+    * Scale shape: the per-(doc, term) contribution idf·tfc is
+    * query-INDEPENDENT, so it is computed once over the distinct term
+    * set of all queries (one corpus pass, same three hash aggs as the
+    * single-query path) and only then fanned out to the query-term
+    * table (a broadcast join on term — the query table is eval-sized,
+    * not corpus-sized). Per-query top-k is the partial-aggregable
+    * [[graft.functions.TopKAgg]]: each task keeps ≤ k rows of state
+    * per query, so the final shuffle carries ≤ k·|queries| rows —
+    * never the scored table, never a per-query sort of it (a stopword
+    * term can make `scored` corpus-sized × |queries|).
+    *
+    * Output: (query_id, rn, doc_id, score_ppm), rn 1..topK by
+    * (score_ppm desc, doc_id asc) within each query. */
+  def bm25MultiTopK(docs: DataFrame, id: Column, text: Column,
+                    queries: DataFrame, topK: Int): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(dl) * 1000000) div count(1)").as("avgdl_ppm"))
+    val qt = queries.select(col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).as("term"))
+    val matched = tok.join(broadcast(qt.select("term").distinct()), "term")
+    val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = matched.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits", idfBits)
+      .withColumn("ratio_ppm", expr("(dl * 1000000000000) div avgdl_ppm"))
+      .withColumn("norm_ppm", expr("250000 + (750 * ratio_ppm) div 1000"))
+      .withColumn("den_ppm", expr("tf * 1000000 + (1200 * norm_ppm) div 1000"))
+      .withColumn("contrib_ppm", expr("idf_bits * ((tf * 2200000 * 1000000) div den_ppm)"))
+      .select("doc_id", "term", "contrib_ppm")
+    val scored = contrib.join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id").agg(sum("contrib_ppm").as("score_ppm"))
+    graft.functions.TopKAgg.groupTopK(scored, col("query_id"), col("score_ppm"),
+        col("doc_id"), topK)
+      .select(col("g").as("query_id"), col("rn"), col("id").as("doc_id"),
+        col("v").as("score_ppm"))
+  }
 }

@@ -1447,6 +1447,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"\n got=$got\nwant=$want")
   }
 
+  test("bm25MultiTopK equals the single-query path per query; no per-query Window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (1L to 60L).map { i =>
+      val n = 4 + rnd.nextInt(14)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // 3 queries, overlapping term sets (beta shared by q0 and q2)
+    val queries = Seq(
+      (0L, "beta"), (0L, "eta"), (0L, "gamma"),
+      (1L, "alpha"), (1L, "delta"),
+      (2L, "beta"), (2L, "theta"), (2L, "zeta")).toDF("query_id", "term")
+    val multiDf = graft.operators.Retrieval.bm25MultiTopK(
+      docs, col("doc_id"), col("text"), queries, topK = 7)
+    val multi = multiDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (qid <- 0L to 2L) {
+      val terms = Seq((0L, Seq("beta", "eta", "gamma")), (1L, Seq("alpha", "delta")),
+        (2L, Seq("beta", "theta", "zeta"))).toMap.apply(qid)
+      val single = graft.operators.Retrieval.bm25TopK(
+          docs, col("doc_id"), col("text"), terms.toDF("term"), topK = 7)
+        .collect().map(r => r.getLong(3) -> (r.getLong(0), r.getLong(2))).toMap
+      assert(single.keySet.forall(rn => multi((qid, rn)) == single(rn)),
+        s"query $qid: multi=${(1L to 7L).flatMap(rn => multi.get((qid, rn)))} single=$single")
+    }
+    // plan: per-query top-k is the partial-aggregable TopKAgg, not a
+    // row_number window over the scored table
+    val plan = multiDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"multi-query top-k must not window:\n$plan")
+  }
+
   test("random projection: equals JVM reference; plan is zero-shuffle") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
