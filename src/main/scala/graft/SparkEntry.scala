@@ -482,6 +482,24 @@ object SparkEntry {
       graft.operators.Multimodal.frameStats(assets, everyK = 2).toDF()
         .orderBy("asset_id")
     },
+    // REAL feature extraction (Multimodal.extractFeatures): decode the
+    // PNG, build the 16-bin integer-luma histogram (luma = (2r+5g+b)/8,
+    // bin = luma·16/256), normalize to float32. The float features are
+    // folded back to exact bin counts (round(f·n_pixels) — error bound
+    // n·2^-24 < 0.5, so the roundtrip is exact) and the oracle replays
+    // luma + binning from the pixel formula in pure SQL. doc_id % 5
+    // keeps the oracle's per-pixel unnest bounded.
+    "q_mm_features" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val assets = graft.operators.Multimodal.synthesizeImages(
+        t(dir, "documents").filter($"doc_id" % 5 === 0), $"doc_id")
+      val feats = graft.operators.Multimodal.extractFeatures(assets, dim = 16).toDF()
+      val n = ((lit(16) + $"asset_id" % 64) * (lit(16) + $"asset_id" % 48)).cast("double")
+      feats.select($"asset_id", posexplode($"features").as(Seq("i", "f")))
+        .select($"asset_id", $"i".cast("long").as("bin"),
+          round($"f".cast("double") * n).cast("long").as("cnt"))
+        .where($"cnt" > 0)
+        .orderBy("asset_id", "bin")
+    },
     // exact discrete percentiles per group: window rank + positional pick
     // (integer position logic — engine-independent, unlike interpolation)
     "q_percentile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -1467,6 +1485,33 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table(name).filter($"user_id" =!= -1L).orderBy("purchase_id", "click_id")
     },
+    // stream-stream FULL OUTER interval join: both unmatched sides
+    // surface — unattributed purchases AND orphan clicks — each only
+    // after the OPPOSITE watermark passes its window (both-sides state
+    // GC). Same flush-sentinel technique; with the flush, stream ≡
+    // batch FULL JOIN exactly
+    "q_stream_stream_full" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft-ssf")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("part-0.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      val sent = Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
+          (-2L, far, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssf-sent")
+      sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, d.resolve("part-1.parquet"))
+      val joined = graft.streaming.StreamingPipeline.purchaseClickJoinFull(
+        s, d.toString, windowMinutes = 360)
+      val name = "sssf" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).filter($"user_id" =!= -1L).orderBy("purchase_id", "click_id")
+    },
     // Z-order (Morton) clustering value: unrolled static-shift integer
     // arithmetic, whole-stage codegen — the multi-dimension file-skipping
     // layout key (tile effect asserted in OperatorsSpec; this query
@@ -1888,6 +1933,18 @@ object SparkEntry {
         |      list_transform(range(h), y ->
         |        (i*31 + f*57 + x*17 + y*29) % 256)))))) AS BIGINT) AS gray_sum
         |FROM m ORDER BY asset_id""".stripMargin,
+    // luma histogram replay: per pixel luma = (2r+5g+b)//8 from the
+    // rgb(i,x,y) fixture formula, bin = luma*16//256, counted per bin
+    "q_mm_features" ->
+      """WITH ids AS (SELECT doc_id AS i, 16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h
+        |             FROM documents WHERE doc_id % 5 = 0),
+        |lum AS (SELECT i AS asset_id,
+        |  ((2 * ((i*131 + x*17 + y*29) % 256) + 5 * ((i*37 + x*5 + y*11) % 256)
+        |    + ((i*73 + x*3 + y*7) % 256)) // 8) AS luma
+        |  FROM ids, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y))
+        |SELECT asset_id, CAST((luma * 16) // 256 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lum GROUP BY 1, 2 ORDER BY asset_id, bin""".stripMargin,
     "q_training_filter" -> {
       val (scores, caseExpr) = langidParts
       s"""WITH scored0 AS (
@@ -2908,6 +2965,13 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q_stream_stream_full" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  COALESCE(p.user_id, c.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
     // Morton interleave unrolled in integer SQL — bit i of u at 4^i,

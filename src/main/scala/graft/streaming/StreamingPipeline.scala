@@ -182,6 +182,37 @@ object StreamingPipeline {
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the outer-join
+    * matrix (inner / left / full): unattributed purchases AND orphan
+    * clicks both surface with nulls, each emitting only once the
+    * OPPOSITE side's watermark has provably passed its match window —
+    * so this exercises the both-sides null-emission + state-GC path
+    * the left join only exercises on one side. `user_id` is coalesced
+    * across sides (an orphan click has no purchase-side user). On a
+    * bounded replay the result equals the batch FULL join (the oracle
+    * contract, via the same flush-sentinel technique as the left
+    * variant). */
+  def purchaseClickJoinFull(spark: SparkSession, eventsDir: String,
+                            windowMinutes: Int = 360,
+                            watermark: String = "2 hours"): DataFrame = {
+    val purchases = eventsStream(spark, eventsDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val clicks = eventsStream(spark, eventsDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("cts") <= col("pts"),
+      "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"))
+  }
+
   /** Streaming dedup with bounded state: duplicates dropped within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of D1/exact dedup; state is GC'd as the watermark advances, so
