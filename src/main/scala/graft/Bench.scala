@@ -96,17 +96,22 @@ object Bench {
     // round-4 additions: HyperBall register propagation, mergeable
     // sketches (one agg each), LM fluency scoring, BM25 retrieval, PQ
     // train+encode+ADC, JL projection (pure map-side), exact AUC
-    // (score-group prefix). q_scc is correctness-gated in Verify but
-    // NOT perf-tracked here (same rationale as q_minhash_pairs): its
-    // mod-101 benchmark graph has ~50-hop cycles, so the hop-per-round
-    // coloring runs ~100 driver rounds — at test scale that measures
-    // fixed per-round scheduling, not engine throughput (kg_cc and
-    // q_hyperball already track iterative-graph shuffle cost).
+    // (score-group prefix).
     "q_hyperball", "q_hll_registers", "q_cms_sketch",
     "q_lm_score", "q_bm25", "q_pq_topk", "q_random_projection", "q_auc",
     // harmonic = HyperBall + per-round estimates; KMV sort+limit heaps;
     // bounded Bellman-Ford; schema-on-read JSON parse cost
-    "q_harmonic", "q_kmv_jaccard", "q_sssp", "q_json_extract")
+    "q_harmonic", "q_kmv_jaccard", "q_sssp", "q_json_extract",
+    // round-5 additions: q_scc REJOINS the headline — pointer jumping
+    // (list-ranking doubling on an explicit far pointer) cut the
+    // mod-101 graph's colorings from ~100 hop-rounds to O(log d), so
+    // the query now measures per-round shuffle cost like kg_cc instead
+    // of driver scheduling. ExactSubstr span removal (one window-hash
+    // count + semi-join + per-doc fold), batched multi-query BM25
+    // (TopKAgg, shuffle carries k·|queries| rows), DSIR importance
+    // scoring (two hash-aggs + broadcast ratio join), SemDeDup
+    // (Lloyd cells + cell-local pairs + CC grouping).
+    "q_scc", "q_exactsubstr", "q_bm25_multi", "q_dsir", "q_semdedup")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

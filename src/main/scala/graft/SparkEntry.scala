@@ -1586,6 +1586,37 @@ object SparkEntry {
       graft.operators.Similarity.hardNegativesLsh(emb,
         emb.filter(pmod($"vec_id", lit(100)) === 0), k = 2, bits = 4, probeHamming = 1)
         .orderBy("qid", "rn")
+    },
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells →
+    // within-cell integer-dot pairs → connected-component groups → min-id
+    // representative. The synthetic embeddings carry no natural near-
+    // duplicates (max pairwise quantized dot ≈ 0.51e6), so the query
+    // plants exact copies of every vec_id%20==0 vector under shifted ids —
+    // deterministic, same input table, and exact copies MUST collapse
+    // (identical quantization ⇒ identical cell ⇒ dot ≈ 1e6 ≥ τ). The
+    // oracle replays the full Lloyd training (ivfOracleSql convention),
+    // the cell-local pair scan, and the CC via recursive CTE.
+    "q_semdedup" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val emb = t(dir, "embeddings").select($"vec_id", $"embedding")
+      val copies = emb.filter(pmod($"vec_id", lit(20)) === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+      graft.operators.SemDedup.run(emb.unionByName(copies),
+        k = 8, minDotQ = 950000L, iters = 2)
+        .withColumn("keep", col("keep").cast("int"))
+        .orderBy("vec_id")
+    },
+    // DSIR (Xie et al. 2023): importance-resample a raw corpus toward a
+    // target domain via hashed unigram+bigram bucket-count ratios —
+    // integer ppm, add-1 smoothed, exact in DECIMAL(38,0). Target = the
+    // deterministic doc_id%50 slice; score = mean ratio over the doc's
+    // features. The oracle replays the poly hash, the bucket counts, and
+    // the HUGEINT ratio arithmetic.
+    "q_dsir" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      graft.operators.Dsir.importanceScores(
+        docs, docs.filter(pmod($"doc_id", lit(50)) === 0),
+        col("doc_id"), col("text"), buckets = 256)
+        .orderBy("doc_id")
     }
   )
 
@@ -3086,8 +3117,41 @@ object SparkEntry {
          |SELECT qid, nid, dot, CAST(rn AS INTEGER) AS rn FROM (
          |  SELECT qid, nid, dot, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
          |  FROM pairs) WHERE rn <= 2 ORDER BY qid, rn""".stripMargin
-    }
+    },
+    "q_semdedup" -> semdedupOracleSql(k = 8, iters = 2, minDotQ = 950000L),
+    "q_dsir" -> dsirOracleSql(buckets = 256, targetMod = 50)
   )
+
+  /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,
+    * minhashPolyOracleSql convention) mod `buckets`, target/raw bucket
+    * counts, add-1 smoothed HUGEINT ratio in ppm, mean per document. */
+  private def dsirOracleSql(buckets: Int, targetMod: Int): String = {
+    val p = graft.operators.Dedup.minhashBigPrime
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(toks) AS gram FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
+       |fb AS (SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(gram)+1),
+       |        i -> CAST(ord(substr(gram, CAST(i AS INT), 1)) AS BIGINT))),
+       |    (h, c) -> (h*31 + c) % $p) % $buckets AS bucket
+       |  FROM grams),
+       |tcnt AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE doc_id % $targetMod = 0 GROUP BY 1),
+       |rcnt AS (SELECT bucket, COUNT(*) AS cr FROM fb GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM fb WHERE doc_id % $targetMod = 0) AS nt,
+       |  (SELECT COUNT(*) FROM fb) AS nr),
+       |ratios AS (SELECT r.bucket,
+       |  CAST((CAST(COALESCE(t.ct, 0) + 1 AS HUGEINT) * (tot.nr + $buckets) * 1000000)
+       |    // (CAST(r.cr + 1 AS HUGEINT) * (tot.nt + $buckets)) AS BIGINT) AS ratio_ppm
+       |  FROM rcnt r LEFT JOIN tcnt t USING (bucket), tot)
+       |SELECT f.doc_id, COUNT(*) AS n_features,
+       |  CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+       |FROM fb f JOIN ratios USING (bucket) GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 
   /** One unrolled BPE round in DuckDB SQL — the same closed form the
     * engine uses (greedy non-overlap = odd offsets inside match runs,
@@ -3129,6 +3193,61 @@ object SparkEntry {
     * unrolled Lloyd iterations with half-up integer means and
     * empty-cluster carry-forward → cell assignment → nProbe search →
     * top-k by quantized dot). Pure integer arithmetic end to end. */
+  /** SemDeDup oracle: replay Ivf.train on the copy-planted corpus (the
+    * ivfOracleSql iteration shape), the within-cell pair scan with the
+    * exact integer dot threshold, and the duplicate-group connected
+    * components via recursive CTE (min-id representative — the
+    * ConnectedComponents contract). */
+  private def semdedupOracleSql(k: Int, iters: Int, minDotQ: Long): String = {
+    def iteration(i: Int): String = {
+      val prev = s"cv${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+         |  FROM qv v JOIN $prev c USING (pos) GROUP BY 1,2),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |s$i AS (SELECT a.cid, v.pos,
+         |  CAST(FLOOR((2*SUM(v.v)+COUNT(*))/(2.0*COUNT(*))) AS BIGINT) AS cv
+         |  FROM a$i a JOIN qv v USING (vec_id) GROUP BY 1,2),
+         |cv$i AS (SELECT c.cid, c.pos, COALESCE(s.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN s$i s USING (cid, pos)),""".stripMargin
+    }
+    s"""WITH RECURSIVE q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT))
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |p AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM q) // $k) AS stride),
+       |qv AS (SELECT vec_id, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM q),
+       |cv0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, pos, v AS cv
+       |  FROM qv, p WHERE vec_id % stride = 0 AND vec_id < stride*$k),
+       |${(1 to iters).map(iteration).mkString("\n")}
+       |df AS (SELECT v.vec_id, c.cid, SUM((v.v-c.cv)*(v.v-c.cv)) AS d2
+       |  FROM qv v JOIN cv$iters c USING (pos) GROUP BY 1,2),
+       |cells AS (SELECT vec_id AS nid, cid FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+       |  WHERE rn = 1),
+       |cand AS (SELECT a.nid AS ia, b.nid AS ib FROM cells a
+       |  JOIN cells b ON a.cid = b.cid AND a.nid < b.nid),
+       |dots AS (SELECT c.ia, c.ib, SUM(x.v*y.v) AS dot
+       |  FROM cand c JOIN qv x ON x.vec_id = c.ia
+       |  JOIN qv y ON y.vec_id = c.ib AND y.pos = x.pos GROUP BY 1,2),
+       |dup AS (SELECT ia AS a, ib AS b FROM dots WHERE dot >= $minDotQ),
+       |und AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |comp AS (SELECT src AS vid, LEAST(MIN(dst), src) AS rep FROM reach GROUP BY src)
+       |SELECT q.vec_id, ce.cid, COALESCE(c.rep, q.vec_id) AS rep_id,
+       |  CAST(CASE WHEN COALESCE(c.rep, q.vec_id) = q.vec_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM q JOIN cells ce ON ce.nid = q.vec_id LEFT JOIN comp c ON c.vid = q.vec_id
+       |ORDER BY q.vec_id""".stripMargin
+  }
+
   private def ivfOracleSql(k: Int, iters: Int, nProbe: Int, topK: Int): String = {
     def iteration(i: Int): String = {
       val prev = s"cv${i - 1}"

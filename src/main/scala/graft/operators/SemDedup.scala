@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication of an embedded corpus (Abbas et
+  * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication", arXiv:2303.09540). The operator the LSH /
+  * MinHash / SimHash family cannot replace: those dedup LEXICAL
+  * near-copies, SemDeDup removes documents that SAY the same thing in
+  * different words, which only the embedding space sees.
+  *
+  * Pipeline (each stage a bounded, shuffle-shaped step):
+  *
+  *  1. CLUSTER: Lloyd k-means over the integer-quantized embeddings —
+  *     [[Ivf.train]] verbatim (its determinism conventions: ×1000
+  *     quantization, half-up integer centroid means, arithmetic-stride
+  *     init), then a zero-shuffle map-side [[Ivf.assign]] (centroids
+  *     ride as a literal; k·dim ints by construction).
+  *  2. PAIR: self-join WITHIN each cluster only (`cid` equi-join, never
+  *     a cartesian), keep pairs with exact integer dot ≥ `minDotQ`.
+  *     Candidate volume is Σ|cell|²/2 — bounded by the quantizer's
+  *     target cell size ([[Ivf.kFor]]), the paper's own scaling lever
+  *     (they run k ≈ n/5000). The dot is [[Similarity.qdot]]: the
+  *     corpus embeddings are unit-normalized upstream, so the
+  *     quantized dot IS the cosine in fixed-point.
+  *  3. GROUP: duplicate pairs form a graph; connected components
+  *     ([[graft.plans.ConnectedComponents]], O(log n) rounds) turn
+  *     pairwise "semantically same" into groups — transitively, so a
+  *     chain a~b~c dedups to ONE representative even when a·c is just
+  *     below threshold (the paper's ε-ball clustering behavior).
+  *  4. KEEP: one representative per group — the MIN vec_id
+  *     (deterministic; the paper keeps the lowest-centroid-similarity
+  *     member, a heuristic swap documented here: min-id keeps the
+  *     contract SQL-oracle-able and the keep-rule is orthogonal to the
+  *     grouping machinery).
+  *
+  * Returns (vec_id, cid, rep_id, keep): every input vector, its
+  * cluster, its duplicate-group representative (itself when unique),
+  * and keep = (vec_id == rep_id). Downstream: `filter(col("keep"))`.
+  *
+  * 100 TB: stage 1 is the IVF trainer (one groupBy(cid, pos) shuffle
+  * per iteration); stage 2 shuffles on cid with per-cell quadratic
+  * fan-out bounded by the cell-size target; stage 3 is the standard
+  * alternating-star CC; nothing materializes cross-cluster pairs.
+  * Reference scope: beyond-reference (training-data pipeline brief).
+  */
+object SemDedup {
+
+  /** Stage 2 alone: within-cluster duplicate pairs (src < dst, exact
+    * integer dot ≥ minDotQ). Public so its never-a-cartesian plan is
+    * directly assertable. `assigned` is (vec_id, cid). */
+  def duplicateEdges(vectors: DataFrame, assigned: DataFrame, minDotQ: Long): DataFrame = {
+    val v = vectors.join(assigned, "vec_id")
+    val left = v.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val right = v.select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    left.join(right, "cid") // equi-join on cid: never a cartesian
+      .where(col("a_id") < col("b_id") &&
+        Similarity.qdot(col("a_emb"), col("b_emb")) >= minDotQ)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+  }
+
+  /** @param vectors (vec_id: long, embedding: array<float>), unit-norm
+    * @param k        number of k-means clusters ([[Ivf.kFor]] for auto)
+    * @param minDotQ  duplicate threshold on the ×1000-quantized dot
+    *                 (cosine τ ⇒ minDotQ ≈ τ·10^6 for unit vectors)
+    * @param iters    Lloyd iterations (paper uses few; quantizer only
+    *                 needs to co-locate near-duplicates, not converge) */
+  def run(vectors: DataFrame, k: Int, minDotQ: Long, iters: Int = 3): DataFrame = {
+    val centroids = Ivf.train(vectors, k, iters)
+    val assigned = Ivf.assign(vectors, centroids) // (vec_id, cid) zero-shuffle
+    val edges = duplicateEdges(vectors, assigned, minDotQ)
+    val groups = graft.plans.ConnectedComponents.run(edges) // (node, component=min id)
+    assigned
+      .join(groups.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("component"), col("vec_id")).as("rep_id"))
+      .withColumn("keep", col("vec_id") === col("rep_id"))
+  }
+}

@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     partial-aggregable max — the exact shuffle shape of
   *     [[ConnectedComponents]]'s small-star step.
   *  3. HARVEST: for each root r (color(r) == r), the SCC of r is
-  *     exactly the color-r nodes that can reach r through color-r
-  *     nodes — a backward BFS from the roots restricted to same-color
-  *     nodes (one join + one distinct per round). Every harvested SCC
+  *     exactly the color-r nodes that can REACH r through color-r
+  *     nodes. Computed as a second max-coloring on the TRANSPOSE of
+  *     the class-restricted subgraph: `back(v) = max{u : color(u) ==
+  *     color(v) and v →* u via same-color nodes}`; v belongs to the
+  *     SCC of r = color(v) iff back(v) == r (r is the max id of its
+  *     class, so reaching it saturates the max). Every harvested SCC
   *     is labeled by its root; since the root is the max id reaching
   *     the SCC and belongs to it, the label equals the SCC's max
   *     member id — giving the SQL-oracle-able contract
@@ -41,6 +44,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     the SCC containing the largest remaining id, so the loop
   *     terminates; with trimming, phases ≈ number of *nontrivial* SCC
   *     "layers", small on real graphs.
+  *
+  * POINTER JUMPING (default on): both colorings interleave each edge
+  * relaxation with list-ranking doubling on an explicit far-pointer —
+  * far(v) is a node known to reach v, advanced `far(v) ← far(far(v))`
+  * each round while `color(far(v))` joins the running max (see
+  * `propagateMax` for why the naive `color(color(v))` jump is NOT
+  * enough). Sound by transitivity of reachability; the captured path
+  * length doubles per round, so fixpoints land in O(log diameter)
+  * rounds instead of O(diameter) (Shiloach-Vishkin-style
+  * shortcutting). The jump is one extra self-equi-join per round on
+  * (id, long, long) rows — strictly cheaper than the dozens of edge
+  * joins it replaces. `pointerJump = false` keeps the plain
+  * hop-per-round loops (equality-tested).
   *
   * Determinism: every fixpoint runs to convergence, so the output is
   * independent of round scheduling — exact, not approximate. Lineage
@@ -62,13 +78,13 @@ object Scc {
   }
 
   /** Per-phase telemetry: inner-round counts of the three fixpoints
-    * plus how many nodes the phase disposed of. Emitted through the
-    * `telemetry` callback after every phase — the operational handle
-    * for the algorithm's one genuine hazard: coloring is hop-per-round,
-    * so rounds grow with the REMAINING subgraph's diameter (a
-    * 10^6-hop path cycle = 10^6 color rounds). Watch `colorRounds`;
-    * if it climbs, either raise `maxRounds` knowingly or pre-shrink
-    * the graph (run [[ConnectedComponents]] first and SCC each weak
+    * plus how many nodes the phase disposed of. With the default
+    * pointer jumping both colorings converge in O(log diameter)
+    * rounds; with `pointerJump = false` they are hop-per-round, so
+    * rounds grow with the REMAINING subgraph's diameter (a 10^6-hop
+    * path cycle = 10^6 color rounds). Watch `colorRounds`; if it
+    * climbs, either raise `maxRounds` knowingly or pre-shrink the
+    * graph (run [[ConnectedComponents]] first and SCC each weak
     * component separately — SCCs never span weak components, and the
     * per-component diameter is what actually bounds the rounds). */
   final case class PhaseStats(phase: Int, trimRounds: Int, colorRounds: Int,
@@ -79,17 +95,91 @@ object Scc {
     log.info(s"Scc phase ${s.phase}: trim=${s.trimRounds} color=${s.colorRounds} " +
       s"harvest=${s.harvestRounds} assigned=${s.assignedThisPhase}")
 
+  /** Max-label propagation to fixpoint: `color(to) ← max(color(to),
+    * color(from))` over every edge row, with optional pointer jumping.
+    *
+    * The naive jump `color(v) ← max(color(v), color(color(v)))` stalls
+    * whenever color(v) == v (the max operator throws away the pointer
+    * to a smaller-id predecessor, so there is no chain to follow — on
+    * an ascending-id cycle it degenerates back to hop-per-round). The
+    * sound accelerator is list-ranking doubling with an explicit
+    * far-pointer: far(v) is SOME node known to reach v (not
+    * necessarily the max), initialized to v, advanced to an in-neighbor
+    * when self, then doubled `far(v) ← far(far(v))` each round while
+    * harvesting `color(far(v))` into the max. Every update preserves
+    * "far(v) reaches v" and "color(v) reaches v" (transitivity), so
+    * correctness is untouched; the captured path length doubles per
+    * round, giving O(log diameter) fixpoints on chains/cycles — the
+    * shapes where hop-per-round hurts.
+    *
+    * Change detection is the one-row Σcolor aggregate (colors only
+    * ever increase; a round with no color growth is an edge-relax
+    * fixpoint regardless of far movement). Returns the fixpoint table
+    * (id, color) and the round count. */
+  private def propagateMax(edges: DataFrame, init: DataFrame, from: String, to: String,
+                           jump: Boolean, spend: () => Unit): (DataFrame, Int) = {
+    var st = mat(init.toDF("id", "color").withColumn("far", col("id")))
+    def tot(c: DataFrame): Long = c.agg(sum(col("color"))).head.getLong(0)
+    var prev = tot(st)
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      spend(); rounds += 1
+      // one edge pass: per-node max in-color + a deterministic
+      // in-neighbor (the far seed for self-pointing nodes)
+      val msgs = edges
+        .join(st.select(col("id").as("cfrom"), col("color").as("mcolor")),
+          col(from) === col("cfrom"))
+        .select(col(to).as("id"), col("mcolor"), col(from).as("nb"))
+        .groupBy("id")
+        .agg(max("mcolor").as("in_color"), max("nb").as("in_far"))
+      val relaxed = st.join(msgs, Seq("id"), "left_outer")
+      val next =
+        if (jump) {
+          // fetch far(v)'s row: its color joins the max, its far becomes
+          // far(far(v)). far always names an id in the table (it is an
+          // id or an edge endpoint of the same node set); left join +
+          // coalesce is belt-and-braces.
+          val f = st.select(col("id").as("fid"), col("color").as("fcolor"),
+            col("far").as("ffar"))
+          relaxed.join(f, col("far") === col("fid"), "left")
+            .select(col("id"),
+              greatest(col("color"),
+                coalesce(col("in_color"), col("color")),
+                coalesce(col("fcolor"), col("color"))).as("color"),
+              when(col("far") === col("id"), coalesce(col("in_far"), col("id")))
+                .otherwise(coalesce(col("ffar"), col("far"))).as("far"))
+        } else {
+          relaxed.select(col("id"),
+            greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"),
+            col("far"))
+        }
+      val nm = mat(next)
+      val s = tot(nm)
+      changed = s != prev
+      prev = s
+      st = nm
+    }
+    (st.select(col("id"), col("color")), rounds)
+  }
+
   /** @param edges two columns (src, dst), one row per directed edge.
     * @param maxPhases cap on trim+color+harvest PHASES (each phase
     *        harvests ≥1 SCC, so this bounds nontrivial SCC "layers").
     * @param maxRounds total budget of INNER fixpoint rounds (trim +
-    *        color + harvest, summed across phases) — the guard against
+    *        color + harvest, summed across phases) — with pointer
+    *        jumping on, fixpoints need O(log diameter) rounds, so the
+    *        default is generous; with it off this is the guard against
     *        the O(diameter) coloring on a deep remaining subgraph.
     * @param telemetry per-phase stats hook (defaults to log.info).
+    * @param pointerJump interleave Shiloach-Vishkin shortcutting into
+    *        both fixpoints (default true; false = plain hop-per-round,
+    *        kept for equality testing and round-count telemetry).
     * @return (id, scc_id) for every node appearing in `edges`;
     *         scc_id = max member id of the node's SCC. */
   def run(edges: DataFrame, maxPhases: Int = 64, maxRounds: Int = 10000,
-          telemetry: PhaseStats => Unit = logStats): DataFrame = {
+          telemetry: PhaseStats => Unit = logStats,
+          pointerJump: Boolean = true): DataFrame = {
     require(maxPhases >= 1, s"maxPhases=$maxPhases")
     require(maxRounds >= 1, s"maxRounds=$maxRounds")
     var roundsUsed = 0
@@ -97,11 +187,12 @@ object Scc {
       roundsUsed += 1
       if (roundsUsed > maxRounds) throw new IllegalStateException(
         s"Scc exceeded maxRounds=$maxRounds during $kind (phase $phase). " +
-          "Coloring is hop-per-round, so round count grows with the remaining " +
-          "subgraph's diameter. Either raise maxRounds (the state per round is " +
-          "bounded — only wall-clock grows), or pre-partition the graph by weak " +
-          "component (ConnectedComponents.run) and SCC each component separately: " +
-          "SCCs never span weak components, and per-component diameters are smaller.")
+          "Rounds grow with log(diameter) under the default pointer jumping " +
+          "(linearly with pointerJump=false). Either raise maxRounds (the state " +
+          "per round is bounded — only wall-clock grows), or pre-partition the " +
+          "graph by weak component (ConnectedComponents.run) and SCC each " +
+          "component separately: SCCs never span weak components, and " +
+          "per-component diameters are smaller.")
     }
     val spark = edges.sparkSession
     val sch = StructType(Seq(StructField("id", LongType), StructField("scc_id", LongType)))
@@ -146,46 +237,35 @@ object Scc {
       }
 
       if (active.limit(1).count() > 0) {
-        // ---- 2. COLOR: forward max propagation to fixpoint. Colors
-        // only ever increase, so Σcolor strictly increases until the
-        // fixpoint — change detection is a one-row aggregate instead of
-        // a next⨝old join (halves the per-round job count; sums of ≤2^31
-        // ids fit a long far beyond any realistic node count)
-        var color = mat(active.select(col("id"), col("id").as("color")))
-        def colorSum(c: DataFrame): Long =
-          c.agg(sum(col("color"))).head.getLong(0)
-        var prevSum = colorSum(color)
-        var changed = true
-        while (changed) {
-          spendRound("color", phase)
-          colorRounds += 1
-          val msgs = e.join(color.withColumnRenamed("id", "cs"), col("src") === col("cs"))
-            .select(col("dst").as("id"), col("color"))
-          val next = mat(color.union(msgs).groupBy("id").agg(max("color").as("color")))
-          val s = colorSum(next)
-          changed = s != prevSum
-          prevSum = s
-          color = next
-        }
+        // ---- 2. COLOR: forward max propagation to fixpoint (Σcolor
+        // strictly increases until the fixpoint, so change detection
+        // is a one-row aggregate; sums of ≤2^31 ids fit a long far
+        // beyond any realistic node count)
+        val (color, cr) = propagateMax(
+          e, active.select(col("id"), col("id").as("color")),
+          "src", "dst", pointerJump, () => spendRound("color", phase))
+        colorRounds = cr
 
-        // ---- 3. HARVEST: backward BFS from roots within each color class
-        var members = mat(color.where(col("id") === col("color"))
+        // ---- 3. HARVEST: backward max propagation restricted to
+        // same-color edges — back(v) = max same-class id reachable
+        // from v through class nodes; v ∈ SCC(root) iff back(v) ==
+        // color(v) (the root IS the class max, see object doc)
+        val ec = mat(e
+          .join(color.select(col("id").as("csid"), col("color").as("csc")),
+            col("src") === col("csid"))
+          .join(color.select(col("id").as("cdid"), col("color").as("cdc")),
+            col("dst") === col("cdid"))
+          .where(col("csc") === col("cdc"))
+          .select(col("src"), col("dst")))
+        val (back, hr) = propagateMax(
+          ec, color.select(col("id"), col("id").as("color")),
+          "dst", "src", pointerJump, () => spendRound("harvest", phase))
+        harvestRounds = hr
+        val members = mat(back.withColumnRenamed("color", "back")
+          .join(color.withColumnRenamed("id", "ci"), col("id") === col("ci"))
+          .where(col("back") === col("color"))
           .select(col("id"), col("color").as("scc_id")))
-        var nMembers = members.count()
-        var growing = true
-        while (growing) {
-          spendRound("harvest", phase)
-          harvestRounds += 1
-          val grow = e.join(members.withColumnRenamed("id", "w"), col("dst") === col("w"))
-            .select(col("src").as("id"), col("scc_id"))
-            .join(color.withColumnRenamed("id", "ci"),
-              col("id") === col("ci") && col("color") === col("scc_id"), "left_semi")
-          val next = mat(members.union(grow).distinct())
-          val n = next.count()
-          growing = n > nMembers
-          nMembers = n
-          members = next
-        }
+        val nMembers = members.count()
 
         // ---- 4. assign + shrink
         assigned = assigned.union(members)

@@ -219,21 +219,44 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("scc: round budget fires with an actionable message; telemetry reports per-phase rounds") {
     import spark.implicits._
-    // a single 12-cycle: coloring needs ~12 hop rounds, so a budget of
-    // 3 total inner rounds must trip mid-coloring
+    // a single 12-cycle: even with pointer jumping the coloring needs
+    // >2 rounds, so a budget of 3 total inner rounds (1 spent on trim)
+    // must trip mid-coloring
     val cyc = (0L until 12L).map(i => (i, (i + 1) % 12))
     val ex = intercept[IllegalStateException] {
       graft.plans.Scc.run(cyc.toDF("src", "dst"), maxRounds = 3)
     }
     assert(ex.getMessage.contains("maxRounds") && ex.getMessage.contains("ConnectedComponents"),
       ex.getMessage)
-    // with budget headroom, telemetry sees the O(diameter) coloring cost
-    val stats = scala.collection.mutable.ArrayBuffer[graft.plans.Scc.PhaseStats]()
-    val got = graft.plans.Scc.run(cyc.toDF("src", "dst"), telemetry = stats += _)
+    // with budget headroom, telemetry sees the coloring cost: plain
+    // propagation pays O(diameter) rounds, pointer jumping O(log d)
+    val plainStats = scala.collection.mutable.ArrayBuffer[graft.plans.Scc.PhaseStats]()
+    val plain = graft.plans.Scc.run(cyc.toDF("src", "dst"),
+      telemetry = plainStats += _, pointerJump = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (0L until 12L).map(_ -> 11L).toMap, got.toString)
-    assert(stats.map(_.assignedThisPhase).sum == 12L, stats.toString)
-    assert(stats.exists(_.colorRounds >= 12), stats.toString) // hop-per-round, visible
+    assert(plain == (0L until 12L).map(_ -> 11L).toMap, plain.toString)
+    assert(plainStats.map(_.assignedThisPhase).sum == 12L, plainStats.toString)
+    assert(plainStats.exists(_.colorRounds >= 12), plainStats.toString) // hop-per-round, visible
+    val jumpStats = scala.collection.mutable.ArrayBuffer[graft.plans.Scc.PhaseStats]()
+    val jumped = graft.plans.Scc.run(cyc.toDF("src", "dst"), telemetry = jumpStats += _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jumped == plain, jumped.toString)
+    assert(jumpStats.map(_.colorRounds).max <= 7, jumpStats.toString) // ~2·log2(12)
+  }
+
+  test("scc: pointer jumping converges in O(log d) rounds on a long cycle, equal to plain") {
+    import spark.implicits._
+    // 101-cycle (the benchmark shape that cost ~100 rounds per fixpoint
+    // before shortcutting): both colorings must now land in ≤ 2·log2 + 4
+    val n = 101L
+    val cyc = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val stats = scala.collection.mutable.ArrayBuffer[graft.plans.Scc.PhaseStats]()
+    val got = graft.plans.Scc.run(cyc, telemetry = stats += _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> (n - 1)).toMap, got.toString)
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 4 // 2·ceil(log2 n)+4
+    assert(stats.map(_.colorRounds).max <= bound, s"color rounds ${stats.toList} vs $bound")
+    assert(stats.map(_.harvestRounds).max <= bound, s"harvest rounds ${stats.toList} vs $bound")
   }
 
   test("scc matches the reachability-definition reference on random digraphs") {
@@ -245,6 +268,12 @@ class GraphOpsSpec extends AnyFunSuite {
       val got = runScc(edges)
       val want = bruteScc(edges)
       assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+      if (trial == 1) { // plain (no pointer-jump) path equality, one trial is enough
+        import spark.implicits._
+        val plain = graft.plans.Scc.run(edges.toDF("src", "dst"), pointerJump = false)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(plain == want, s"plain path: ${plain.toSeq.sorted} vs ${want.toSeq.sorted}")
+      }
     }
   }
 

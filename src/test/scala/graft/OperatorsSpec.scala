@@ -1649,4 +1649,119 @@ class OperatorsSpec extends AnyFunSuite {
     val encPlan = codes.queryExecution.executedPlan.toString
     assert(!encPlan.contains("Exchange"), encPlan)
   }
+
+  test("semdedup: cluster-local groups match union-find reference; exact dups always collapse") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val dim = 8
+    def normalize(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    // 12 well-separated unit directions: 6 groups of 3 near-copies,
+    // 3 exact-duplicate pairs, 3 singletons
+    val base = Array.fill(12)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val vecs = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    val exactGroups = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    var id = 0L
+    base.zipWithIndex.foreach { case (b, gi) =>
+      val copies = if (gi < 6) 3 else if (gi < 9) 2 else 1
+      val ids = (0 until copies).map { c =>
+        val v =
+          if (gi >= 6 || c == 0) b // exact copy (or the group's base)
+          else normalize(b.map(x => x + 0.01 * rnd.nextGaussian()))
+        vecs += ((id, v)); id += 1; id - 1
+      }
+      if (gi >= 6 && gi < 9) exactGroups += ids
+    }
+    val df = vecs.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding").repartition(4).cache()
+    val minDotQ = 950000L // cosine ≈ 0.95 at unit norm, ×1000² quantization
+    val out = graft.operators.SemDedup.run(df, k = 6, minDotQ = minDotQ, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    // reference: same trained quantizer (deterministic), union-find over
+    // within-cluster pairs with exact-rounded integer dot ≥ threshold
+    val cents = Ivf.train(df, k = 6, iters = 3)
+    val cid = Ivf.assign(df, cents).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def quant(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val qv = vecs.map { case (i, v) => i -> quant(v) }.toMap
+    def qd(a: Array[Long], b: Array[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    // unionFind is string-keyed (min by string order) — zero-pad so
+    // lexicographic min == numeric min
+    def pad(i: Long) = f"$i%06d"
+    val pairs = for {
+      (i, vi) <- qv.toSeq; (j, vj) <- qv.toSeq
+      if i < j && cid(i) == cid(j) && qd(vi, vj) >= minDotQ
+    } yield (pad(i), pad(j))
+    val uf = unionFind(pairs)
+    vecs.foreach { case (i, _) =>
+      val wantRep = uf.getOrElse(pad(i), pad(i)).toLong
+      val (gotCid, gotRep, gotKeep) = out(i)
+      assert(gotCid == cid(i), s"vec $i cid $gotCid vs ${cid(i)}")
+      assert(gotRep == wantRep, s"vec $i rep $gotRep vs $wantRep")
+      assert(gotKeep == (wantRep == i), s"vec $i keep")
+    }
+    // exact duplicates always share a cell (identical quantized vectors
+    // ⇒ identical argmin with deterministic tie-break) ⇒ always dedup
+    exactGroups.foreach { g =>
+      assert(g.map(out(_)._2).distinct.size == 1, s"exact group $g not collapsed")
+      assert(g.count(out(_)._3) == 1, s"exact group $g keep-count != 1")
+    }
+    // the pair stage is a cid equi-join, never a cartesian
+    val edgePlan = graft.operators.SemDedup
+      .duplicateEdges(df, Ivf.assign(df, cents), minDotQ)
+      .queryExecution.executedPlan.toString
+    assert(!edgePlan.contains("CartesianProduct") &&
+      !edgePlan.contains("BroadcastNestedLoopJoin"), edgePlan)
+    df.unpersist()
+  }
+
+  test("dsir: importance scores match a from-scratch reference; top-k selects target-like docs") {
+    import spark.implicits._
+    val target = Seq((100L, "theorem proof lemma"), (101L, "proof of theorem"),
+      (102L, "lemma and proof")).toDF("doc_id", "text")
+    val rawRows = Seq(
+      (1L, "theorem proof lemma proof"), (2L, "banana apple fruit salad"),
+      (3L, "proof of lemma"), (4L, "random words here now"),
+      (5L, "lemma proof theorem lemma"), (6L, "apple banana"), (7L, ""))
+    val raw = rawRows.toDF("doc_id", "text")
+    val B = 64
+    val scores = graft.operators.Dsir.importanceScores(
+      raw, target, col("doc_id"), col("text"), buckets = B)
+    // reference: replicate poly-hash features + smoothed ppm ratios
+    val P = Dedup.minhashBigPrime
+    def polyId(s: String): Long =
+      if (s.isEmpty) 0L else s.foldLeft(0L)((h, c) => Math.floorMod(h * 31 + c.toInt, P))
+    def feats(text: String): Seq[Long] = {
+      val tk = text.split(" ", -1).toSeq // Spark split keeps empty tokens
+      val grams = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      grams.map(g => Math.floorMod(polyId(g), B.toLong))
+    }
+    val tFeats = Seq("theorem proof lemma", "proof of theorem", "lemma and proof").flatMap(feats)
+    val rFeats = rawRows.flatMap { case (_, t) => feats(t) }
+    val tc = tFeats.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val rc = rFeats.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (nt, nr) = (tFeats.size.toLong, rFeats.size.toLong)
+    def ratio(b: Long): Long =
+      ((BigInt(tc.getOrElse(b, 0L) + 1) * (nr + B) * 1000000) /
+        (BigInt(rc.getOrElse(b, 0L) + 1) * (nt + B))).toLong
+    val want = rawRows.map { case (i, t) =>
+      val fs = feats(t)
+      i -> ((fs.size.toLong, fs.map(ratio).sum / fs.size))
+    }.toMap
+    val got = scores.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"$got vs $want")
+    // target-like docs (1, 3, 5) outscore the noise docs (2, 4, 6)
+    Seq(1L, 3L, 5L).foreach { m => Seq(2L, 4L, 6L).foreach { n =>
+      assert(got(m)._2 > got(n)._2, s"doc $m (${got(m)._2}) !> doc $n (${got(n)._2})")
+    }}
+    val top = graft.operators.Dsir.selectTopK(scores, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 3L, 5L), top.toString)
+    // plan: ratio join is broadcast; nothing cartesians
+    val plan = scores.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
