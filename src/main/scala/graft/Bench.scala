@@ -111,7 +111,10 @@ object Bench {
     // (TopKAgg, shuffle carries k·|queries| rows), DSIR importance
     // scoring (two hash-aggs + broadcast ratio join), SemDeDup
     // (Lloyd cells + cell-local pairs + CC grouping).
-    "q_scc", "q_exactsubstr", "q_bm25_multi", "q_dsir", "q_semdedup")
+    "q_scc", "q_exactsubstr", "q_bm25_multi", "q_dsir", "q_semdedup",
+    // RRF hybrid fusion: BM25-multi run + pseudo-dense run + the
+    // agg-only fusion — measures the full hybrid-retrieval path
+    "q_rrf")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

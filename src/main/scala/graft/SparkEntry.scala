@@ -696,6 +696,57 @@ object SparkEntry {
       operators.Retrieval.bm25MultiTopK(docs, $"doc_id", $"text", qterms, topK = 5)
         .orderBy("query_id", "rn")
     },
+    // RRF hybrid fusion (Retrieval.rrfFuse): list A = the multi-query
+    // BM25 top-5 (the q_bm25_multi run verbatim), list B = a
+    // deterministic hash pseudo-dense retriever (stands in for the ANN
+    // top-k: RRF is rank-only, so WHERE list B's ranks come from is
+    // orthogonal to the fusion arithmetic under test — and a hash
+    // ranking keeps the oracle exact). Fused per (query, doc):
+    // Σ 1000000 div (60 + rn); per-query top-5 via TopKAgg.
+    "q_rrf" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", concat_ws(" ",
+          transform(sequence(lit(1), size($"w") - 1),
+            i => concat(element_at($"w", i), lit("_"), element_at($"w", i + 1)))).as("text"))
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val dfAll = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_all"))
+      val qterms = dfAll.crossJoin(broadcast(nDocs))
+        .filter($"df" * 20 >= $"n_all" && $"df" * 2 <= $"n_all")
+        .orderBy($"df".desc, $"term").limit(9)
+        .withColumn("r", row_number().over(Window.orderBy($"df".desc, $"term")))
+        .select((($"r" - 1) % 3).cast("long").as("query_id"), $"term")
+      val ra = operators.Retrieval.bm25MultiTopK(docs, $"doc_id", $"text", qterms, topK = 5)
+        .select($"query_id", $"doc_id", $"rn")
+      val keyed = t(dir, "documents")
+        .select($"doc_id", explode(array(lit(0L), lit(1L), lit(2L))).as("query_id"))
+        .withColumn("key", pmod(
+          $"doc_id" * lit(2654435761L) + $"query_id" * lit(1000003L), lit(9176471L)))
+      val rb = graft.functions.TopKAgg.groupTopK(keyed, $"query_id", $"key", $"doc_id", 5)
+        .select($"g".as("query_id"), $"id".as("doc_id"), $"rn")
+      operators.Retrieval.rrfFuse(ra.unionByName(rb), kRrf = 60, topK = 5)
+        .orderBy("query_id", "rn")
+    },
+    // Rank-based retrieval eval (Retrieval.rankEval): MRR + recall@10
+    // of the hash pseudo-dense top-20 against a deterministic judgment
+    // set — both exact in ppm integers (nDCG deliberately absent: the
+    // log2 discount forces floats, breaking the cross-engine contract).
+    "q_rank_eval" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val keyed = t(dir, "documents")
+        .select($"doc_id", explode(array(lit(0L), lit(1L), lit(2L))).as("query_id"))
+        .withColumn("key", pmod(
+          $"doc_id" * lit(2654435761L) + $"query_id" * lit(1000003L), lit(9176471L)))
+      val run = graft.functions.TopKAgg.groupTopK(keyed, $"query_id", $"key", $"doc_id", 20)
+        .select($"g".as("query_id"), $"id".as("doc_id"), $"rn")
+      val qrels = t(dir, "documents")
+        .select($"doc_id", explode(array(lit(0L), lit(1L), lit(2L))).as("query_id"))
+        .filter(pmod($"doc_id" * 7919 + $"query_id" * 13, lit(29L)) === 3)
+        .select($"query_id", $"doc_id")
+      operators.Retrieval.rankEval(run, qrels, cutoff = 10).orderBy("query_id")
+    },
     // CUBE grouping-set lattice (Expand + hash agg)
     "q_cube" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       t(dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
@@ -1659,6 +1710,41 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
+  /** Shared CTE chain for the multi-query BM25 oracle, ending at `rk`
+    * (query_id, doc_id, score_ppm, rn) — reused verbatim by q_bm25_multi
+    * and as list A of the q_rrf hybrid fusion oracle. */
+  private val bm25MultiRankedCte: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |tok AS (SELECT doc_id, w[i] || '_' || w[i + 1] AS term
+      |        FROM d, UNNEST(range(1, len(w))) AS u(i)),
+      |nd AS (SELECT COUNT(*) AS n_all FROM d),
+      |dfall AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |q0 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+      |       FROM dfall, nd WHERE df * 20 >= n_all AND df * 2 <= n_all
+      |       ORDER BY df DESC, term LIMIT 9),
+      |qt AS (SELECT CAST((r - 1) % 3 AS BIGINT) AS query_id, term FROM q0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |st AS (SELECT COUNT(*) AS n_docs,
+      |       (CAST(SUM(dl) AS BIGINT) * 1000000) // COUNT(*) AS avgdl_ppm FROM dl),
+      |m AS (SELECT doc_id, term FROM tok JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM m GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df, dl.dl, st.n_docs, st.avgdl_ppm
+      |       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+      |x AS (SELECT doc_id, term,
+      |  (CASE WHEN (2 * n_docs - 2 * df + 1) // (2 * df + 1) <= 0 THEN 0
+      |        ELSE length(to_base((2 * n_docs - 2 * df + 1) // (2 * df + 1), 2)) END) *
+      |  ((tf * 2200000 * 1000000) //
+      |    (tf * 1000000 + (1200 * (250000 +
+      |      (750 * ((dl * 1000000000000) // avgdl_ppm)) // 1000)) // 1000)) AS contrib_ppm
+      |  FROM sc),
+      |agg AS (SELECT query_id, doc_id, CAST(SUM(contrib_ppm) AS BIGINT) AS score_ppm
+      |        FROM x JOIN qt USING (term) GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score_ppm,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn FROM agg)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2124,39 +2210,57 @@ object SparkEntry {
     // multi-query BM25: identical contribution arithmetic over bigram
     // terms, query sets from the same deterministic mid-band ranking,
     // per-query top-5
-    "q_bm25_multi" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 2),
-        |tok AS (SELECT doc_id, w[i] || '_' || w[i + 1] AS term
-        |        FROM d, UNNEST(range(1, len(w))) AS u(i)),
-        |nd AS (SELECT COUNT(*) AS n_all FROM d),
-        |dfall AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-        |q0 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
-        |       FROM dfall, nd WHERE df * 20 >= n_all AND df * 2 <= n_all
-        |       ORDER BY df DESC, term LIMIT 9),
-        |qt AS (SELECT CAST((r - 1) % 3 AS BIGINT) AS query_id, term FROM q0),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        |st AS (SELECT COUNT(*) AS n_docs,
-        |       (CAST(SUM(dl) AS BIGINT) * 1000000) // COUNT(*) AS avgdl_ppm FROM dl),
-        |m AS (SELECT doc_id, term FROM tok JOIN (SELECT DISTINCT term FROM qt) USING (term)),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM m GROUP BY 1, 2),
-        |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
-        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df, dl.dl, st.n_docs, st.avgdl_ppm
-        |       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-        |x AS (SELECT doc_id, term,
-        |  (CASE WHEN (2 * n_docs - 2 * df + 1) // (2 * df + 1) <= 0 THEN 0
-        |        ELSE length(to_base((2 * n_docs - 2 * df + 1) // (2 * df + 1), 2)) END) *
-        |  ((tf * 2200000 * 1000000) //
-        |    (tf * 1000000 + (1200 * (250000 +
-        |      (750 * ((dl * 1000000000000) // avgdl_ppm)) // 1000)) // 1000)) AS contrib_ppm
-        |  FROM sc),
-        |agg AS (SELECT query_id, doc_id, CAST(SUM(contrib_ppm) AS BIGINT) AS score_ppm
-        |        FROM x JOIN qt USING (term) GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score_ppm,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |            ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn FROM agg)
-        |SELECT query_id, rn, doc_id, score_ppm FROM rk
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q_bm25_multi" -> (bm25MultiRankedCte +
+      "\nSELECT query_id, rn, doc_id, score_ppm FROM rk" +
+      "\nWHERE rn <= 5 ORDER BY query_id, rn"),
+    // RRF hybrid fusion: list A = the bm25MultiRankedCte per-query
+    // top-5 (the q_bm25_multi result), list B = the deterministic
+    // hash pseudo-dense top-5; fused score = Σ 1000000 // (60 + rn)
+    "q_rrf" -> (bm25MultiRankedCte +
+      """,
+        |ra AS (SELECT query_id, doc_id, rn FROM rk WHERE rn <= 5),
+        |keyed AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, doc_id,
+        |  (doc_id * 2654435761 + q.query_id * 1000003) % 9176471 AS key
+        |  FROM documents, (SELECT UNNEST([0, 1, 2]) AS query_id) q),
+        |rb AS (SELECT query_id, doc_id, rn FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY key DESC, doc_id) AS BIGINT) AS rn FROM keyed)
+        |  WHERE rn <= 5),
+        |allr AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+        |f AS (SELECT query_id, doc_id,
+        |  CAST(SUM(1000000 // (60 + rn)) AS BIGINT) AS rrf_ppm
+        |  FROM allr GROUP BY 1, 2),
+        |fo AS (SELECT query_id, doc_id, rrf_ppm,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rn FROM f)
+        |SELECT query_id, rn, doc_id, rrf_ppm FROM fo
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+    // rank eval: run = the hash pseudo-dense top-20; qrels = the
+    // deterministic (doc_id·7919 + qid·13) % 29 == 3 judgment set;
+    // MRR / recall@10 in exact ppm integers
+    "q_rank_eval" ->
+      """WITH keyed AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, doc_id,
+        |  (doc_id * 2654435761 + q.query_id * 1000003) % 9176471 AS key
+        |  FROM documents, (SELECT UNNEST([0, 1, 2]) AS query_id) q),
+        |run AS (SELECT query_id, doc_id, rn FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY key DESC, doc_id) AS BIGINT) AS rn FROM keyed)
+        |  WHERE rn <= 20),
+        |qrels AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, doc_id
+        |  FROM documents, (SELECT UNNEST([0, 1, 2]) AS query_id) q
+        |  WHERE (doc_id * 7919 + q.query_id * 13) % 29 = 3),
+        |rel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+        |hits AS (SELECT query_id, MIN(rn) AS first_rel,
+        |  CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM run JOIN qrels USING (query_id, doc_id) GROUP BY 1)
+        |SELECT r.query_id, r.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+        |  CASE WHEN h.first_rel IS NULL THEN 0
+        |       ELSE 1000000 // h.first_rel END AS mrr_ppm,
+        |  (COALESCE(h.n_hit, 0) * 1000000) // r.n_rel AS recall_ppm
+        |FROM rel r LEFT JOIN hits h USING (query_id)
+        |ORDER BY r.query_id""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
         |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

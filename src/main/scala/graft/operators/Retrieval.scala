@@ -137,4 +137,82 @@ object Retrieval {
       .select(col("g").as("query_id"), col("rn"), col("id").as("doc_id"),
         col("v").as("score_ppm"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: fuse the ranked lists of
+    * heterogeneous retrievers (BM25 lexical + ANN dense is the classic
+    * pair) without comparing their incommensurable scores. A document's
+    * fused score is Σ over every list it appears in of 1/(κ + rank);
+    * here in exact ppm integers: `1000000 div (κ + rn)` (κ = 60, the
+    * paper's constant). Rank-only fusion makes it score-scale-free —
+    * exactly why it wins over linear score interpolation in practice.
+    *
+    * `rankings` is the UNION of all lists: (query_id, doc_id, rn) rows
+    * (first three columns, any names; rn is the 1-based rank within its
+    * own list). Which retriever produced a row is irrelevant — RRF is
+    * symmetric in its lists, and a doc ranked by M lists contributes M
+    * reciprocal terms.
+    *
+    * Scale shape: the input is already top-k-sized (Σ lists k·|queries|
+    * rows — never corpus-sized), so the whole fusion is ONE
+    * partial-aggregable hash agg on (query_id, doc_id) plus the
+    * bounded-state [[graft.functions.TopKAgg]] per-query top-k; the
+    * final shuffle carries ≤ topK·|queries| rows.
+    *
+    * Output: (query_id, rn, doc_id, rrf_ppm), rn 1..topK by
+    * (rrf_ppm desc, doc_id asc) within each query.
+    * Reference analog: none (beyond-reference retrieval operator). */
+  def rrfFuse(rankings: DataFrame, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(kRrf >= 1, s"kRrf=$kRrf")
+    val c = rankings.columns
+    val r = rankings.select(col(c(0)).cast("long").as("query_id"),
+      col(c(1)).cast("long").as("doc_id"), col(c(2)).cast("long").as("rn"))
+    val scored = r
+      .select(col("query_id"), col("doc_id"),
+        expr(s"1000000 div ($kRrf + rn)").as("c_ppm"))
+      .groupBy("query_id", "doc_id").agg(sum("c_ppm").as("rrf_ppm"))
+    graft.functions.TopKAgg.groupTopK(scored, col("query_id"), col("rrf_ppm"),
+        col("doc_id"), topK)
+      .select(col("g").as("query_id"), col("rn"), col("id").as("doc_id"),
+        col("v").as("rrf_ppm"))
+  }
+
+  /** Rank-based retrieval evaluation — MRR and recall@k of a ranked
+    * run against a relevance-judgment table, both exact in integers
+    * (reciprocal ranks as ppm: `1000000 div rank`; means as `div` —
+    * the repo-wide cross-engine determinism convention; nDCG is
+    * deliberately absent: its log2 discount forces floats).
+    *
+    * `run` carries (query_id, doc_id, rn) ranked rows; `qrels` carries
+    * (query_id, doc_id) relevant pairs. Per query:
+    *  - mrr_ppm      = 1000000 div (rank of the FIRST relevant hit),
+    *                   0 when no relevant doc is retrieved;
+    *  - n_rel        = total relevant docs (from qrels);
+    *  - n_hit        = relevant docs retrieved at rank ≤ cutoff;
+    *  - recall_ppm   = n_hit·10^6 div n_rel.
+    *
+    * Scale shape: run and qrels are both eval-sized (top-k·|queries|
+    * and judgment-sized); one equi-join on (query_id, doc_id), one
+    * hash agg per side, a broadcastable left join back to the per-query
+    * qrel counts. Nothing corpus-sized. Output: (query_id, n_rel,
+    * n_hit, mrr_ppm, recall_ppm) — one row per judged query. */
+  def rankEval(run: DataFrame, qrels: DataFrame, cutoff: Int): DataFrame = {
+    val rc = run.columns
+    val r = run.select(col(rc(0)).cast("long").as("query_id"),
+      col(rc(1)).cast("long").as("doc_id"), col(rc(2)).cast("long").as("rn"))
+    val qc = qrels.columns
+    val q = qrels.select(col(qc(0)).cast("long").as("query_id"),
+      col(qc(1)).cast("long").as("doc_id"))
+    val relCounts = q.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(q, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(min("rn").as("first_rel"),
+        sum(when(col("rn") <= cutoff, 1L).otherwise(0L)).as("n_hit"))
+    relCounts.join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_rel")).as("mrr_ppm"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_rel"))
+  }
 }
