@@ -1668,6 +1668,46 @@ object SparkEntry {
         docs, docs.filter(pmod($"doc_id", lit(50)) === 0),
         col("doc_id"), col("text"), buckets = 256)
         .orderBy("doc_id")
+    },
+    // Blocked fuzzy matching (operators.Fuzzy): entity-resolution
+    // candidate pairs within Levenshtein distance 1, found by a block-key
+    // equi-join (never a cartesian). Records = customer names + planted
+    // single-character typos (last serial digit → 'X' for every third
+    // customer); block key = the first 16 chars (serial div 100), so
+    // blocks stay ~133 records. Matches: each original↔its typo, originals
+    // differing only in the last digit, typos differing only in digit 8 —
+    // all exact unit-cost Levenshtein, which DuckDB computes identically.
+    "q_fuzzy_match" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer")
+      val orig = c.select(($"c_custkey" * 2).as("rid"), $"c_name".as("name"))
+      val typo = c.filter(pmod($"c_custkey", lit(3)) === 0)
+        .select(($"c_custkey" * 2 + 1).as("rid"),
+          concat(substring($"c_name", 1, 17), lit("X")).as("name"))
+      graft.operators.Fuzzy.blockedMatches(
+        orig.unionByName(typo), col("rid"), col("name"),
+        substring(col("name"), 1, 16), maxDist = 1)
+        .orderBy("id_a", "id_b")
+    },
+    // Common-neighbor Jaccard (plans.NodeSim): link-prediction /
+    // merge-candidate scoring — node pairs ranked by shared-neighborhood
+    // overlap, generated by ONE adjacency self-join on the shared
+    // neighbor (never node×node). Graph: the undirected halving tree
+    // over event user ids (siblings share their parent; parent/child
+    // chains share the middle node). Integer ppm Jaccard.
+    "q_node_jaccard" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "events").filter($"user_id" > 0)
+        .select($"user_id".as("src"), expr("user_id div 2").as("dst"))
+      plans.NodeSim.jaccard(edges).orderBy("u", "v")
+    },
+    // GNN-style neighbor aggregation (plans.NodeSim.aggregateNeighbors):
+    // the aggregate-messages step of a graph feature pipeline — per node,
+    // count/sum/min/max/div-mean of its neighbors' feature (here: the
+    // neighbor's event count). One equi-join + one hash agg.
+    "q_graph_agg" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events").filter($"user_id" > 0)
+      val edges = ev.select($"user_id".as("src"), expr("user_id div 2").as("dst"))
+      val feats = ev.groupBy($"user_id".as("id")).agg(count(lit(1)).as("feat"))
+      plans.NodeSim.aggregateNeighbors(edges, feats).orderBy("id")
     }
   )
 
@@ -3223,7 +3263,47 @@ object SparkEntry {
          |  FROM pairs) WHERE rn <= 2 ORDER BY qid, rn""".stripMargin
     },
     "q_semdedup" -> semdedupOracleSql(k = 8, iters = 2, minDotQ = 950000L),
-    "q_dsir" -> dsirOracleSql(buckets = 256, targetMod = 50)
+    "q_dsir" -> dsirOracleSql(buckets = 256, targetMod = 50),
+    "q_fuzzy_match" ->
+      """WITH recs AS (
+        |  SELECT c_custkey * 2 AS rid, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1, substr(c_name, 1, 17) || 'X'
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |b AS (SELECT rid, name, substr(name, 1, 16) AS blk FROM recs),
+        |p AS (SELECT a.rid AS id_a, c.rid AS id_b,
+        |             a.name AS key_a, c.name AS key_b
+        |      FROM b a JOIN b c ON a.blk = c.blk AND a.rid < c.rid
+        |      WHERE abs(length(a.name) - length(c.name)) <= 1)
+        |SELECT id_a, id_b, key_a, key_b,
+        |       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(key_a, key_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_node_jaccard" ->
+      """WITH e0 AS (SELECT DISTINCT least(user_id, user_id // 2) AS a,
+        |                   greatest(user_id, user_id // 2) AS b
+        |            FROM events WHERE user_id > 0 AND user_id != user_id // 2),
+        |adj AS (SELECT a AS u, b AS w FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT u AS id, COUNT(*) AS deg FROM adj GROUP BY u),
+        |cm AS (SELECT l.u AS u, r.u AS v, CAST(COUNT(*) AS BIGINT) AS common
+        |       FROM adj l JOIN adj r ON l.w = r.w AND l.u < r.u
+        |       GROUP BY 1, 2),
+        |j AS (SELECT u, v, common, du.deg AS deg_u, dv.deg AS deg_v
+        |      FROM cm JOIN deg du ON cm.u = du.id JOIN deg dv ON cm.v = dv.id)
+        |SELECT u, v, common, deg_u, deg_v,
+        |       (common * 1000000) // (deg_u + deg_v - common) AS jac_ppm
+        |FROM j ORDER BY u, v""".stripMargin,
+    "q_graph_agg" ->
+      """WITH e0 AS (SELECT DISTINCT least(user_id, user_id // 2) AS a,
+        |                   greatest(user_id, user_id // 2) AS b
+        |            FROM events WHERE user_id > 0 AND user_id != user_id // 2),
+        |adj AS (SELECT a AS id, b AS nbr FROM e0 UNION ALL SELECT b, a FROM e0),
+        |f AS (SELECT user_id AS nbr, COUNT(*) AS feat FROM events
+        |      WHERE user_id > 0 GROUP BY 1)
+        |SELECT id, COUNT(*) AS n_nbr, CAST(SUM(feat) AS BIGINT) AS f_sum,
+        |       MIN(feat) AS f_min, MAX(feat) AS f_max,
+        |       CAST(SUM(feat) AS BIGINT) // COUNT(*) AS f_mean
+        |FROM adj JOIN f USING (nbr) GROUP BY id ORDER BY id""".stripMargin
   )
 
   /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,

@@ -426,4 +426,65 @@ class GraphOpsSpec extends AnyFunSuite {
     r1.foreach { case (k, rho) => assert(r2.contains(k) && r2(k) >= rho) }
     assert(r2.size >= r1.size)
   }
+
+  /** brute-force common-neighbor Jaccard reference over an undirected
+    * edge list (self-loops dropped, duplicates collapsed) */
+  private def refJaccard(edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq.sorted
+    (for {
+      u <- nodes; v <- nodes if u < v
+      common = (nbrs(u) & nbrs(v)).size.toLong if common >= 1
+    } yield (u, v) -> ((common, nbrs(u).size.toLong, nbrs(v).size.toLong,
+      common * 1000000L / (nbrs(u).size + nbrs(v).size - common)))).toMap
+  }
+
+  test("node jaccard matches brute-force reference on random graphs; no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = graft.plans.NodeSim.jaccard(edges.toDF("src", "dst"))
+    val gotMap = got.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(gotMap == refJaccard(edges), s"got ${gotMap.size} vs ref ${refJaccard(edges).size}")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("node jaccard: wedge-degree cap purges hub centers (lower-bound contract)") {
+    import spark.implicits._
+    // star: hub 0 connected to 1..10, plus a private edge 1-2
+    val edges = (1L to 10L).map(i => (0L, i)) :+ ((1L, 2L))
+    val full = graft.plans.NodeSim.jaccard(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // uncapped: all leaf pairs share hub 0; (1,2) additionally adjacent
+    assert(full((3L, 4L)) == 1L && full((1L, 2L)) == 1L)
+    val capped = graft.plans.NodeSim.jaccard(edges.toDF("src", "dst"),
+      maxWedgeDegree = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hub (deg 10) forms no wedges; only wedges through low-degree
+    // centers survive: 0's pair-of-neighbors via center 1 or 2 → (0, 2)
+    // via center 1 and (0, 1) via center 2
+    assert(!capped.contains((3L, 4L)))
+    assert(capped.contains((1L, 2L)) == false) // their only shared nbr is the hub
+    assert(capped((0L, 1L)) == 1L && capped((0L, 2L)) == 1L)
+  }
+
+  test("aggregateNeighbors matches a scalar reference") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 5L))
+    val feats = Seq((1L, 10L), (2L, 20L), (3L, 31L), (4L, 40L))
+    val got = graft.plans.NodeSim.aggregateNeighbors(
+      edges.toDF("src", "dst"), feats.toDF("id", "feat"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // node 1: nbrs {2,3} → (2, 51, 20, 31, 25); node 3: nbrs {1,2,4} →
+    // (3, 70, 10, 40, 23); node 5's self-loop drops out entirely
+    assert(got(1L) == ((2L, 51L, 20L, 31L, 25L)), got(1L).toString)
+    assert(got(3L) == ((3L, 70L, 10L, 40L, 23L)), got(3L).toString)
+    assert(got(4L) == ((1L, 31L, 31L, 31L, 31L)), got(4L).toString)
+    assert(!got.contains(5L))
+  }
 }

@@ -1818,4 +1818,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 1L, 1000000L, 500000L)), got(1L).toString)
     assert(got(2L) == ((1L, 0L, 0L, 0L)), got(2L).toString)
   }
+
+  /** classic unit-cost Levenshtein (reference implementation) */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("Fuzzy.blockedMatches == brute-force within-block reference; no cartesian; purge cap") {
+    import spark.implicits._
+    // names with planted typos + genuine near-misses across two blocks
+    val recs = Seq(
+      (1L, "alpha-node-001"), (2L, "alpha-node-002"), (3L, "alpha-nodeX001"),
+      (4L, "alpha-node-0013"), (5L, "alpha-different"),
+      (6L, "beta-item-100"), (7L, "beta-item-101"), (8L, "beta-item-999"),
+      (9L, "gamma-thing"))
+    val df = recs.toDF("rid", "name")
+    val got = graft.operators.Fuzzy.blockedMatches(
+      df, col("rid"), col("name"), substring(col("name"), 1, 6), maxDist = 2)
+    // brute-force reference restricted to shared 6-char block prefix
+    val expect = (for {
+      (ia, ka) <- recs; (ib, kb) <- recs
+      if ia < ib && ka.take(6) == kb.take(6)
+      if math.abs(ka.length - kb.length) <= 2
+      d = lev(ka, kb) if d <= 2
+    } yield (ia, ib, ka, kb, d.toLong)).sortBy(r => (r._1, r._2))
+    val gotRows = got.orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(gotRows == expect, s"got=$gotRows\nexpect=$expect")
+    assert(expect.exists(_._5 == 1) && expect.exists(_._5 == 2)) // nontrivial case
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // block purge: cap 4 drops the alpha block (5 records), keeps beta
+    val capped = graft.operators.Fuzzy.blockedMatches(
+      df, col("rid"), col("name"), substring(col("name"), 1, 6),
+      maxDist = 2, maxBlockSize = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == expect.filter(_._3.startsWith("beta-")).map(r => (r._1, r._2)).toSet)
+    val purged = graft.operators.Fuzzy.purgedBlocks(
+      df, col("name"), substring(col("name"), 1, 6), maxBlockSize = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(purged == Set(("alpha-", 5L)))
+  }
 }
