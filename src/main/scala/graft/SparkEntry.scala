@@ -1708,6 +1708,30 @@ object SparkEntry {
       val edges = ev.select($"user_id".as("src"), expr("user_id div 2").as("dst"))
       val feats = ev.groupBy($"user_id".as("id")).agg(count(lit(1)).as("feat"))
       plans.NodeSim.aggregateNeighbors(edges, feats).orderBy("id")
+    },
+    // Blocked inverted index (Retrieval.invertedIndex): the materialized
+    // posting-list layout keyword search serves from. Postings shard into
+    // doc_id-div-128 blocks so no aggregation buffer holds more than 128
+    // entries even for stopword terms; within a block ids are sorted
+    // numerically (canonical, partitioning-invariant). The full index
+    // STATE hash-matches the oracle.
+    "q_inverted_index" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Retrieval.invertedIndex(
+        t(dir, "documents"), $"doc_id", $"text", blockSize = 128)
+        .orderBy("term", "blk")
+    },
+    // Conjunctive boolean retrieval (Retrieval.booleanAnd): docs
+    // containing ALL of the 3 highest-df terms — posting-list
+    // intersection computed as a broadcast term semi-join + distinct-term
+    // count, never materializing a posting list.
+    "q_bool_and" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val top = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"term").limit(3).select("term")
+      operators.Retrieval.booleanAnd(docs, $"doc_id", $"text", top)
+        .orderBy("doc_id")
     }
   )
 
@@ -3303,7 +3327,27 @@ object SparkEntry {
         |SELECT id, COUNT(*) AS n_nbr, CAST(SUM(feat) AS BIGINT) AS f_sum,
         |       MIN(feat) AS f_min, MAX(feat) AS f_max,
         |       CAST(SUM(feat) AS BIGINT) // COUNT(*) AS f_mean
-        |FROM adj JOIN f USING (nbr) GROUP BY id ORDER BY id""".stripMargin
+        |FROM adj JOIN f USING (nbr) GROUP BY id ORDER BY id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH t0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, term FROM t0),
+        |b AS (SELECT term, doc_id // 128 AS blk, COUNT(*) AS blk_df,
+        |        string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
+        |      FROM tok GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(SUM(blk_df) AS BIGINT) AS df FROM b GROUP BY term)
+        |SELECT term, blk, blk_df, df, postings FROM b JOIN d USING (term)
+        |ORDER BY term, blk""".stripMargin,
+    "q_bool_and" ->
+      """WITH t0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, term FROM t0),
+        |q AS (SELECT term FROM (SELECT term, COUNT(*) AS df FROM tok GROUP BY term)
+        |      ORDER BY df DESC, term LIMIT 3),
+        |m AS (SELECT doc_id, COUNT(*) AS n_terms FROM tok JOIN q USING (term)
+        |      GROUP BY doc_id)
+        |SELECT doc_id, n_terms FROM m WHERE n_terms = (SELECT COUNT(*) FROM q)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,

@@ -215,4 +215,60 @@ object Retrieval {
           .otherwise(expr("1000000 div first_rel")).as("mrr_ppm"))
       .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_rel"))
   }
+
+  /** Blocked inverted index — the materialized posting-list layout
+    * keyword search serves from (the artifact BM25 computes against on
+    * the fly). Postings are sharded into fixed doc-id ranges of
+    * `blockSize` (block = doc_id div blockSize): per aggregation buffer
+    * the collected list is ≤ blockSize entries, so a stopword term —
+    * whose FULL posting list is corpus-sized — never accumulates
+    * unbounded state in one buffer (the same hazard class as the old
+    * salted collect_set, avoided by construction). Real engines shard
+    * hot posting lists exactly this way (doc-partitioned indexes).
+    *
+    * Within a block, ids are array_sort'ed numerically before joining —
+    * collect_list is partitioning-dependent, the sort restores a
+    * canonical order (the q_sequence_assembly convention), making the
+    * whole index state hash-comparable cross-engine.
+    *
+    * Scale shape: one in-row flat map + ONE partial-aggregable hash agg
+    * on (term, blk); the per-term global df joins back from a term-level
+    * re-agg of the block dfs (≤ |vocab| rows, AQE-broadcastable).
+    * Output: (term, blk, blk_df, df, postings). */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize=$blockSize")
+    val tok = docs.select(id.cast("long").as("doc_id"),
+        explode(split(text, " ")).as("term"))
+      .distinct() // presence, not frequency: one posting per (term, doc)
+      .withColumn("blk", expr(s"doc_id div $blockSize"))
+    val blocks = tok.groupBy("term", "blk")
+      .agg(count(lit(1)).as("blk_df"),
+        concat_ws("|",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings"))
+    val dfTot = blocks.groupBy("term").agg(sum("blk_df").as("df"))
+    blocks.join(dfTot, Seq("term"))
+      .select("term", "blk", "blk_df", "df", "postings")
+  }
+
+  /** Conjunctive boolean retrieval (AND of all query terms): the doc
+    * ids containing EVERY term of the one-column `terms` frame. The
+    * broadcast term semi-join prunes the token stream map-side; a doc
+    * qualifies when its distinct matched-term count equals |terms|
+    * (the posting-list-intersection result, computed without
+    * materializing any posting list). Output: (doc_id, n_terms). */
+  def booleanAnd(docs: DataFrame, id: Column, text: Column,
+                 terms: DataFrame): DataFrame = {
+    val tm = terms.select(col(terms.columns.head).as("term")).distinct()
+    val nq = tm.agg(count(lit(1)).as("n_q"))
+    docs.select(id.cast("long").as("doc_id"),
+        explode(split(text, " ")).as("term"))
+      .join(broadcast(tm), "term")
+      .select("doc_id", "term").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+      .crossJoin(broadcast(nq))
+      .filter(col("n_terms") === col("n_q"))
+      .select("doc_id", "n_terms")
+  }
 }

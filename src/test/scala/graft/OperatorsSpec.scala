@@ -1865,4 +1865,31 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(purged == Set(("alpha-", 5L)))
   }
+
+  test("invertedIndex blocks postings correctly; booleanAnd == all-terms filter") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "a c c"), (3L, "b"),
+      (4L, "a b c d"), (5L, "d a"), (7L, "a b x")).toDF("doc_id", "text")
+    // blockSize 4: docs 0-3 in block 0, 4-7 in block 1
+    val idx = graft.operators.Retrieval.invertedIndex(
+      docs, col("doc_id"), col("text"), blockSize = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(idx(("a", 0L)) == ((3L, 6L, "0|1|2")), idx(("a", 0L)).toString)
+    assert(idx(("a", 1L)) == ((3L, 6L, "4|5|7")), idx(("a", 1L)).toString)
+    assert(idx(("c", 0L)) == ((2L, 3L, "0|2"))) // presence, not tf (doc 2 has c twice)
+    assert(idx(("d", 1L)) == ((2L, 2L, "4|5")))
+    assert(idx(("x", 1L)) == ((1L, 1L, "7")))
+    assert(!idx.contains(("x", 0L)))
+    // booleanAnd over {a, b}: docs containing BOTH
+    val hits = graft.operators.Retrieval.booleanAnd(
+      docs, col("doc_id"), col("text"), Seq("a", "b").toDF("term"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((0L, 2L), (1L, 2L), (4L, 2L), (7L, 2L)))
+    // empty intersection: a term nothing contains
+    val none = graft.operators.Retrieval.booleanAnd(
+      docs, col("doc_id"), col("text"), Seq("a", "zzz").toDF("term")).count()
+    assert(none == 0L)
+  }
 }
