@@ -1732,6 +1732,22 @@ object SparkEntry {
         .orderBy($"df".desc, $"term").limit(3).select("term")
       operators.Retrieval.booleanAnd(docs, $"doc_id", $"text", top)
         .orderBy("doc_id")
+    },
+    // Deterministic random-walk corpus (plans.RandomWalk): DeepWalk-style
+    // truncated walks that turn a graph into skip-gram training data.
+    // Every step draws its neighbor index from the 52-bit sha256 of
+    // "walkId:step" over the node's sorted adjacency array — bit-identical
+    // across partitionings and engines; the oracle replays all 3 draws.
+    // Graph: the same two-overlay functional graph as q_scc (out-degree
+    // ≤ 2, so both draw branches exercise).
+    "q_random_walks" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val g1 = ev.groupBy(($"user_id" % 101L).as("src"))
+        .agg((min($"event_id") % 101L).as("dst"))
+      val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
+        .agg((max($"user_id") % 101L).as("dst"))
+      plans.RandomWalk.walks(g1.union(g2), len = 3, nWalks = 2)
+        .orderBy("walk_id")
     }
   )
 
@@ -3347,7 +3363,37 @@ object SparkEntry {
         |m AS (SELECT doc_id, COUNT(*) AS n_terms FROM tok JOIN q USING (term)
         |      GROUP BY doc_id)
         |SELECT doc_id, n_terms FROM m WHERE n_terms = (SELECT COUNT(*) FROM q)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_random_walks" -> {
+      // one step of the walk replay: LEFT JOIN the adjacency on the
+      // current node, then either advance by the sha256 draw or stay
+      // frozen at a dead end (dead ends are self-sustaining, no flag
+      // needed). h = 52-bit slice of sha256("walkId:step").
+      def step(prev: String, s: Int): String =
+        s"""j$s AS (SELECT p.walk_id, p.start, p.cur AS prev, p.path, p.steps,
+           |  a.nbrs, CAST('0x' || substr(sha256(CAST(p.walk_id AS VARCHAR) || ':$s'), 1, 13) AS BIGINT) AS h
+           |  FROM $prev p LEFT JOIN adj a ON p.cur = a.src),
+           |w$s AS (SELECT walk_id, start,
+           |  CASE WHEN nbrs IS NULL THEN prev
+           |       ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
+           |  CASE WHEN nbrs IS NULL THEN path ELSE path || '|' ||
+           |       CAST(nbrs[CAST(h % len(nbrs) AS INT) + 1] AS VARCHAR) END AS path,
+           |  CASE WHEN nbrs IS NULL THEN steps ELSE steps + 1 END AS steps
+           |  FROM j$s)""".stripMargin
+      """WITH g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst
+        |            FROM events GROUP BY 1),
+        |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst
+        |       FROM events GROUP BY 1),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |      (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+        |adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY src),
+        |w0 AS (SELECT src * 2 + q.w AS walk_id, src AS start, src AS cur,
+        |         CAST(src AS VARCHAR) AS path, CAST(0 AS BIGINT) AS steps
+        |       FROM adj, (SELECT UNNEST([0, 1]) AS w) q),
+        |""".stripMargin +
+        step("w0", 1) + ",\n" + step("w1", 2) + ",\n" + step("w2", 3) + "\n" +
+        "SELECT walk_id, start, steps, path FROM w3 ORDER BY walk_id"
+    }
   )
 
   /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,

@@ -487,4 +487,65 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 31L, 31L, 31L, 31L)), got(4L).toString)
     assert(!got.contains(5L))
   }
+
+  /** 52-bit sha256 slice — the same derivation as RandomWalk.hash52 /
+    * Sketch.regRho, recomputed independently on the JVM */
+  private def h52(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(13), 16)
+  }
+
+  /** reference truncated deterministic walk */
+  private def refWalks(edges: Seq[(Long, Long)], len: Int, nWalks: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    adj.keys.flatMap { n =>
+      (0 until nWalks).map { k =>
+        val id = n * nWalks + k
+        var cur = n; var steps = 0L; val path = new StringBuilder(n.toString)
+        var s = 1; var stuck = false
+        while (s <= len && !stuck) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              cur = nbrs((h52(s"$id:$s") % nbrs.size).toInt)
+              path.append('|').append(cur); steps += 1
+            case None => stuck = true
+          }
+          s += 1
+        }
+        id -> ((n, steps, path.toString))
+      }
+    }.toMap
+  }
+
+  test("random walks match the JVM sha256 reference incl. dead ends; partition-invariant") {
+    import spark.implicits._
+    // 0 and 2 branch, 1 is single-exit, 3 is a dead end
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (2L, 3L), (0L, 2L))
+    val want = refWalks(edges, len = 4, nWalks = 3)
+    def run(parts: Int) = graft.plans.RandomWalk
+      .walks(edges.toDF("src", "dst").repartition(parts), len = 4, nWalks = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(3)
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(run(1) == got) // partitioning-invariant
+    // a walk reaching the dead end froze early
+    assert(want.values.exists(_._2 < 4L) || got.values.forall(_._2 == 4L))
+  }
+
+  test("random walks: maxDegree cap bounds the neighbor sample deterministically") {
+    import spark.implicits._
+    val hub = 9L
+    val edges = (1L to 5L).map(d => (hub, d))
+    // top-2 neighbors by h52("src:dst") desc, dst asc — the TopKAgg order
+    val retained = edges.map { case (s, d) => (h52(s"$s:$d"), d) }
+      .sortBy { case (h, d) => (-h, d) }.take(2).map(_._2).toSet
+    val visited = graft.plans.RandomWalk
+      .walks(edges.toDF("src", "dst"), len = 1, nWalks = 8, maxDegree = 2)
+      .filter(col("start") === hub)
+      .collect().map(_.getString(3).split('|')(1).toLong).toSet
+    assert(visited.subsetOf(retained), s"visited=$visited retained=$retained")
+  }
 }
