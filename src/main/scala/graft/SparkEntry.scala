@@ -1748,6 +1748,25 @@ object SparkEntry {
         .agg((max($"user_id") % 101L).as("dst"))
       plans.RandomWalk.walks(g1.union(g2), len = 3, nWalks = 2)
         .orderBy("walk_id")
+    },
+    // Streaming exact windowed top-k ("top users per hour"): the
+    // windowed keyed-count state is micro-batch invariant and ≡ the
+    // batch groupBy (counts sum associatively); the partial-aggregable
+    // TopKAgg ranks the final state — the shuffle carries ≤ k·|windows|
+    // rows, never the count table.
+    "q_stream_topk" -> { (s, dir) =>
+      val counts = graft.streaming.StreamingPipeline
+        .windowedKeyCounts(s, s"$dir/events.parquet")
+      val name = "tk" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = counts.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      val tbl = s.table(name).select(col("w.start").as("ws"), col("k"), col("cnt"))
+      graft.functions.TopKAgg.groupTopK(
+          tbl.withColumn("wsl", unix_timestamp(col("ws"))),
+          col("wsl"), col("cnt"), col("k"), 3)
+        .select(to_timestamp(col("g")).as("ws"), col("rn"),
+          col("id").as("user_id"), col("v").as("cnt"))
+        .orderBy("ws", "rn")
     }
   )
 
@@ -3393,7 +3412,14 @@ object SparkEntry {
         |""".stripMargin +
         step("w0", 1) + ",\n" + step("w1", 2) + ",\n" + step("w2", 3) + "\n" +
         "SELECT walk_id, start, steps, path FROM w3 ORDER BY walk_id"
-    }
+    },
+    "q_stream_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS ws, user_id, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT ws, user_id, cnt,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY ws
+        |             ORDER BY cnt DESC, user_id) AS BIGINT) AS rn FROM c)
+        |SELECT ws, rn, user_id, cnt FROM r WHERE rn <= 3 ORDER BY ws, rn""".stripMargin
   )
 
   /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,

@@ -114,6 +114,25 @@ object StreamingPipeline {
       .groupBy(col("w"), col("row"), col("col"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming per-window keyed counts — the state behind exact
+    * windowed top-k ("top users per hour"). One count row per
+    * (window, key): bounded by the per-window KEY CARDINALITY, not the
+    * traffic (each event folds into its count map-side) — right when
+    * the key domain is bounded (users, types, hosts); for unbounded
+    * domains use [[windowedCmsRegisters]] + heavy-hitter verify
+    * instead. Counts sum associatively ⇒ micro-batch-split invariant
+    * and ≡ the batch groupBy over the same files (the oracle contract);
+    * rank off the final state with
+    * [[graft.functions.TopKAgg.groupTopK]]. */
+  def windowedKeyCounts(spark: SparkSession, eventsDir: String,
+                        keyCol: String = "user_id",
+                        window_ : String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Stream-static join: enrich the event stream with a slowly-changing
     * dimension table (user → segment, doc → license, …). Stateless on
     * the stream side — Spark re-plans the static side per micro-batch,

@@ -654,6 +654,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("streaming windowed key counts equal batch groupBy (micro-batch invariance)") {
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    // force multiple micro-batches by splitting the input into 3 files
+    val split = java.nio.file.Files.createTempDirectory("graft-topk-stream").toString
+    spark.read.parquet(dir).repartition(3).write.mode("overwrite").parquet(split)
+    val counts = graft.streaming.StreamingPipeline.windowedKeyCounts(spark, split)
+    val name = "tkc" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = counts.writeStream.format("memory").queryName(name)
+      .option("maxFilesPerTrigger", "1").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+      .select(col("w.start").cast("long").as("ws"), col("k"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = spark.read.parquet(dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("long").as("ws"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions by gap and timeout") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
