@@ -1767,6 +1767,20 @@ object SparkEntry {
         .select(to_timestamp(col("g")).as("ws"), col("rn"),
           col("id").as("user_id"), col("v").as("cnt"))
         .orderBy("ws", "rn")
+    },
+    // Skip-gram pairs from the walk corpus (RandomWalk.skipGramPairs):
+    // the (center, context) training pairs DeepWalk feeds to word2vec —
+    // in-row pair generation over each path (window 2), one hash agg.
+    // The oracle re-runs the full walk replay and the pair expansion.
+    "q_skipgram" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val g1 = ev.groupBy(($"user_id" % 101L).as("src"))
+        .agg((min($"event_id") % 101L).as("dst"))
+      val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
+        .agg((max($"user_id") % 101L).as("dst"))
+      val w = plans.RandomWalk.walks(g1.union(g2), len = 3, nWalks = 2)
+      plans.RandomWalk.skipGramPairs(w, window = 2)
+        .orderBy("center", "context")
     }
   )
 
@@ -1843,6 +1857,38 @@ object SparkEntry {
       |rk AS (SELECT query_id, doc_id, score_ppm,
       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |            ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn FROM agg)""".stripMargin
+
+  /** Shared CTE chain replaying q_random_walks' deterministic walks,
+    * ending at `w3` (walk_id, start, cur, path, steps) — reused by
+    * q_random_walks and q_skipgram. One step = LEFT JOIN the adjacency
+    * on the current node, then either advance by the sha256 draw or
+    * stay frozen at a dead end (dead ends are self-sustaining, no flag
+    * needed); h = 52-bit slice of sha256("walkId:step"). */
+  private val randomWalkCte: String = {
+    def step(prev: String, s: Int): String =
+      s"""j$s AS (SELECT p.walk_id, p.start, p.cur AS prev, p.path, p.steps,
+         |  a.nbrs, CAST('0x' || substr(sha256(CAST(p.walk_id AS VARCHAR) || ':$s'), 1, 13) AS BIGINT) AS h
+         |  FROM $prev p LEFT JOIN adj a ON p.cur = a.src),
+         |w$s AS (SELECT walk_id, start,
+         |  CASE WHEN nbrs IS NULL THEN prev
+         |       ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
+         |  CASE WHEN nbrs IS NULL THEN path ELSE path || '|' ||
+         |       CAST(nbrs[CAST(h % len(nbrs) AS INT) + 1] AS VARCHAR) END AS path,
+         |  CASE WHEN nbrs IS NULL THEN steps ELSE steps + 1 END AS steps
+         |  FROM j$s)""".stripMargin
+    """WITH g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst
+      |            FROM events GROUP BY 1),
+      |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst
+      |       FROM events GROUP BY 1),
+      |e AS (SELECT DISTINCT src, dst FROM
+      |      (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+      |adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY src),
+      |w0 AS (SELECT src * 2 + q.w AS walk_id, src AS start, src AS cur,
+      |         CAST(src AS VARCHAR) AS path, CAST(0 AS BIGINT) AS steps
+      |       FROM adj, (SELECT UNNEST([0, 1]) AS w) q),
+      |""".stripMargin +
+      step("w0", 1) + ",\n" + step("w1", 2) + ",\n" + step("w2", 3)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3383,36 +3429,20 @@ object SparkEntry {
         |      GROUP BY doc_id)
         |SELECT doc_id, n_terms FROM m WHERE n_terms = (SELECT COUNT(*) FROM q)
         |ORDER BY doc_id""".stripMargin,
-    "q_random_walks" -> {
-      // one step of the walk replay: LEFT JOIN the adjacency on the
-      // current node, then either advance by the sha256 draw or stay
-      // frozen at a dead end (dead ends are self-sustaining, no flag
-      // needed). h = 52-bit slice of sha256("walkId:step").
-      def step(prev: String, s: Int): String =
-        s"""j$s AS (SELECT p.walk_id, p.start, p.cur AS prev, p.path, p.steps,
-           |  a.nbrs, CAST('0x' || substr(sha256(CAST(p.walk_id AS VARCHAR) || ':$s'), 1, 13) AS BIGINT) AS h
-           |  FROM $prev p LEFT JOIN adj a ON p.cur = a.src),
-           |w$s AS (SELECT walk_id, start,
-           |  CASE WHEN nbrs IS NULL THEN prev
-           |       ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
-           |  CASE WHEN nbrs IS NULL THEN path ELSE path || '|' ||
-           |       CAST(nbrs[CAST(h % len(nbrs) AS INT) + 1] AS VARCHAR) END AS path,
-           |  CASE WHEN nbrs IS NULL THEN steps ELSE steps + 1 END AS steps
-           |  FROM j$s)""".stripMargin
-      """WITH g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst
-        |            FROM events GROUP BY 1),
-        |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst
-        |       FROM events GROUP BY 1),
-        |e AS (SELECT DISTINCT src, dst FROM
-        |      (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
-        |adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY src),
-        |w0 AS (SELECT src * 2 + q.w AS walk_id, src AS start, src AS cur,
-        |         CAST(src AS VARCHAR) AS path, CAST(0 AS BIGINT) AS steps
-        |       FROM adj, (SELECT UNNEST([0, 1]) AS w) q),
-        |""".stripMargin +
-        step("w0", 1) + ",\n" + step("w1", 2) + ",\n" + step("w2", 3) + "\n" +
-        "SELECT walk_id, start, steps, path FROM w3 ORDER BY walk_id"
-    },
+    "q_random_walks" -> (randomWalkCte +
+      "\nSELECT walk_id, start, steps, path FROM w3 ORDER BY walk_id"),
+    "q_skipgram" -> (randomWalkCte +
+      """,
+        |toks AS (SELECT string_split(path, '|') AS p FROM w3),
+        |pairs AS (SELECT CAST(p[i + 1] AS BIGINT) AS center,
+        |                 CAST(p[j + 1] AS BIGINT) AS context
+        |          FROM toks,
+        |               UNNEST(range(0, len(p))) AS a(i),
+        |               UNNEST(range(greatest(i - 2, 0),
+        |                            least(i + 2, len(p) - 1) + 1)) AS b(j)
+        |          WHERE j != i)
+        |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
     "q_stream_topk" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS ws, user_id, COUNT(*) AS cnt
         |           FROM events GROUP BY 1, 2),

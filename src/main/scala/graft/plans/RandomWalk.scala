@@ -84,4 +84,30 @@ object RandomWalk {
     }
     state.select("walk_id", "start", "steps", "path")
   }
+
+  /** Skip-gram training pairs from walk paths — the step between
+    * [[walks]] and an embedding trainer (DeepWalk §4.2 feeds exactly
+    * these (center, context) pairs to word2vec). For every position i
+    * of every walk, each position j with 0 < |i−j| ≤ `window` yields
+    * one (center=path[i], context=path[j]) pair; identical pairs
+    * aggregate to a count (the trainer's sample weight).
+    *
+    * Scale shape: pair generation is an IN-ROW flat map over each
+    * walk's ≤ (len+1)·2·window pairs (two Generates, no join), then ONE
+    * partial-aggregable hash agg on (center, context) — the corpus
+    * never self-joins. Output: (center, context, cnt). */
+  def skipGramPairs(walkPaths: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val toks = walkPaths
+      .select(transform(split(col("path"), "\\|"), t => t.cast("long")).as("p"))
+    toks
+      .select(posexplode(col("p")).as(Seq("i", "center")), col("p"))
+      .select(col("center"), explode(expr(
+        s"""transform(
+           |  filter(sequence(greatest(i - $window, 0),
+           |                  least(i + $window, size(p) - 1)),
+           |         j -> j != i),
+           |  j -> p[j])""".stripMargin)).as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
 }

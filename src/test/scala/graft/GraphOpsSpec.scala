@@ -548,4 +548,22 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(3).split('|')(1).toLong).toSet
     assert(visited.subsetOf(retained), s"visited=$visited retained=$retained")
   }
+
+  test("skipGramPairs match a scalar reference incl. short paths and window clipping") {
+    import spark.implicits._
+    val paths = Seq("1|2|3|4|5", "7|8", "9") // normal, short, singleton
+    val want = paths.flatMap { p =>
+      val t = p.split('|').map(_.toLong)
+      for {
+        i <- t.indices; j <- t.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (t(i), t(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = graft.plans.RandomWalk
+      .skipGramPairs(paths.toDF("path"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(!got.keys.exists(k => k == ((9L, 9L)))) // singleton path emits nothing
+    assert(got((1L, 3L)) == 1L && got((2L, 4L)) == 1L && !got.contains((1L, 4L)))
+  }
 }
