@@ -1781,6 +1781,29 @@ object SparkEntry {
       val w = plans.RandomWalk.walks(g1.union(g2), len = 3, nWalks = 2)
       plans.RandomWalk.skipGramPairs(w, window = 2)
         .orderBy("center", "context")
+    },
+    // PMI-lift collocations (TextAnalysis.collocations): adjacent word
+    // pairs co-occurring above chance — lift_ppm = c_ab·N·10^6 div
+    // (c_a·c_b) in exact DECIMAL(38,0) (PMI's ratio form; log-free, so
+    // cross-engine exact). minCount 5 prunes the pair table before the
+    // unigram joins.
+    "q_collocations" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.TextAnalysis.collocations(
+        t(dir, "documents"), $"text", minCount = 5L)
+        .orderBy("a", "b")
+    },
+    // Graph condensation (plans.Scc.condense): collapse every SCC to
+    // one node and keep distinct between-component edges — the acyclic
+    // quotient DAG that makes cyclic link structure safe for DAG-only
+    // passes. Same two-overlay graph as q_scc; the oracle extends the
+    // same recursive-CTE SCC replay with the edge projection.
+    "q_condensation" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val g1 = ev.groupBy(($"user_id" % 101L).as("src"))
+        .agg((min($"event_id") % 101L).as("dst"))
+      val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
+        .agg((max($"user_id") % 101L).as("dst"))
+      plans.Scc.condense(g1.union(g2)).orderBy("src_scc", "dst_scc")
     }
   )
 
@@ -1889,6 +1912,29 @@ object SparkEntry {
       |""".stripMargin +
       step("w0", 1) + ",\n" + step("w1", 2) + ",\n" + step("w2", 3)
   }
+
+  /** Shared recursive-CTE SCC-assignment replay (the independent O(n²)
+    * reachability-closure algorithm — oracle-affordable only), ending at
+    * `scc` (id, scc_id); `raw` carries the input edges. Reused by q_scc
+    * and q_condensation. */
+  private val sccAssignCte: String =
+    """WITH RECURSIVE
+      |g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst FROM events GROUP BY 1),
+      |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst FROM events GROUP BY 1),
+      |raw AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+      |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |nodes AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |mutual AS (
+      |  SELECT r1.src AS id, r1.dst AS other FROM reach r1
+      |  JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+      |scc AS (
+      |  SELECT n.id, CAST(GREATEST(n.id, COALESCE(MAX(m.other), n.id)) AS BIGINT) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON n.id = m.id
+      |  GROUP BY n.id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2538,23 +2584,14 @@ object SparkEntry {
     // O(n²)-pairs algorithm the trim+coloring engine never runs.
     // Self-loops drop from the edge set but their endpoints stay nodes
     // (mirroring plans.Scc); GREATEST(id, …) includes the node itself.
-    "q_scc" ->
-      """WITH RECURSIVE
-        |g1 AS (SELECT user_id % 101 AS src, MIN(event_id) % 101 AS dst FROM events GROUP BY 1),
-        |g2 AS (SELECT event_id % 101 AS src, MAX(user_id) % 101 AS dst FROM events GROUP BY 1),
-        |raw AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
-        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
-        |nodes AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-        |mutual AS (
-        |  SELECT r1.src AS id, r1.dst AS other FROM reach r1
-        |  JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src)
-        |SELECT n.id, CAST(GREATEST(n.id, COALESCE(MAX(m.other), n.id)) AS BIGINT) AS scc_id
-        |FROM nodes n LEFT JOIN mutual m ON n.id = m.id
-        |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    "q_scc" -> (sccAssignCte + "\nSELECT id, scc_id FROM scc ORDER BY id"),
+    "q_condensation" -> (sccAssignCte +
+      """,
+        |e0 AS (SELECT DISTINCT src, dst FROM raw)
+        |SELECT DISTINCT s1.scc_id AS src_scc, s2.scc_id AS dst_scc
+        |FROM e0 JOIN scc s1 ON e0.src = s1.id JOIN scc s2 ON e0.dst = s2.id
+        |WHERE s1.scc_id <> s2.scc_id
+        |ORDER BY src_scc, dst_scc""".stripMargin),
     // HyperBall: replay 2 register-propagation rounds (integer state,
     // same sha256 derivation as q_hll_registers at b=4 ⇒ m=16), then
     // the per-node harmonic estimate (q_hll_estimate convention: one
@@ -3443,6 +3480,19 @@ object SparkEntry {
         |          WHERE j != i)
         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM pairs GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
+    "q_collocations" ->
+      """WITH t0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT u.tk AS w, COUNT(*) AS c
+        |        FROM t0, UNNEST(w) AS u(tk) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+        |bi AS (SELECT w[i] AS a, w[i + 1] AS b, COUNT(*) AS c_ab
+        |       FROM t0, UNNEST(range(1, len(w))) AS u(i)
+        |       WHERE len(w) >= 2 GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |       CAST((CAST(c_ab AS HUGEINT) * n_tok * 1000000)
+        |         // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm
+        |FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w
+        |CROSS JOIN n ORDER BY a, b""".stripMargin,
     "q_stream_topk" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS ws, user_id, COUNT(*) AS cnt
         |           FROM events GROUP BY 1, 2),

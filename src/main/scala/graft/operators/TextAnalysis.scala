@@ -182,6 +182,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI-lift collocation scoring — statistically-associated adjacent
+    * word pairs ("new york"-style multiword expressions), the standard
+    * phrase-detection pass before tokenizer/embedding training (Mikolov
+    * et al. 2013 §4 learn phrases from exactly this ratio). For each
+    * adjacent bigram (a, b) with count ≥ `minCount`:
+    * lift_ppm = (c_ab · N · 10^6) div (c_a · c_b), N = total tokens —
+    * the exact-ratio form of pointwise mutual information (PMI = log
+    * lift; log is monotone, so lift RANKS identically without floats).
+    * lift ≫ 10^6 means the pair co-occurs far above chance.
+    *
+    * Exactness: the numerator is ≤ N²·10^6 — DECIMAL(38,0) holds it for
+    * corpora up to 10^15 tokens (the [[Dsir]] convention), and the
+    * single integer `div` is replayed verbatim in DuckDB HUGEINT
+    * (q_collocations).
+    *
+    * Scale shape: bigram and unigram counts are two partial-aggregable
+    * hash aggs over in-row flat maps; the unigram table joins onto the
+    * minCount-pruned bigram table (vocab-bounded — AQE broadcasts it
+    * when small); the one-row total rides as a broadcast cross join.
+    * Output: (a, b, c_ab, c_a, c_b, lift_ppm). */
+  def collocations(df: DataFrame, text: Column, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount")
+    val toks = tokens(text)
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum(col("c")).as("n_tok"))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b")))
+    val bi = df.select(explode(when(size(toks) >= 2, bigrams)
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift_ppm", expr(
+        "cast((cast(c_ab as decimal(38,0)) * n_tok * 1000000) div " +
+          "(cast(c_a as decimal(38,0)) * c_b) as bigint)"))
+      .select("a", "b", "c_ab", "c_a", "c_b", "lift_ppm")
+  }
+
   /** Corpus-trained bigram language-model fluency score — the
     * perplexity-style quality signal (CCNet/KenLM family) reduced to
     * integer arithmetic: train conditional bigram frequencies on the

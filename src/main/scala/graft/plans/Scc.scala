@@ -286,4 +286,31 @@ object Scc {
       s"Scc did not converge in $maxPhases phases — raise maxPhases")
     assigned
   }
+
+  /** Graph condensation: collapse every SCC to one node (its scc_id)
+    * and keep the distinct between-component edges — the acyclic
+    * quotient DAG. This is the standard pre-step that makes cyclic KG
+    * link structure (redirect rings, mutual-citation farms) safe for
+    * DAG-only algorithms (topological ordering, bounded closure,
+    * longest-path) — and the recommended SCC mitigation for long-chain
+    * graphs: condense once, then work on the (usually far smaller)
+    * quotient.
+    *
+    * Scale shape: two broadcast-able equi-joins of the edge list onto
+    * the (id, scc_id) assignment + one distinct — nothing beyond the
+    * [[run]] cost it builds on.
+    * Output: (src_scc, dst_scc) distinct, self-edges (intra-SCC)
+    * removed. */
+  def condense(edges: DataFrame, maxPhases: Int = 64,
+               maxRounds: Int = 10000): DataFrame = {
+    val c = edges.columns
+    val e = edges.select(col(c(0)).cast("long").as("src"),
+      col(c(1)).cast("long").as("dst")).distinct()
+    val scc = run(e, maxPhases, maxRounds)
+    e.join(scc.select(col("id").as("src"), col("scc_id").as("src_scc")), Seq("src"))
+      .join(scc.select(col("id").as("dst"), col("scc_id").as("dst_scc")), Seq("dst"))
+      .select("src_scc", "dst_scc")
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .distinct()
+  }
 }

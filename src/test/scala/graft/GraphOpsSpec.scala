@@ -549,6 +549,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(visited.subsetOf(retained), s"visited=$visited retained=$retained")
   }
 
+  test("scc condensation collapses cycles to a DAG of distinct quotient edges") {
+    import spark.implicits._
+    // cycle {1,2,3} → cycle {4,5} → tail 6; parallel raw edges collapse
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (3L, 4L), (3L, 4L), (5L, 6L))
+    val got = graft.plans.Scc.condense(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 5L), (5L, 6L)), got.toString)
+    // a DAG condenses to itself (every node its own SCC)
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val gotDag = graft.plans.Scc.condense(dag.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDag == dag.toSet)
+  }
+
   test("skipGramPairs match a scalar reference incl. short paths and window clipping") {
     import spark.implicits._
     val paths = Seq("1|2|3|4|5", "7|8", "9") // normal, short, singleton

@@ -654,6 +654,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("collocations match a scalar PMI-lift reference; planted phrase ranks top") {
+    import spark.implicits._
+    val docs = Seq(
+      "new york is a big city", "i visited new york last year",
+      "new york has new parks", "york new has no meaning here",
+      "the city is big and the year is new").toDF("text")
+    val texts = docs.collect().map(_.getString(0)).toSeq
+    val allToks = texts.flatMap(_.split(' '))
+    val uni = allToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = allToks.size.toLong
+    val bi = texts.flatMap(t => t.split(' ').sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1)))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val want = bi.collect { case ((a, b), cab) if cab >= 2 =>
+      (a, b) -> ((cab, uni(a), uni(b),
+        (BigInt(cab) * n * 1000000 / (BigInt(uni(a)) * uni(b))).toLong))
+    }.toMap
+    val got = graft.operators.TextAnalysis.collocations(docs, col("text"), minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    // the planted phrase out-lifts a chance pair
+    assert(got(("new", "york"))._4 > 1000000L)
+  }
+
   test("streaming windowed key counts equal batch groupBy (micro-batch invariance)") {
     val dir = "/root/testdata/sf0.001/events.parquet"
     // force multiple micro-batches by splitting the input into 3 files
