@@ -114,7 +114,12 @@ object Bench {
     "q_scc", "q_exactsubstr", "q_bm25_multi", "q_dsir", "q_semdedup",
     // RRF hybrid fusion: BM25-multi run + pseudo-dense run + the
     // agg-only fusion — measures the full hybrid-retrieval path
-    "q_rrf")
+    "q_rrf",
+    // k-truss: per-round degree-ordered triangle support (the O(m^1.5)
+    // wedge join) + semi-join peel — the heaviest per-round graph op in
+    // the suite; funnel: one min-agg + frontier join per step;
+    // modularity: two partial aggs + community map join
+    "q_ktruss", "q_funnel", "q_modularity")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -1804,6 +1804,58 @@ object SparkEntry {
       val g2 = ev.groupBy(($"event_id" % 101L).as("src"))
         .agg((max($"user_id") % 101L).as("dst"))
       plans.Scc.condense(g1.union(g2)).orderBy("src_scc", "dst_scc")
+    },
+    // ordered funnel (view → click → purchase): each step's per-user
+    // time is the EARLIEST completion strictly after the previous
+    // step's — one min-agg + one frontier join per step, no per-user
+    // event arrays (operators.Funnel)
+    "q_funnel" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Funnel.funnel(t(dir, "events"),
+          $"user_id", $"event_type", $"ts".cast("timestamp").cast("long"),
+          Seq("view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+    // exponentially time-decayed counts per key (trending score),
+    // half-life 1 day vs the table's max event time; weights are
+    // 2^(scaleBits - floor(age/halfLife)) BIGINTs — integer-exact
+    // cross-engine, one partial-aggregable hash agg
+    "q_decay" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Profiling.timeDecayCount(t(dir, "events"),
+          $"event_type", $"ts", halfLifeSec = 86400L, scaleBits = 32)
+        .withColumnRenamed("key", "event_type").orderBy("event_type")
+    },
+    // k-truss (k=4: every surviving edge in ≥2 triangles of the
+    // surviving subgraph): support peeling with degree-ordered triangle
+    // enumeration — the oracle unrolls the identical rounds
+    "q_ktruss" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"event_id" % 30L).as("a"),
+          (($"event_id" * 7L + $"user_id") % 30L).as("b"))
+        .where($"a" =!= $"b").distinct()
+      plans.KTruss.run(edges, k = 4, rounds = 3).orderBy("u", "v")
+    },
+    // Newman modularity of a community assignment, integer-exact scaled
+    // by 4m² (contrib = 4·m·L_c − D_c² per community; Σ contrib = Q·4m²)
+    "q_modularity" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select($"user_id".as("a"), (($"user_id" * 31L + 7L) % 150L).as("b"))
+        .where($"a" =!= $"b").distinct()
+      val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
+      val comms = nodes.select($"id", ($"id" % 5L).as("comm"))
+      plans.Modularity.scaled(edges, comms).orderBy("comm")
+    },
+    // BPE inference half: learn 3 merges (the q_bpe_learn path), replay
+    // them in learned order on the corpus, report the merged-token
+    // histogram — the oracle replays the identical rounds and aggregates
+    // the final token table
+    "q_bpe_apply" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val merges = operators.Bpe.learnBpe(docs, $"doc_id", $"text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.Bpe.applyMerges(docs, $"doc_id", $"text", merges)
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy("token")
     }
   )
 
@@ -3499,7 +3551,90 @@ object SparkEntry {
         |r AS (SELECT ws, user_id, cnt,
         |        CAST(ROW_NUMBER() OVER (PARTITION BY ws
         |             ORDER BY cnt DESC, user_id) AS BIGINT) AS rn FROM c)
-        |SELECT ws, rn, user_id, cnt FROM r WHERE rn <= 3 ORDER BY ws, rn""".stripMargin
+        |SELECT ws, rn, user_id, cnt FROM r WHERE rn <= 3 ORDER BY ws, rn""".stripMargin,
+    // chained earliest-after-previous funnel; each CTE is one step's
+    // frontier, exactly the engine's min-agg + frontier-join rounds
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+        |       (SELECT COUNT(*) FROM s0) AS users
+        |UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
+    // integer-exact decay: weight = 1 << (32 - floor(age/86400)) capped
+    // at 32 half-lives; epoch floored to seconds on both engines
+    "q_decay" ->
+      """WITH e AS (SELECT event_type AS key,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |m AS (SELECT MAX(tsec) AS tmax FROM e),
+        |w AS (SELECT key, CASE WHEN (tmax - tsec) // 86400 <= 32
+        |        THEN (CAST(1 AS BIGINT) << CAST(32 - (tmax - tsec) // 86400 AS INTEGER))
+        |        ELSE 0 END AS w
+        |      FROM e, m)
+        |SELECT key AS event_type, CAST(SUM(w) AS BIGINT) AS decayed_scaled,
+        |       COUNT(*) AS n
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // k-truss rounds unrolled (triangles enumerated u<v<w once each,
+    // exploded into their 3 canonical edges, support-filtered); the
+    // engine's early fixpoint exit is a no-op relative to the unroll
+    "q_ktruss" -> {
+      val k = 4; val rounds = 3
+      def triSup(i: String, e: String) =
+        s"""t$i AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM $e x
+           |  JOIN $e y ON y.u = x.u AND y.v > x.v
+           |  JOIN $e z ON z.u = x.v AND z.v = y.v),
+           |s$i AS (SELECT u, v, COUNT(*) AS sup FROM (
+           |  SELECT a AS u, b AS v FROM t$i
+           |  UNION ALL SELECT a, c FROM t$i
+           |  UNION ALL SELECT b, c FROM t$i)
+           |  GROUP BY u, v)""".stripMargin
+      val sb = new StringBuilder(
+        """WITH raw AS (SELECT event_id % 30 AS a, (event_id * 7 + user_id) % 30 AS b
+          |  FROM events),
+          |e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+          |  FROM raw WHERE a <> b)""".stripMargin)
+      for (i <- 0 until rounds) sb.append(
+        s""",
+           |${triSup(i.toString, s"e$i")},
+           |e${i + 1} AS (SELECT e.u, e.v FROM e$i e
+           |  JOIN s$i s ON e.u = s.u AND e.v = s.v WHERE s.sup >= ${k - 2})""".stripMargin)
+      sb.append(
+        s""",
+           |${triSup("f", s"e$rounds")}
+           |SELECT e.u AS u, e.v AS v, CAST(COALESCE(s.sup, 0) AS BIGINT) AS sup
+           |FROM e$rounds e LEFT JOIN sf s ON e.u = s.u AND e.v = s.v
+           |ORDER BY e.u, e.v""".stripMargin)
+      sb.toString
+    },
+    // per-community modularity terms, scaled by 4m² (pure BIGINT)
+    "q_modularity" ->
+      """WITH raw AS (SELECT user_id AS a, (user_id * 31 + 7) % 150 AS b FROM events),
+        |e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |mm AS (SELECT COUNT(*) AS m FROM e0),
+        |nodes AS (SELECT u AS id FROM e0 UNION SELECT v FROM e0),
+        |comm AS (SELECT id, id % 5 AS comm FROM nodes),
+        |deg AS (SELECT id, COUNT(*) AS d FROM
+        |  (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY id),
+        |ds AS (SELECT c.comm, CAST(SUM(d.d) AS BIGINT) AS d_sum
+        |  FROM deg d JOIN comm c USING (id) GROUP BY 1),
+        |li AS (SELECT cu.comm, COUNT(*) AS l_intra FROM e0
+        |  JOIN comm cu ON e0.u = cu.id JOIN comm cv ON e0.v = cv.id
+        |  WHERE cu.comm = cv.comm GROUP BY 1)
+        |SELECT ds.comm, CAST(COALESCE(li.l_intra, 0) AS BIGINT) AS l_intra, ds.d_sum,
+        |  CAST(4 * mm.m * COALESCE(li.l_intra, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS contrib
+        |FROM ds LEFT JOIN li ON ds.comm = li.comm CROSS JOIN mm
+        |ORDER BY ds.comm""".stripMargin,
+    // learn the same 3 merges, replay them, aggregate the final token
+    // table — the apply half shares bpeRoundSql with q_bpe_learn
+    "q_bpe_apply" -> bpeApplyOracle(3)
   )
 
   /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,
@@ -3555,6 +3690,19 @@ object SparkEntry {
        |t$i AS (SELECT doc_id, pos,
        |  CASE WHEN mrg = 1 THEN token || ' ' || nxt ELSE token END AS token
        |  FROM y$i WHERE pmrg = 0)""".stripMargin
+
+  /** Apply-half oracle: the identical learn rounds, but the final select
+    * aggregates the MERGED token table instead of the merge list. */
+  private def bpeApplyOracle(rounds: Int): String = {
+    val t0 =
+      """WITH t0 AS (SELECT doc_id, i AS pos, toks[i] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) s,
+        |  LATERAL (SELECT UNNEST(range(1, len(toks) + 1)) AS i) lat),
+        |""".stripMargin
+    val body = (1 to rounds).map(bpeRoundSql).mkString(",\n")
+    t0 + body +
+      s"\nSELECT token, COUNT(*) AS cnt FROM t$rounds GROUP BY token ORDER BY token"
+  }
 
   private def bpeLearnOracle(rounds: Int): String = {
     val t0 =

@@ -101,4 +101,36 @@ object Profiling {
       .select(col("q_ppm"), col("rank"), col("bin"),
         col("min_v").as("lo"), col("max_v").as("hi"))
   }
+
+  /** Exponentially time-decayed event count per key — the standard
+    * recency-weighted popularity / trending score. An event aged `a`
+    * seconds (relative to the table's max event time, so the reference
+    * instant is deterministic and data-derived) weighs
+    * 2^(−floor(a / halfLifeSec)).
+    *
+    * Cross-engine exactness: weights are reported SCALED by 2^scaleBits
+    * as BIGINT — weight_scaled = 1 << (scaleBits − floor(a/h)) when
+    * floor(a/h) ≤ scaleBits, else 0 (beyond `scaleBits` half-lives the
+    * true weight is < 2^-scaleBits ≈ 0 and is floored away) — pure
+    * integer arithmetic, bit-identical in any engine and immune to
+    * float partial-sum ordering. Sum bound: n·2^scaleBits, safe in
+    * int64 for n < 2^(62−scaleBits).
+    *
+    * Scale shape: ONE partial-aggregable hash agg; the weight is a
+    * map-side expression over a broadcast 1-row max-time frame (same
+    * pattern as [[log2Quantiles]]'s total). No window, no per-key
+    * state. */
+  def timeDecayCount(df: DataFrame, key: Column, ts: Column,
+                     halfLifeSec: Long, scaleBits: Int = 32): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec=$halfLifeSec")
+    require(scaleBits >= 1 && scaleBits <= 62, s"scaleBits=$scaleBits")
+    val ev = df.select(key.as("key"), ts.cast("timestamp").cast("long").as("tsec"))
+    val tmax = ev.agg(max(col("tsec")).as("tmax"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("n_half", expr(s"(tmax - tsec) div ${halfLifeSec}L"))
+      .withColumn("w", when(col("n_half") <= scaleBits,
+        expr(s"shiftleft(1L, cast($scaleBits - n_half as int))")).otherwise(lit(0L)))
+      .groupBy("key")
+      .agg(sum(col("w")).as("decayed_scaled"), count(lit(1)).as("n"))
+  }
 }

@@ -581,4 +581,60 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!got.keys.exists(k => k == ((9L, 9L)))) // singleton path emits nothing
     assert(got((1L, 3L)) == 1L && got((2L, 4L)) == 1L && !got.contains((1L, 4L)))
   }
+
+  // K4 on {1,2,3,4} + a pendant triangle {4,5,6} + a bridge (6,7)
+  private val trussGraph: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L))
+
+  test("ktruss: k=4 peels the pendant triangle by CASCADE, keeps K4") {
+    import spark.implicits._
+    // round 1 drops (5,6) [sup 1] and (6,7) [sup 0]; that kills the
+    // triangle, so round 2 drops (4,5) and (4,6) — the cascade a
+    // single-pass support filter would miss
+    val got = graft.plans.KTruss.run(trussGraph.toDF("a", "b"), k = 4, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k4 = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(got.keySet == k4, s"got=$got")
+    assert(got.values.forall(_ == 2L), "every K4 edge sits in exactly 2 surviving triangles")
+    // support counting is equi-joins only — never a pair explosion
+    val plan = graft.plans.KTruss.support(
+      trussGraph.toDF("a", "b").toDF("u", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"support must stay equi-join shaped:\n$plan")
+  }
+
+  test("ktruss: k=3 keeps the triangle, drops only the bridge; orientation/dup-proof") {
+    import spark.implicits._
+    val got = graft.plans.KTruss.run(trussGraph.toDF("a", "b"), k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!got.contains((6L, 7L)) && got.size == 9)
+    assert(got((5L, 6L)) == 1L && got((4L, 5L)) == 1L && got((1L, 2L)) == 2L)
+    // reversed + duplicated + self-loop input canonicalizes to the same
+    val messy = (trussGraph.map(_.swap) ++ trussGraph ++ Seq((3L, 3L))).toDF("a", "b")
+    val got2 = graft.plans.KTruss.run(messy, k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == got)
+  }
+
+  test("modularity: two triangles + bridge, hand-computed scaled terms; Q=0 for one community") {
+    import spark.implicits._
+    // {a,b,c} and {d,e,f} triangles bridged by (c,d): m=7,
+    // L_c=3 each, D_c=7 each → contrib = 4·7·3 − 49 = 35 per community
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("a", "b")
+    val comm = Seq(("a", 1L), ("b", 1L), ("c", 1L),
+      ("d", 2L), ("e", 2L), ("f", 2L)).toDF("id", "comm")
+    val got = graft.plans.Modularity.scaled(edges, comm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((3L, 7L, 35L)), 2L -> ((3L, 7L, 35L))), s"got=$got")
+    // Σ contrib = Q·4m² = 70 → Q = 70/196
+    assert(got.values.map(_._3).sum == 70L)
+    // degenerate: everything in ONE community → Q exactly 0
+    val one = comm.select(col("id"), lit(0L).as("comm"))
+    val q0 = graft.plans.Modularity.scaled(edges, one)
+      .collect().map(_.getLong(3)).sum
+    assert(q0 == 0L)
+  }
 }

@@ -1937,4 +1937,43 @@ class OperatorsSpec extends AnyFunSuite {
       docs, col("doc_id"), col("text"), Seq("a", "zzz").toDF("term")).count()
     assert(none == 0L)
   }
+
+  test("funnel: earliest-after-previous chaining, strict inequality, drop-off") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full funnel
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "click", 5L),    // click@5 > view@2
+      (2L, "purchase", 4L),                                      // 4 < 5: NOT after click
+      (3L, "view", 1L),                                          // stops at view
+      (4L, "click", 1L), (4L, "purchase", 2L),                   // never viewed: not in funnel
+      (5L, "view", 1L), (5L, "click", 1L), (5L, "purchase", 2L)  // click NOT strictly after
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.funnel(
+      ev, col("user_id"), col("event_type"), col("ts"),
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList.sorted
+    assert(got == List((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)), s"got=$got")
+  }
+
+  test("timeDecayCount: exact power-of-two weights, half-life floor, cap at scaleBits") {
+    import spark.implicits._
+    val day = 86400L
+    val t0 = 1700000000L // tmax
+    val ev = Seq(
+      ("a", t0), ("a", t0 - day), ("a", t0 - 33 * day), // 2^32 + 2^31 + 0 (beyond cap)
+      ("b", t0 - 2 * day + 1)                           // age 172799 → floor 1 → 2^31
+    ).toDF("k", "tsec")
+    val got = graft.operators.Profiling.timeDecayCount(
+      ev, col("k"), col("tsec"), halfLifeSec = day, scaleBits = 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> (((1L << 32) + (1L << 31), 3L)),
+      "b" -> ((1L << 31, 1L))), s"got=$got")
+    // exactly scaleBits half-lives old still contributes weight 1
+    val edge = Seq(("c", t0), ("c", t0 - 32 * day)).toDF("k", "tsec")
+    val gotEdge = graft.operators.Profiling.timeDecayCount(
+      edge, col("k"), col("tsec"), halfLifeSec = day, scaleBits = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotEdge("c") == (1L << 32) + 1L)
+  }
 }
