@@ -1856,8 +1856,101 @@ object SparkEntry {
       operators.Bpe.applyMerges(docs, $"doc_id", $"text", merges)
         .groupBy($"token").agg(count(lit(1)).as("cnt"))
         .orderBy("token")
+    },
+    // C4 line-level cleaning (WebCleaning.c4Clean): documents get a
+    // deterministic multi-line form (5-word lines; every line except
+    // (doc_id+i)%3==0 ends with '.'), then the Raffel et al. §2.2 line
+    // rule (terminal punctuation + >=3 words) and document rule
+    // (>=2 surviving lines). Zero-shuffle in-row HOFs; the oracle
+    // rebuilds the identical lines with a DuckDB list comprehension.
+    "q_c4_clean" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      operators.WebCleaning.c4Clean(
+          docs.withColumn("mltext", synthLines($"doc_id", $"text")),
+          $"mltext", 3, 2, $"doc_id")
+        .orderBy("doc_id")
+    },
+    // Gopher document-quality rules (WebCleaning.gopher) over the same
+    // synthesized lines with the FIRST line duplicated (so the
+    // duplicate-line fractions are exercised); thresholds per Rae et
+    // al. table A1, word bounds tuned to the corpus
+    "q_gopher" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents")
+      val withDup = docs.withColumn("lines0", synthLineArr($"doc_id", $"text"))
+        .withColumn("mltext",
+          array_join(concat($"lines0", slice($"lines0", 1, 1)), "\n"))
+      operators.WebCleaning.gopher(withDup, $"mltext", 20L, 100L, $"doc_id")
+        .orderBy("doc_id")
+    },
+    // URL canonicalization (Urls.normalize): deterministic synthetic
+    // URLs over events (mixed-case scheme/host, default + explicit
+    // ports, tracking params, fragments, empty paths) — per-row regex
+    // built-ins, zero shuffle
+    "q_url_normalize" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Urls.normalize(
+          t(dir, "events").withColumn("url", synthUrl($"event_id", $"user_id")),
+          $"url", $"event_id")
+        .orderBy("event_id")
+    },
+    // per-domain crawl profile: distinct normalized URLs + row mass per
+    // registered domain — two partial-aggregable hash aggs over the
+    // normalized key (Urls.domainProfile)
+    "q_domain_profile" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Urls.domainProfile(
+          t(dir, "events").withColumn("url", synthUrl($"event_id", $"user_id")),
+          $"url")
+        .orderBy("domain")
+    },
+    // word2vec negative-sampling table (NegSampling.table): unigram^0.75
+    // weights (floor(c/sqrt(sqrt(c))) — IEEE-correctly-rounded ops only,
+    // no libm pow), cumulative vocab line, 1000 sha256-positioned draws
+    // resolved with the bucketed range join (never a BNLJ)
+    "q_neg_samples" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.NegSampling.table(t(dir, "documents"), $"text", nDraws = 1000L)
+        .orderBy("draw_id")
+    },
+    // topological layering of a DAG (plans.TopoLayers): longest path
+    // from any source, Bellman-Ford-shaped relaxation rounds; the DAG is
+    // strictly-increasing event edges so acyclicity holds by
+    // construction; oracle = recursive CTE over (node, depth) pairs
+    "q_topo_layers" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"event_id" % 60L).as("src"),
+          (($"event_id" % 60L) + 1L + ($"user_id" % 7L)).as("dst"))
+        .where($"dst" < 60L).distinct()
+      plans.TopoLayers.run(edges).orderBy("id")
     }
   )
+
+  /** Deterministic multi-line form of a one-line word document, shared
+    * by the web-cleaning queries and their DuckDB oracles: 5-word
+    * chunks; chunk i ends with '.' unless (doc_id + i) % 3 == 0. */
+  private def synthLineArr(docId: Column, text: Column): Column = {
+    val ws = split(text, " ")
+    val nl = floor((size(ws) + lit(4)).cast("double") / 5.0).cast("long")
+    transform(sequence(lit(0L), nl - 1L), i =>
+      concat(array_join(slice(ws, (i * 5L + 1L).cast("int"), lit(5)), " "),
+        when((docId + i) % 3L === 0L, lit("")).otherwise(lit("."))))
+  }
+  private def synthLines(docId: Column, text: Column): Column =
+    array_join(synthLineArr(docId, text), "\n")
+
+  /** Deterministic synthetic URL corpus over events, shared with the
+    * oracle SQL (mixed-case scheme/host, default + explicit ports,
+    * utm/gclid tracking params, fragments, empty paths). */
+  private def synthUrl(eventId: Column, userId: Column): Column = concat(
+    when(eventId % 2L === 0L, lit("HTTPS")).otherwise(lit("HTTP")), lit("://"),
+    lit("WWW.Example"), (userId % 20L).cast("string"), lit(".COM"),
+    when(eventId % 3L === 0L, lit(":443"))
+      .when(eventId % 3L === 1L, lit(":8080")).otherwise(lit("")),
+    when(eventId % 7L === 0L, lit(""))
+      .otherwise(concat(lit("/Path/"), (eventId % 50L).cast("string"))),
+    when(eventId % 4L === 0L,
+        concat(lit("?utm_source=news&q="), (userId % 5L).cast("string"), lit("&gclid=g1")))
+      .when(eventId % 4L === 1L, concat(lit("?q="), (userId % 5L).cast("string")))
+      .when(eventId % 4L === 2L, lit("?utm_campaign=x"))
+      .otherwise(lit("")),
+    when(eventId % 5L === 0L, lit("#Frag")).otherwise(lit("")))
 
   /** scale the synthetic KG corpus with the sf directory */
   private def corpusSizeFor(dir: String): Long =
@@ -3634,8 +3727,175 @@ object SparkEntry {
         |ORDER BY ds.comm""".stripMargin,
     // learn the same 3 merges, replay them, aggregate the final token
     // table — the apply half shares bpeRoundSql with q_bpe_learn
-    "q_bpe_apply" -> bpeApplyOracle(3)
+    "q_bpe_apply" -> bpeApplyOracle(3),
+    // C4 line rule replay: identical synthesized lines (DuckDB list
+    // comprehension = the engine's transform/sequence), then the same
+    // regex + word-count + javascript line filter and document verdict
+    "q_c4_clean" ->
+      s"""$synthLinesCte
+         |SELECT doc_id,
+         |  CAST(len(ls) AS BIGINT) AS total_lines,
+         |  CAST(len(kept) AS BIGINT) AS kept_lines,
+         |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  (len(kept) >= 2 AND NOT contains(mltext, '{') AND
+         |   NOT contains(lower(mltext), 'lorem ipsum')) AS keep
+         |FROM (SELECT doc_id, ls, mltext,
+         |  list_filter(ls, ln -> regexp_matches(ln, '[.!?]["'']?$$') AND
+         |    len(string_split(ln, ' ')) >= 3 AND
+         |    NOT contains(lower(ln), 'javascript')) AS kept
+         |  FROM ml)
+         |ORDER BY doc_id""".stripMargin,
+    // Gopher rule replay over the first-line-duplicated form; every
+    // ratio integer ppm with // (nonneg, so // == div)
+    "q_gopher" ->
+      s"""$synthLinesCte,
+         |md AS (SELECT doc_id, ls || ls[1:1] AS l2 FROM ml),
+         |mt AS (SELECT doc_id, l2, array_to_string(l2, chr(10)) AS text FROM md),
+         |m AS (SELECT doc_id, l2, text,
+         |  string_split(replace(text, chr(10), ' '), ' ') AS ws FROM mt),
+         |g AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS BIGINT)
+         |    AS wchars,
+         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+         |    AS alpha_w,
+         |  CAST((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
+         |  CAST(len(l2) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(l2, ln -> regexp_matches(ln, '^[-*•]'))) AS BIGINT)
+         |    AS bullet,
+         |  CAST(len(list_filter(l2, ln -> regexp_matches(ln, '\\.\\.\\.$$'))) AS BIGINT)
+         |    AS ellip,
+         |  CAST(len(l2) - len(list_distinct(l2)) AS BIGINT) AS dupl,
+         |  CAST(list_aggregate(list_transform(l2, x -> length(x)), 'sum') AS BIGINT)
+         |    AS chars,
+         |  CAST(list_aggregate(list_transform(l2, x -> length(x)), 'sum') -
+         |    list_aggregate(list_transform(list_distinct(l2), x -> length(x)), 'sum')
+         |    AS BIGINT) AS duplc
+         |  FROM m),
+         |r AS (SELECT doc_id, n_words,
+         |  wchars * 100 // greatest(n_words, 1) AS mean_wlen_c100,
+         |  alpha_w * 1000000 // greatest(n_words, 1) AS alpha_words_ppm,
+         |  sym * 1000000 // greatest(n_words, 1) AS symbol_word_ppm,
+         |  bullet * 1000000 // greatest(n_lines, 1) AS bullet_lines_ppm,
+         |  ellip * 1000000 // greatest(n_lines, 1) AS ellipsis_lines_ppm,
+         |  dupl * 1000000 // greatest(n_lines, 1) AS dup_line_ppm,
+         |  duplc * 1000000 // greatest(chars, 1) AS dup_line_char_ppm
+         |  FROM g)
+         |SELECT *, (n_words BETWEEN 20 AND 100 AND
+         |  mean_wlen_c100 BETWEEN 300 AND 1000 AND
+         |  alpha_words_ppm >= 800000 AND symbol_word_ppm <= 100000 AND
+         |  bullet_lines_ppm <= 900000 AND ellipsis_lines_ppm <= 300000 AND
+         |  dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // URL normalization replay: same synthetic URLs, same regex steps
+    "q_url_normalize" ->
+      s"""$urlNormCte
+         |SELECT event_id, norm_url, host, domain FROM n ORDER BY event_id""".stripMargin,
+    "q_domain_profile" ->
+      s"""$urlNormCte,
+         |du AS (SELECT domain, norm_url, COUNT(*) AS c FROM n GROUP BY 1, 2)
+         |SELECT domain, COUNT(*) AS distinct_urls,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows
+         |FROM du GROUP BY 1 ORDER BY domain""".stripMargin,
+    // negative-sampling replay: unigram^0.75 via the same IEEE ops
+    // (bigint→double, sqrt, sqrt, divide, floor), lexicographic cumsum,
+    // sha256-52bit draw positions, interval containment
+    "q_neg_samples" ->
+      """WITH uni AS (SELECT u.tk AS token, COUNT(*) AS c
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(w) AS u(tk) GROUP BY 1),
+        |wt AS (SELECT token,
+        |  CAST(FLOOR(CAST(c AS DOUBLE) / sqrt(sqrt(CAST(c AS DOUBLE)))) AS BIGINT)
+        |    AS w FROM uni),
+        |iv AS (SELECT token, w,
+        |  COALESCE(CAST(SUM(w) OVER (ORDER BY token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS lo
+        |  FROM wt),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM wt),
+        |d AS (SELECT CAST(r.range AS BIGINT) AS draw_id,
+        |  CAST('0x' || substr(sha256(CAST(r.range AS VARCHAR)), 1, 13) AS BIGINT)
+        |    % total AS pos
+        |  FROM range(0, 1000) r, tw)
+        |SELECT d.draw_id, iv.token, d.pos
+        |FROM d JOIN iv ON d.pos >= iv.lo AND d.pos < iv.lo + iv.w
+        |ORDER BY draw_id""".stripMargin,
+    // longest-path layering via recursive (node, depth) pairs (UNION
+    // dedups, so state is <= |V|·depth rows on this bounded DAG)
+    "q_topo_layers" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT event_id % 60 AS src,
+        |    (event_id % 60) + 1 + (user_id % 7) AS dst
+        |  FROM events WHERE (event_id % 60) + 1 + (user_id % 7) < 60),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r(id, d) AS (
+        |  SELECT id, CAST(0 AS BIGINT) FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id)
+        |SELECT id, MAX(d) AS layer FROM r GROUP BY 1 ORDER BY id""".stripMargin
   )
+
+  /** Shared CTE: the synthesized multi-line documents (5-word lines,
+    * '.'-terminated unless (doc_id+i)%3==0) — DuckDB list-comprehension
+    * twin of [[synthLineArr]]. Exposes ml(doc_id, ls, mltext). */
+  private val synthLinesCte: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ml AS (SELECT doc_id,
+      |  [array_to_string(ws[i*5+1 : i*5+5], ' ') ||
+      |     (CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)
+      |   FOR i IN range(0, (len(ws) + 4) // 5)] AS ls,
+      |  array_to_string(
+      |    [array_to_string(ws[i*5+1 : i*5+5], ' ') ||
+      |       (CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)
+      |     FOR i IN range(0, (len(ws) + 4) // 5)], chr(10)) AS mltext
+      |  FROM w)""".stripMargin
+
+  /** Shared CTE: synthetic URLs over events + the normalization replay.
+    * Exposes n(event_id, norm_url, host, domain). */
+  private val urlNormCte: String =
+    """WITH u AS (SELECT event_id,
+      |  (CASE WHEN event_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END) ||
+      |  '://WWW.Example' || CAST(user_id % 20 AS VARCHAR) || '.COM' ||
+      |  (CASE WHEN event_id % 3 = 0 THEN ':443'
+      |        WHEN event_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |  (CASE WHEN event_id % 7 = 0 THEN ''
+      |        ELSE '/Path/' || CAST(event_id % 50 AS VARCHAR) END) ||
+      |  (CASE WHEN event_id % 4 = 0
+      |          THEN '?utm_source=news&q=' || CAST(user_id % 5 AS VARCHAR) || '&gclid=g1'
+      |        WHEN event_id % 4 = 1 THEN '?q=' || CAST(user_id % 5 AS VARCHAR)
+      |        WHEN event_id % 4 = 2 THEN '?utm_campaign=x' ELSE '' END) ||
+      |  (CASE WHEN event_id % 5 = 0 THEN '#Frag' ELSE '' END) AS url
+      |  FROM events),
+      |p AS (SELECT event_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  string_split(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1),
+      |    '#')[1] AS nofrag
+      |  FROM u),
+      |q AS (SELECT event_id, url, scheme, nofrag,
+      |  regexp_extract(nofrag, '^([^/?]*)', 1) AS authority FROM p),
+      |s AS (SELECT event_id, url, scheme, authority,
+      |  substr(nofrag, length(authority) + 1) AS pathq,
+      |  lower(string_split(authority, ':')[1]) AS host,
+      |  regexp_extract(authority, ':([0-9]+)$', 1) AS port
+      |  FROM q),
+      |f AS (SELECT event_id, url, scheme, host,
+      |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |          OR (scheme = 'https' AND port = '443') THEN ''
+      |        ELSE ':' || port END) AS portpart,
+      |  (CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+      |        ELSE regexp_extract(pathq, '^([^?]*)', 1) END) AS pathn,
+      |  COALESCE(array_to_string(list_filter(
+      |    string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |    pp -> NOT regexp_matches(pp, '^(utm_[^=]*|fbclid|gclid)(=|$)')
+      |          AND pp <> ''), '&'), '') AS qn
+      |  FROM s),
+      |n AS (SELECT event_id,
+      |  (CASE WHEN scheme = '' THEN url
+      |        ELSE scheme || '://' || host || portpart || pathn ||
+      |          (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) END) AS norm_url,
+      |  host,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM f)""".stripMargin
 
   /** DSIR oracle: hashed unigram+bigram features (the polyTokenId fold,
     * minhashPolyOracleSql convention) mod `buckets`, target/raw bucket

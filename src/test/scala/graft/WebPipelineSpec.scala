@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{NegSampling, Urls, WebCleaning}
+import graft.plans.TopoLayers
+
+/** Web-corpus cleaning (C4 + Gopher), URL canonicalization,
+  * negative-sampling table generation, and DAG topological layering. */
+class WebPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---------------------------------------------------------- C4
+
+  test("c4Clean: line rule + document rule match a scala reference; zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Good sentence here.\nshort.\nAnother proper line!\nno terminal punct line"),
+      (2L, "Only one good line stays.\nword\nbad"),
+      (3L, "Contains javascript so dropped.\nA fine closing line.\nAnd one more real line."),
+      (4L, "Uses a { brace doc.\nSecond good line here.\nThird good line too."),
+      (5L, "Lorem Ipsum dolor sit amet.\nAnother valid line here.\nKeep this too."),
+      (6L, "")
+    ).toDF("id", "text")
+    val got = WebCleaning.c4Clean(docs, $"text", 3, 2, $"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4))).sortBy(_._1)
+
+    def ref(id: Long, text: String): (Long, Long, Long, String, Boolean) = {
+      val lines = text.split("\n", -1)
+      val kept = lines.filter(ln =>
+        ln.matches(".*[.!?][\"']?") && ln.split(" ").length >= 3 &&
+          !ln.toLowerCase.contains("javascript"))
+      (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"),
+        kept.length >= 2 && !text.contains("{") && !text.toLowerCase.contains("lorem ipsum"))
+    }
+    val want = Seq(
+      (1L, "Good sentence here.\nshort.\nAnother proper line!\nno terminal punct line"),
+      (2L, "Only one good line stays.\nword\nbad"),
+      (3L, "Contains javascript so dropped.\nA fine closing line.\nAnd one more real line."),
+      (4L, "Uses a { brace doc.\nSecond good line here.\nThird good line too."),
+      (5L, "Lorem Ipsum dolor sit amet.\nAnother valid line here.\nKeep this too."),
+      (6L, "")).map((ref _).tupled)
+    assert(got.toSeq == want)
+    // specific semantics: javascript line dropped but doc 3 still keeps 2 lines
+    assert(got(2)._3 == 2 && got(2)._5)
+    // doc 4 has 3 good lines but the brace kills the document
+    assert(got(3)._3 == 3 && !got(3)._5)
+    // lorem ipsum kills doc 5
+    assert(!got(4)._5)
+    val plan = WebCleaning.c4Clean(docs, $"text", 3, 2, $"id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ------------------------------------------------------ Gopher
+
+  test("gopher: metrics and verdict match a scala reference; zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(3)("the quick brown fox jumps over the lazy dog again today ok")
+        .mkString("\n")), // 3 identical lines -> dup fractions trip
+      (2L, "- bullet one\n- bullet two\nplain line here now ok yes sure fine right good" +
+        "\nmore words to get over the minimum count for this document rule"),
+      (3L, "trailing dots line...\n" +
+        "a longer second line with plenty of ordinary words in it today\n" +
+        "and a third line that also has a good number of words here"),
+      (4L, "### symbols # everywhere # here # we # go # now # ok # yes\n" +
+        "second line with several more regular words to pass length")
+    ).toDF("id", "text")
+    val got = WebCleaning.gopher(docs, $"text", 10L, 100L, $"id")
+      .orderBy("id").collect()
+
+    def ref(text: String): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+      val lines = text.split("\n", -1)
+      val ws = text.replace("\n", " ").split(" ")
+      val n = ws.length.toLong
+      val nl = lines.length.toLong
+      val meanW = ws.map(_.length.toLong).sum * 100 / math.max(n, 1)
+      val alpha = ws.count(_.exists(_.isLetter)).toLong * 1000000 / math.max(n, 1)
+      val sym = (text.count(_ == '#').toLong +
+        ("\\.\\.\\.".r.findAllIn(text).length.toLong)) * 1000000 / math.max(n, 1)
+      val bullet = lines.count(l => l.matches("^[-*•].*")).toLong * 1000000 / math.max(nl, 1)
+      val ellip = lines.count(_.endsWith("...")).toLong * 1000000 / math.max(nl, 1)
+      val dup = (nl - lines.distinct.length) * 1000000 / math.max(nl, 1)
+      val chars = lines.map(_.length.toLong).sum
+      val dupc = (chars - lines.distinct.map(_.length.toLong).sum) * 1000000 /
+        math.max(chars, 1)
+      (n, meanW, alpha, sym, bullet, ellip, dup, dupc)
+    }
+    val texts = docs.orderBy("id").collect().map(_.getString(1))
+    got.zip(texts).foreach { case (r, text) =>
+      val w = ref(text)
+      val g = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(g == w, s"metrics mismatch for '$text': got $g want $w")
+    }
+    // doc 1: 3 identical lines -> dup_line_ppm = 666666 > 300000 -> dropped
+    assert(got(0).getLong(7) == 666666L && !got(0).getBoolean(9))
+    // doc 2: 2 of 4 lines bullets (500000 ppm <= 900000) -> bullet rule passes
+    assert(got(1).getLong(5) == 500000L)
+    // doc 4: heavy '#' -> symbol rule trips
+    assert(got(3).getLong(4) > 100000L && !got(3).getBoolean(9))
+    val plan = WebCleaning.gopher(docs, $"text", 10L, 100L, $"id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // -------------------------------------------------------- URLs
+
+  test("url normalization: RFC table cases; zero shuffle") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/a/b?x=1#frag", "http://example.com/a/b?x=1"),
+      ("https://Example.com:443/", "https://example.com/"),
+      ("https://example.com:8443/x", "https://example.com:8443/x"),
+      ("http://example.com", "http://example.com/"),
+      ("http://example.com?q=2", "http://example.com/?q=2"),
+      ("http://a.B.example.com/p?utm_source=x&q=1&gclid=z&fbclid=y",
+        "http://a.b.example.com/p?q=1"),
+      ("http://example.com/p?utm_campaign=only", "http://example.com/p"),
+      ("http://example.com/CaseKept/Path", "http://example.com/CaseKept/Path"),
+      ("not a url at all", "not a url at all"),
+      ("ftp://Files.example.org:21/pub", "ftp://files.example.org:21/pub")
+    )
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val got = Urls.normalize(df, $"url", $"id").orderBy("id")
+      .collect().map(_.getString(1))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    // host/domain extraction
+    val hd = Urls.normalize(df, $"url", $"id").orderBy("id")
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    assert(hd(5) == (("a.b.example.com", "example.com")))
+    assert(hd(8) == (("", "")))
+    val plan = Urls.normalize(df, $"url", $"id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("domainProfile: distinct normalized urls per domain") {
+    import spark.implicits._
+    val df = Seq(
+      "http://A.example.com/x?utm_source=1", // same as below after normalization
+      "HTTP://a.example.com/x",
+      "http://a.example.com/y",
+      "https://b.other.org/z"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = Urls.domainProfile(df, $"url").orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("example.com", 2L, 3L), ("other.org", 1L, 1L)))
+  }
+
+  // ------------------------------------------- negative sampling
+
+  test("negative sampling: weights are floor(c^0.75), every draw resolves exactly once, " +
+    "frequency tracks the weight line; no BNLJ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common common rare"),
+      (2L, "common common common common mid mid"),
+      (3L, "common mid mid other words here")
+    ).toDF("doc_id", "text")
+    // counts: common=10, mid=5, rare=1, other=1, words=1, here=1
+    def w075(c: Long) = math.floor(c.toDouble / math.sqrt(math.sqrt(c.toDouble))).toLong
+    val uni = NegSampling.unigramWeights(docs, $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    uni.foreach { case (tk, c, ww) => assert(ww == w075(c), s"$tk: $ww != ${w075(c)}") }
+
+    val n = 500L
+    val tbl = NegSampling.table(docs, $"text", n, bucketWidth = 4L)
+    assert(tbl.count() == n) // every draw resolves to exactly one token
+    // draws follow the weight proportions (loose sanity: the heaviest
+    // token gets the most draws)
+    val byTok = tbl.groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byTok.maxBy(_._2)._1 == "common")
+    // the interval resolution must be the bucketed equi-join; the ONLY
+    // nested-loop allowed is the one-row scalar total broadcast
+    // (IdentityBroadcastMode over the max(hi) aggregate)
+    val plan = tbl.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1 && (bnlj == 0 || plan.contains("IdentityBroadcastMode")), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  // ----------------------------------------------- topo layering
+
+  test("topoLayers: longest-path layers on a hand DAG; cycle detection fires") {
+    import spark.implicits._
+    // diamond + tail: 1->2, 1->3, 2->4, 3->4, 4->5; plus a long arm 1->6->7->4
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (6L, 7L), (7L, 4L)).toDF("src", "dst")
+    val got = TopoLayers.run(e).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 6L -> 1L, 7L -> 2L,
+      4L -> 3L, 5L -> 4L))
+    // (layer, id) order is a valid topological order
+    val order = got.toSeq.sortBy { case (id, layer) => (layer, id) }.map(_._1)
+    val pos = order.zipWithIndex.toMap
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 6L), (6L, 7L), (7L, 4L))
+      .foreach { case (a, b) => assert(pos(a) < pos(b)) }
+    // a cycle must abort with the budget error, not loop forever
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException](TopoLayers.run(cyc, maxRounds = 16))
+    assert(ex.getMessage.contains("cycle"))
+  }
+}
