@@ -1919,6 +1919,36 @@ object SparkEntry {
           (($"event_id" % 60L) + 1L + ($"user_id" % 7L)).as("dst"))
         .where($"dst" < 60L).distinct()
       plans.TopoLayers.run(edges).orderBy("id")
+    },
+    // time-respecting earliest-arrival reachability (plans.TemporalReach):
+    // 3 hops from seed nodes 0..4 over a temporal event graph; each hop's
+    // edge must fire no earlier than the arrival at its source — the
+    // oracle unrolls the identical min-relaxation rounds
+    "q_temporal_reach" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 80L).as("src"),
+          (($"user_id" * 7L + $"event_id") % 80L).as("dst"),
+          $"ts".cast("timestamp").cast("long").as("ts"))
+        .where($"src" =!= $"dst")
+      val seeds = s.range(5).toDF("id")
+      plans.TemporalReach.run(edges, seeds, maxHops = 3).orderBy("id")
+    },
+    // bipartite projection with hub cap (Cooccur.itemPairs): item-item
+    // co-occurrence over (user, item=event_id%30) with users above 25
+    // distinct items excluded (the contractual hub cap) and integer
+    // cosine² in parts-per-thousand
+    "q_item_pairs" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Cooccur.itemPairs(t(dir, "events"),
+          $"user_id", $"event_id" % 30L, minSupport = 2L, maxDegree = 25L)
+        .orderBy("a", "b")
+    },
+    // first-order Markov transition table (Cooccur.transitions): adjacent
+    // event_type pairs per user in (ts, event_id) order, row-normalized
+    // in exact ppm
+    "q_transitions" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Cooccur.transitions(t(dir, "events"),
+          $"user_id", $"event_type", $"ts", $"event_id")
+        .orderBy("state", "next_state")
     }
   )
 
@@ -3832,7 +3862,54 @@ object SparkEntry {
         |  SELECT id, CAST(0 AS BIGINT) FROM nodes
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id)
-        |SELECT id, MAX(d) AS layer FROM r GROUP BY 1 ORDER BY id""".stripMargin
+        |SELECT id, MAX(d) AS layer FROM r GROUP BY 1 ORDER BY id""".stripMargin,
+    // earliest-arrival relaxation, 3 rounds unrolled (min-monotone, so
+    // the engine's early fixpoint exit is a no-op relative to the unroll)
+    "q_temporal_reach" -> {
+      def relax(i: Int) =
+        s"""m$i AS (SELECT e.dst AS id, MIN(e.ts) AS arrival
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id AND e.ts >= r.arrival
+           |  GROUP BY 1),
+           |r$i AS (SELECT id, MIN(arrival) AS arrival FROM (
+           |  SELECT * FROM r${i - 1} UNION ALL SELECT * FROM m$i) GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT user_id % 80 AS src,
+         |    (user_id * 7 + event_id) % 80 AS dst,
+         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts
+         |  FROM events WHERE user_id % 80 <> (user_id * 7 + event_id) % 80),
+         |r0 AS (SELECT CAST(r.range AS BIGINT) AS id, CAST(0 AS BIGINT) AS arrival
+         |  FROM range(0, 5) r),
+         |${relax(1)},
+         |${relax(2)},
+         |${relax(3)}
+         |SELECT id, arrival FROM r3 ORDER BY id""".stripMargin
+    },
+    // bipartite projection replay: same hub cap, self-join, support
+    // filter, and integer cosine²·10³
+    "q_item_pairs" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u, event_id % 30 AS i FROM events),
+        |ku AS (SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= 25),
+        |k AS (SELECT ui.u, ui.i FROM ui JOIN ku ON ui.u = ku.u),
+        |dg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM k GROUP BY 1),
+        |p AS (SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM k x JOIN k y ON x.u = y.u AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.a, p.b, p.c_ab, da.d AS d_a, db.d AS d_b,
+        |  p.c_ab * p.c_ab * 1000 // (da.d * db.d) AS cos2_ppt
+        |FROM p JOIN dg da ON p.a = da.i JOIN dg db ON p.b = db.i
+        |ORDER BY a, b""".stripMargin,
+    // Markov transition replay: LEAD over (user) sequences ordered by
+    // (ts, event_id), pair counts, ppm row normalization
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id AS u, event_type AS st, ts, event_id,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nx
+        |  FROM events),
+        |c AS (SELECT st AS state, nx AS next_state, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s WHERE nx IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT state, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.state, c.next_state, c.c, c.c * 1000000 // t.tot AS p_ppm
+        |FROM c JOIN t ON c.state = t.state
+        |ORDER BY c.state, c.next_state""".stripMargin
   )
 
   /** Shared CTE: the synthesized multi-line documents (5-word lines,

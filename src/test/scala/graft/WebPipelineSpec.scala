@@ -204,4 +204,65 @@ class WebPipelineSpec extends AnyFunSuite {
     val ex = intercept[IllegalStateException](TopoLayers.run(cyc, maxRounds = 16))
     assert(ex.getMessage.contains("cycle"))
   }
+
+  // ------------------------------------------ temporal reachability
+
+  test("temporalReach: time-respecting paths only; earliest arrival; hop budget") {
+    import spark.implicits._
+    // 1→2 fires at ts 10 and ts 7; 2→3 at ts 9 (after arrival 7: ok)
+    // 2→4 at ts 5 (BEFORE any arrival at 2: a static path, not a
+    // temporal one); 3→5 at ts 20
+    val e = Seq((1L, 2L, 10L), (1L, 2L, 7L), (2L, 3L, 9L), (2L, 4L, 5L),
+      (3L, 5L, 20L)).toDF("src", "dst", "ts")
+    val seeds = Seq(1L).toDF("id")
+    val got3 = graft.plans.TemporalReach.run(e, seeds, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got3 == Map(1L -> 0L, 2L -> 7L, 3L -> 9L, 5L -> 20L)) // 4 unreachable
+    // hop budget cuts the chain: 2 hops cannot reach node 5
+    val got2 = graft.plans.TemporalReach.run(e, seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 7L, 3L -> 9L))
+  }
+
+  // -------------------------------------------------- co-occurrence
+
+  test("itemPairs: brute-force equality, hub cap excludes, integer cosine²") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 11L), (3L, 12L),
+      // hub user 4 touches everything — excluded at maxDegree = 3
+      (4L, 10L), (4L, 11L), (4L, 12L), (4L, 13L))
+    val df = rows.toDF("u", "i")
+    val got = operators.Cooccur.itemPairs(df, $"u", $"i", minSupport = 2L, maxDegree = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(p => (p._1, p._2))
+    // kept users: 1,2,3. degrees: 10→2, 11→3, 12→2.
+    // pairs: (10,11)=2, (10,12)=1(<2 dropped), (11,12)=2
+    assert(got.toSeq == Seq(
+      (10L, 11L, 2L, 2L, 3L, 2L * 2 * 1000 / (2 * 3)),
+      (11L, 12L, 2L, 3L, 2L, 2L * 2 * 1000 / (3 * 2))))
+    val plan = operators.Cooccur.itemPairs(df, $"u", $"i", 2L, 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("transitions: lead-pair counts with deterministic tie-break, ppm rows sum to <= 1e6") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L),
+      (2L, "a", 1L, 4L), (2L, "a", 1L, 5L), (2L, "c", 2L, 6L)) // tie at ts=1 → id order
+      .toDF("u", "s", "t", "k")
+    val got = operators.Cooccur.transitions(ev, $"u", $"s", $"t", $"k")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    // seqs: u1: a→b→a; u2: a→a→c. pairs: (a,b)=1,(b,a)=1,(a,a)=1,(a,c)=1
+    assert(got.toSeq == Seq(
+      ("a", "a", 1L, 333333L), ("a", "b", 1L, 333333L), ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 1000000L)))
+    // per-state ppm never exceeds 1e6 in total
+    got.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._4).sum <= 1000000L) }
+  }
 }
