@@ -1949,6 +1949,26 @@ object SparkEntry {
       operators.Cooccur.transitions(t(dir, "events"),
           $"user_id", $"event_type", $"ts", $"event_id")
         .orderBy("state", "next_state")
+    },
+    // HITS hubs/authorities (plans.Hits), 2 rounds in fixed-point ppm of
+    // the L1 mass (integer renormalization each half-step — the oracle
+    // unrolls the identical rounds; PageRank's bit-exact convention)
+    "q_hits" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 90L).as("src"),
+          (($"user_id" * 11L + $"event_id") % 90L).as("dst"))
+        .where($"src" =!= $"dst")
+      plans.Hits.run(edges, iters = 2).orderBy("id")
+    },
+    // TransE-style corrupted negatives with the "filtered" collision
+    // flags (KgTrain.corruptedNegatives): deterministic sha256 head/tail
+    // replacement over a triple table derived from events; collisions
+    // with true triples are marked, not silently trained on
+    "q_kg_negatives" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val triples = t(dir, "events").select(($"user_id" % 100L).as("h"),
+        $"event_type".as("r"), ($"event_id" % 100L).as("t"))
+      operators.KgTrain.corruptedNegatives(triples, $"h", $"r", $"t", nEntities = 100L)
+        .orderBy("h", "r", "t")
     }
   )
 
@@ -3909,7 +3929,51 @@ object SparkEntry {
         |t AS (SELECT state, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1)
         |SELECT c.state, c.next_state, c.c, c.c * 1000000 // t.tot AS p_ppm
         |FROM c JOIN t ON c.state = t.state
-        |ORDER BY c.state, c.next_state""".stripMargin
+        |ORDER BY c.state, c.next_state""".stripMargin,
+    // HITS: 2 hub/authority rounds unrolled with integer L1
+    // renormalization at every half-step, exactly the engine's rounds
+    "q_hits" -> {
+      def round(i: Int, prevHub: String) =
+        s"""a${i}raw AS (SELECT e.dst AS id, CAST(SUM(p.hub) AS BIGINT) AS v
+           |  FROM e JOIN $prevHub p ON e.src = p.id GROUP BY 1),
+           |a$i AS (SELECT n.id,
+           |  CAST((COALESCE(a.v, 0) * 1000000) // (SELECT SUM(v) FROM a${i}raw)
+           |    AS BIGINT) AS auth
+           |  FROM nodes n LEFT JOIN a${i}raw a ON n.id = a.id),
+           |h${i}raw AS (SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS v
+           |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+           |h$i AS (SELECT n.id,
+           |  CAST((COALESCE(h.v, 0) * 1000000) // (SELECT SUM(v) FROM h${i}raw)
+           |    AS BIGINT) AS hub
+           |  FROM nodes n LEFT JOIN h${i}raw h ON n.id = h.id)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT user_id % 90 AS src,
+         |    (user_id * 11 + event_id) % 90 AS dst
+         |  FROM events WHERE user_id % 90 <> (user_id * 11 + event_id) % 90),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+         |${round(1, "h0")},
+         |${round(2, "h1")}
+         |SELECT h2.id, h2.hub, a2.auth FROM h2 JOIN a2 ON h2.id = a2.id
+         |ORDER BY h2.id""".stripMargin
+    },
+    // corrupted-negative replay: same sha256-52bit draws, same filtered
+    // collision joins
+    "q_kg_negatives" ->
+      """WITH base AS (SELECT DISTINCT user_id % 100 AS h, event_type AS r,
+        |    event_id % 100 AS t FROM events),
+        |corr AS (SELECT h, r, t,
+        |  CAST('0x' || substr(sha256(concat_ws('|', h, r, t, 'T')), 1, 13) AS BIGINT)
+        |    % 100 AS t_neg,
+        |  CAST('0x' || substr(sha256(concat_ws('|', h, r, t, 'H')), 1, 13) AS BIGINT)
+        |    % 100 AS h_neg
+        |  FROM base)
+        |SELECT c.h, c.r, c.t, c.t_neg, c.h_neg,
+        |  (b1.t IS NOT NULL) AS t_neg_is_true,
+        |  (b2.t IS NOT NULL) AS h_neg_is_true
+        |FROM corr c
+        |LEFT JOIN base b1 ON c.h = b1.h AND c.r = b1.r AND c.t_neg = b1.t
+        |LEFT JOIN base b2 ON c.h_neg = b2.h AND c.r = b2.r AND c.t = b2.t
+        |ORDER BY c.h, c.r, c.t""".stripMargin
   )
 
   /** Shared CTE: the synthesized multi-line documents (5-word lines,
