@@ -119,7 +119,15 @@ object Bench {
     // wedge join) + semi-join peel — the heaviest per-round graph op in
     // the suite; funnel: one min-agg + frontier join per step;
     // modularity: two partial aggs + community map join
-    "q_ktruss", "q_funnel", "q_modularity")
+    "q_ktruss", "q_funnel", "q_modularity",
+    // session additions: zero-shuffle map passes (C4 line rules, Gopher
+    // rules, URL normalization), negative-sampling bucketed range join,
+    // hub-capped bipartite projection (the one quadratic-by-design
+    // self-join, bounded by the cap), HITS L1-normalized rounds,
+    // corrupted-negative generation + filtered joins
+    "q_c4_clean", "q_gopher", "q_url_normalize", "q_neg_samples",
+    "q_item_pairs", "q_transitions", "q_hits", "q_kg_negatives",
+    "q_temporal_reach", "q_topo_layers")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -1911,12 +1911,15 @@ object SparkEntry {
     },
     // topological layering of a DAG (plans.TopoLayers): longest path
     // from any source, Bellman-Ford-shaped relaxation rounds; the DAG is
-    // strictly-increasing event edges so acyclicity holds by
-    // construction; oracle = recursive CTE over (node, depth) pairs
+    // strictly-increasing event edges (steps of 4..10) so acyclicity
+    // holds by construction and the longest path — and therefore the
+    // round count — stays ~15 (the fixture should measure per-round
+    // shuffle cost, not driver round scheduling; the operator itself is
+    // O(depth) by contract); oracle = recursive CTE over (node, depth)
     "q_topo_layers" -> { (s, dir) => implicit val sp = s; import sp.implicits._
       val ev = t(dir, "events")
       val edges = ev.select(($"event_id" % 60L).as("src"),
-          (($"event_id" % 60L) + 1L + ($"user_id" % 7L)).as("dst"))
+          (($"event_id" % 60L) + 4L + ($"user_id" % 7L)).as("dst"))
         .where($"dst" < 60L).distinct()
       plans.TopoLayers.run(edges).orderBy("id")
     },
@@ -1969,6 +1972,18 @@ object SparkEntry {
         $"event_type".as("r"), ($"event_id" % 100L).as("t"))
       operators.KgTrain.corruptedNegatives(triples, $"h", $"r", $"t", nEntities = 100L)
         .orderBy("h", "r", "t")
+    },
+    // one synchronous Louvain local-move round (plans.Louvain) over the
+    // q_modularity fixture graph from 5 seed communities — the argmax is
+    // a partial-aggregable min(struct), no window; the oracle replays
+    // the integer gain ordering verbatim
+    "q_louvain_move" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select($"user_id".as("a"), (($"user_id" * 31L + 7L) % 150L).as("b"))
+        .where($"a" =!= $"b").distinct()
+      val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
+      val comms = nodes.select($"id", ($"id" % 5L).as("comm"))
+      plans.Louvain.localMoveRound(edges, comms).orderBy("id")
     }
   )
 
@@ -3875,8 +3890,8 @@ object SparkEntry {
     "q_topo_layers" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT event_id % 60 AS src,
-        |    (event_id % 60) + 1 + (user_id % 7) AS dst
-        |  FROM events WHERE (event_id % 60) + 1 + (user_id % 7) < 60),
+        |    (event_id % 60) + 4 + (user_id % 7) AS dst
+        |  FROM events WHERE (event_id % 60) + 4 + (user_id % 7) < 60),
         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         |r(id, d) AS (
         |  SELECT id, CAST(0 AS BIGINT) FROM nodes
@@ -3973,7 +3988,40 @@ object SparkEntry {
         |FROM corr c
         |LEFT JOIN base b1 ON c.h = b1.h AND c.r = b1.r AND c.t_neg = b1.t
         |LEFT JOIN base b2 ON c.h_neg = b2.h AND c.r = b2.r AND c.t = b2.t
-        |ORDER BY c.h, c.r, c.t""".stripMargin
+        |ORDER BY c.h, c.r, c.t""".stripMargin,
+    // Louvain local-move replay: identical integer gain ordering
+    // (4m·k_ic − 2k·(Σtot − own-degree correction)), argmax by
+    // (score DESC, c ASC)
+    "q_louvain_move" ->
+      """WITH raw AS (SELECT user_id AS a, (user_id * 31 + 7) % 150 AS b FROM events),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |comm AS (SELECT id, id % 5 AS comm FROM nodes),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS k FROM
+        |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |sig AS (SELECT comm.comm AS c, CAST(SUM(deg.k) AS BIGINT) AS tot
+        |  FROM deg JOIN comm ON deg.id = comm.id GROUP BY 1),
+        |nbr AS (SELECT e.u AS i, c2.comm AS c, 1 AS w
+        |    FROM e JOIN comm c2 ON e.v = c2.id
+        |  UNION ALL SELECT e.v, c1.comm, 1 FROM e JOIN comm c1 ON e.u = c1.id
+        |  UNION ALL SELECT id, comm, 0 FROM comm),
+        |kic AS (SELECT i, c, CAST(SUM(w) AS BIGINT) AS k_ic FROM nbr GROUP BY 1, 2),
+        |cand AS (SELECT kic.i, kic.c, comm.comm AS own,
+        |    4 * mm.m * kic.k_ic - 2 * deg.k *
+        |      (sig.tot - CASE WHEN kic.c = comm.comm THEN deg.k ELSE 0 END) AS score
+        |  FROM kic JOIN sig ON kic.c = sig.c JOIN deg ON kic.i = deg.id
+        |  JOIN comm ON kic.i = comm.id CROSS JOIN mm),
+        |best AS (SELECT i, c, score,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY score DESC, c ASC) AS rn
+        |  FROM cand),
+        |stay AS (SELECT i, own AS old_comm, score AS stay_score
+        |  FROM cand WHERE c = own)
+        |SELECT s.i AS id, s.old_comm, b.c AS new_comm,
+        |  b.score AS best_score, s.stay_score, (b.c <> s.old_comm) AS moved
+        |FROM stay s JOIN best b ON s.i = b.i AND b.rn = 1
+        |ORDER BY id""".stripMargin
   )
 
   /** Shared CTE: the synthesized multi-line documents (5-word lines,

@@ -322,4 +322,44 @@ class WebPipelineSpec extends AnyFunSuite {
     // the filtered protocol has something to flag (sanity of the fixture)
     assert(got.exists(p => p._6 || p._7))
   }
+
+  // --------------------------------------------- Louvain local move
+
+  test("louvain local move: matches a brute-force gain argmax; bridge node stays put") {
+    import spark.implicits._
+    // two triangles bridged by 2–3; singleton start communities
+    val edgeSeq = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val e = edgeSeq.toDF("a", "b")
+    val nodes = (0L to 5L)
+    val comms = nodes.map(i => (i, i)).toDF("id", "comm")
+    val got = graft.plans.Louvain.localMoveRound(e, comms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+
+    // brute-force reference of the same scoring
+    val und = edgeSeq.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val deg = nodes.map(i => i -> und.count(p => p._1 == i || p._2 == i).toLong).toMap
+    val commOf = nodes.map(i => i -> i).toMap
+    def nbrs(i: Long) = und.collect { case (a, b) if a == i => b; case (a, b) if b == i => a }
+    val want = nodes.map { i =>
+      val cands = (nbrs(i).map(commOf) :+ commOf(i)).distinct
+      val scored = cands.map { c =>
+        val kic = nbrs(i).count(commOf(_) == c).toLong
+        val tot = nodes.filter(commOf(_) == c).map(deg).sum
+        val score = 4L * m * kic - 2L * deg(i) *
+          (tot - (if (c == commOf(i)) deg(i) else 0L))
+        (c, score)
+      }
+      val best = scored.minBy { case (c, s) => (-s, c) }
+      val stay = scored.find(_._1 == commOf(i)).get._2
+      (i, commOf(i), best._1, best._2, stay, best._1 != commOf(i))
+    }
+    assert(got.toSeq == want)
+    // from singletons every node gains by joining SOME neighbor
+    assert(got.forall(_._6))
+    // the argmax tie-break is the smallest community id: node 1's
+    // neighbors 0 and 2 are symmetric (same degree) → joins comm 0
+    assert(got(1)._3 == 0L)
+  }
 }
