@@ -127,7 +127,11 @@ object Bench {
     // corrupted-negative generation + filtered joins
     "q_c4_clean", "q_gopher", "q_url_normalize", "q_neg_samples",
     "q_item_pairs", "q_transitions", "q_hits", "q_kg_negatives",
-    "q_temporal_reach", "q_topo_layers")
+    "q_temporal_reach", "q_topo_layers", "q_louvain_move",
+    // round-5 consolidation: weighted Louvain + coarsening, snapshot
+    // CDC, RA link prediction, token-distribution drift
+    "q_louvain_weighted", "q_louvain_coarsen", "q_snapshot_cdc",
+    "q_link_ra", "q_token_drift")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -1217,6 +1217,27 @@ object SparkEntry {
       sources.SnapshotTable.read(s, table, version = 1, partitions = Some(Seq("en", "de")))
         .select($"doc_id", $"lang", $"n_chars").orderBy($"doc_id")
     },
+    // CDC between snapshots (SnapshotTable.changes, Delta CDF /
+    // Iceberg incremental-read analog): the row diff the MERGE above
+    // produced — insert/delete + update pre/post-image pairs, scans
+    // pruned to manifest-changed partitions before the one full-outer
+    // key join. Oracle replays the diff relationally.
+    "q_snapshot_cdc" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft-snap-cdc").toString
+      val docs = t(dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      sources.SnapshotTable.commit(docs, table, "lang")
+      val upd = docs.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"lang", ($"n_chars" + 1000L).as("n_chars"), lit(false).as("del"))
+      val insNew = docs.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
+          lit(7L).as("n_chars"), lit(false).as("del"))
+      val dels = docs.filter($"doc_id" % 17 === 0 && $"doc_id" % 10 =!= 0)
+        .select($"doc_id", $"lang", $"n_chars", lit(true).as("del"))
+      sources.SnapshotTable.merge(s, table, upd.union(insNew).union(dels),
+        "lang", Seq("doc_id"), tombstoneCol = Some("del"))
+      sources.SnapshotTable.changes(s, table, 1, 2, Seq("doc_id"))
+        .orderBy("doc_id", "change")
+    },
     // Streaming bounded-state dedup (dropDuplicatesWithinWatermark):
     // first-seen (user_id, event_type) pairs emitted in append mode,
     // state GC'd at the watermark — the streaming face of exact dedup.
@@ -1699,6 +1720,23 @@ object SparkEntry {
         .select($"user_id".as("src"), expr("user_id div 2").as("dst"))
       plans.NodeSim.jaccard(edges).orderBy("u", "v")
     },
+    // Resource-Allocation link prediction (plans.NodeSim
+    // .resourceAllocation, Zhou-Lü-Zhang 2009): shared neighbors weighted
+    // 10^6 div deg(w) — hub-discounted common-neighbor scoring over the
+    // same halving-tree graph, same single wedge self-join, integer ppm
+    "q_link_ra" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "events").filter($"user_id" > 0)
+        .select($"user_id".as("src"), expr("user_id div 2").as("dst"))
+      plans.NodeSim.resourceAllocation(edges).orderBy("u", "v")
+    },
+    // Token-distribution drift (TextAnalysis.tokenDrift): per-token
+    // total-variation contribution between the English slice and the
+    // rest — the new-crawl domain-shift monitor; one (slice, token)
+    // hash agg, integer ppm
+    "q_token_drift" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.TextAnalysis.tokenDrift(t(dir, "documents"), $"text", $"lang" === "en")
+        .orderBy("token")
+    },
     // GNN-style neighbor aggregation (plans.NodeSim.aggregateNeighbors):
     // the aggregate-messages step of a graph feature pipeline — per node,
     // count/sum/min/max/div-mean of its neighbors' feature (here: the
@@ -1984,6 +2022,35 @@ object SparkEntry {
       val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
       val comms = nodes.select($"id", ($"id" % 5L).as("comm"))
       plans.Louvain.localMoveRound(edges, comms).orderBy("id")
+    },
+    // WEIGHTED Louvain local-move round (plans.Louvain
+    // .localMoveRoundWeighted) over a multigraph WITH self-loops —
+    // the exact input shape phase-2 coarsening produces; parallel edges
+    // merge by weight sum, loop weight counts 2× in degree, candidate
+    // gains replayed integer-exactly by the oracle
+    "q_louvain_weighted" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 60L).as("a"),
+        (($"user_id" * 13L + $"event_id") % 60L).as("b"),
+        ($"event_id" % 5L + 1L).as("w"))
+      val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
+      val comms = nodes.select($"id", ($"id" % 5L).as("comm"))
+      plans.Louvain.localMoveRoundWeighted(edges, comms).orderBy("id")
+    },
+    // Louvain phase-2 coarsening (plans.Louvain.coarsen): apply the
+    // weighted round's moves, then collapse communities to super-nodes —
+    // inter-community weight sums onto super-edges, intra-community
+    // (incl. original loops) onto the super-node self-loop
+    "q_louvain_coarsen" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 60L).as("a"),
+        (($"user_id" * 13L + $"event_id") % 60L).as("b"),
+        ($"event_id" % 5L + 1L).as("w"))
+      val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
+      val comms = nodes.select($"id", ($"id" % 5L).as("comm"))
+      val moved = plans.Louvain.localMoveRoundWeighted(edges, comms)
+        .select($"id", $"new_comm".as("comm"))
+      plans.Louvain.coarsen(edges, moved).orderBy("cu", "cv")
     }
   )
 
@@ -3146,6 +3213,20 @@ object SparkEntry {
     "q_snapshot_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
         |ORDER BY doc_id""".stripMargin,
+    // CDC replayed relationally from the merge fixture: every %10 key
+    // is an update (pre+post image), +1000000 keys are inserts,
+    // %17-not-%10 keys are deletes; all other rows are unchanged
+    "q_snapshot_cdc" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+        |SELECT doc_id, lang, n_chars, 'update_pre' AS change
+        |  FROM base WHERE doc_id % 10 = 0
+        |UNION ALL SELECT doc_id, lang, n_chars + 1000, 'update_post'
+        |  FROM base WHERE doc_id % 10 = 0
+        |UNION ALL SELECT doc_id + 1000000, lang, CAST(7 AS BIGINT), 'insert'
+        |  FROM base WHERE doc_id % 25 = 0
+        |UNION ALL SELECT doc_id, lang, n_chars, 'delete'
+        |  FROM base WHERE doc_id % 17 = 0 AND doc_id % 10 <> 0
+        |ORDER BY doc_id, change""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
@@ -3645,6 +3726,31 @@ object SparkEntry {
         |SELECT u, v, common, deg_u, deg_v,
         |       (common * 1000000) // (deg_u + deg_v - common) AS jac_ppm
         |FROM j ORDER BY u, v""".stripMargin,
+    "q_link_ra" ->
+      """WITH e0 AS (SELECT DISTINCT least(user_id, user_id // 2) AS a,
+        |                   greatest(user_id, user_id // 2) AS b
+        |            FROM events WHERE user_id > 0 AND user_id != user_id // 2),
+        |adj AS (SELECT a AS u, b AS w FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT u AS id, COUNT(*) AS deg FROM adj GROUP BY u)
+        |SELECT l.u AS u, r.u AS v, CAST(COUNT(*) AS BIGINT) AS common,
+        |       CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_ppm
+        |FROM adj l JOIN adj r ON l.w = r.w AND l.u < r.u
+        |JOIN deg d ON l.w = d.id
+        |GROUP BY 1, 2 ORDER BY u, v""".stripMargin,
+    "q_token_drift" ->
+      """WITH tok AS (SELECT (lang = 'en') AS a,
+        |    UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM c)
+        |SELECT token, cnt_a, cnt_b,
+        |  cnt_a * 1000000 // n_a AS ppm_a,
+        |  cnt_b * 1000000 // n_b AS ppm_b,
+        |  ABS(cnt_a * 1000000 // n_a - cnt_b * 1000000 // n_b) AS dev_ppm
+        |FROM c CROSS JOIN tot ORDER BY token""".stripMargin,
     "q_graph_agg" ->
       """WITH e0 AS (SELECT DISTINCT least(user_id, user_id // 2) AS a,
         |                   greatest(user_id, user_id // 2) AS b
@@ -4021,8 +4127,64 @@ object SparkEntry {
         |SELECT s.i AS id, s.old_comm, b.c AS new_comm,
         |  b.score AS best_score, s.stay_score, (b.c <> s.old_comm) AS moved
         |FROM stay s JOIN best b ON s.i = b.i AND b.rn = 1
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    // weighted Louvain replay: parallel edges merge by SUM(w), loops
+    // count 2w in degree and never generate candidates, gain =
+    // 4m·k_ic − 2k·(Σtot − own correction) with m = Σw
+    "q_louvain_weighted" ->
+      (louvainWeightedCte +
+        """
+          |SELECT s.i AS id, s.old_comm, b.c AS new_comm,
+          |  b.score AS best_score, s.stay_score, (b.c <> s.old_comm) AS moved
+          |FROM stay s JOIN best b ON s.i = b.i AND b.rn = 1
+          |ORDER BY id""".stripMargin),
+    // coarsening replay: endpoint→new-community map from the round's
+    // argmax, then weight sums per (least, greatest) community pair
+    "q_louvain_coarsen" ->
+      (louvainWeightedCte +
+        """,
+          |newc AS (SELECT i AS id, c AS comm FROM best WHERE rn = 1)
+          |SELECT LEAST(m1.comm, m2.comm) AS cu, GREATEST(m1.comm, m2.comm) AS cv,
+          |  CAST(SUM(e.w) AS BIGINT) AS w
+          |FROM e JOIN newc m1 ON e.u = m1.id JOIN newc m2 ON e.v = m2.id
+          |GROUP BY 1, 2 ORDER BY cu, cv""".stripMargin)
   )
+
+  /** Shared DuckDB CTE replaying one WEIGHTED Louvain local-move round
+    * (the q_louvain_weighted / q_louvain_coarsen fixture graph —
+    * multigraph with self-loops, weights 1..5). Exposes e(u,v,w),
+    * best(i,c,score,rn), stay(i,old_comm,stay_score). */
+  private val louvainWeightedCte: String =
+    """WITH raw AS (SELECT user_id % 60 AS a, (user_id * 13 + event_id) % 60 AS b,
+      |    event_id % 5 + 1 AS w FROM events),
+      |e AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+      |    CAST(SUM(w) AS BIGINT) AS w
+      |  FROM raw GROUP BY 1, 2),
+      |mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+      |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+      |comm AS (SELECT id, id % 5 AS comm FROM nodes),
+      |deg AS (SELECT id, CAST(SUM(k) AS BIGINT) AS k FROM (
+      |    SELECT u AS id, w AS k FROM e WHERE u <> v
+      |    UNION ALL SELECT v, w FROM e WHERE u <> v
+      |    UNION ALL SELECT u, 2 * w FROM e WHERE u = v) GROUP BY 1),
+      |sig AS (SELECT comm.comm AS c, CAST(SUM(deg.k) AS BIGINT) AS tot
+      |  FROM deg JOIN comm ON deg.id = comm.id GROUP BY 1),
+      |nbr AS (SELECT e.u AS i, c2.comm AS c, e.w
+      |    FROM e JOIN comm c2 ON e.v = c2.id WHERE e.u <> e.v
+      |  UNION ALL SELECT e.v, c1.comm, e.w
+      |    FROM e JOIN comm c1 ON e.u = c1.id WHERE e.u <> e.v
+      |  UNION ALL SELECT id, comm, 0 FROM comm),
+      |kic AS (SELECT i, c, CAST(SUM(w) AS BIGINT) AS k_ic FROM nbr GROUP BY 1, 2),
+      |cand AS (SELECT kic.i, kic.c, comm.comm AS own,
+      |    4 * mm.m * kic.k_ic - 2 * deg.k *
+      |      (sig.tot - CASE WHEN kic.c = comm.comm THEN deg.k ELSE 0 END) AS score
+      |  FROM kic JOIN sig ON kic.c = sig.c JOIN deg ON kic.i = deg.id
+      |  JOIN comm ON kic.i = comm.id CROSS JOIN mm),
+      |best AS (SELECT i, c, score,
+      |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY score DESC, c ASC) AS rn
+      |  FROM cand),
+      |stay AS (SELECT i, own AS old_comm, score AS stay_score
+      |  FROM cand WHERE c = own)""".stripMargin
 
   /** Shared CTE: the synthesized multi-line documents (5-word lines,
     * '.'-terminated unless (doc_id+i)%3==0) — DuckDB list-comprehension

@@ -351,6 +351,37 @@ object TextAnalysis {
         .otherwise(array())).as("shingle"))
       .distinct()
 
+  /** Token-distribution drift between a corpus slice and the rest —
+    * the data-mixing / domain-shift monitor a training pipeline runs
+    * when a new crawl lands: per-token total-variation contribution
+    *
+    *   dev_ppm(t) = | cnt_a(t)·10^6 div n_a  −  cnt_b(t)·10^6 div n_b |
+    *
+    * (Σ dev_ppm / 2 ≈ TVD·10^6 — kept per token so consumers rank the
+    * tokens DRIVING the drift, and the oracle checks every term).
+    * Integer `div` end to end: bit-reproducible, no float partial-sum
+    * order sensitivity.
+    *
+    * Plan: one token explode → ONE (slice, token) hash agg (partial
+    * aggregation does the heavy lift map-side) → pivot of exactly two
+    * slices via conditional sums → broadcast-sized totals join. The
+    * corpus is scanned once; nothing is per-document after the agg.
+    * Both slices must be non-empty (ppm over an empty slice is
+    * undefined — Spark nulls, DuckDB errors). */
+  def tokenDrift(df: DataFrame, text: Column, inSliceA: Column): DataFrame = {
+    val tok = df.select(inSliceA.as("a"), explode(tokens(text)).as("token"))
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("a"), 0L).otherwise(1L)).as("cnt_b"))
+    val tot = counts.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        expr("cnt_a * 1000000 div n_a").as("ppm_a"),
+        expr("cnt_b * 1000000 div n_b").as("ppm_b"),
+        abs(expr("cnt_a * 1000000 div n_a") - expr("cnt_b * 1000000 div n_b"))
+          .as("dev_ppm"))
+  }
+
   def contamination(docs: DataFrame, probes: DataFrame, id: Column, text: Column,
                     n: Int = 5, minShared: Int = 1): DataFrame = {
     val d = shingles(docs, id, text, n)

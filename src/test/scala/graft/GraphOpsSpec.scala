@@ -472,6 +472,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped((0L, 1L)) == 1L && capped((0L, 2L)) == 1L)
   }
 
+  test("resource-allocation index matches brute force; hub discount orders pairs sensibly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(78)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = graft.plans.NodeSim.resourceAllocation(edges.toDF("src", "dst"))
+    val gotMap = got.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    // brute force with the same 10^6 div deg(w) convention
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq.sorted
+    val want = (for {
+      u <- nodes; v <- nodes if u < v
+      shared = nbrs(u) & nbrs(v) if shared.nonEmpty
+    } yield (u, v) -> ((shared.size.toLong,
+      shared.toSeq.map(w => 1000000L / nbrs(w).size).sum))).toMap
+    assert(gotMap == want, s"got ${gotMap.size} vs ref ${want.size}")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // hub discount: a pair sharing one degree-2 neighbor outranks a pair
+    // sharing one high-degree hub
+    val star = ((1L to 10L).map(i => (0L, i)) ++ Seq((20L, 21L), (21L, 22L)))
+    val ra = graft.plans.NodeSim.resourceAllocation(star.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(ra((20L, 22L)) == 500000L) // via degree-2 center 21
+    assert(ra((1L, 2L)) == 100000L)   // via the degree-10 hub
+  }
+
   test("aggregateNeighbors matches a scalar reference") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 5L))

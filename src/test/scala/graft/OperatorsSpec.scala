@@ -749,6 +749,30 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "en", 1L, 1L), (5L, "de", 3L, 0L)))
   }
 
+  test("tokenDrift: per-token TVD ppm matches a hand count; planted drift token dominates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta beta drift"),
+      (2L, "en", "alpha drift drift gamma"),
+      (3L, "de", "alpha beta gamma gamma"),
+      (4L, "de", "alpha gamma")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis.tokenDrift(docs, col("text"), col("lang") === "en")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // slice a (en): 8 tokens — alpha 2, beta 2, drift 3, gamma 1
+    // slice b (de): 6 tokens — alpha 2, beta 1, gamma 3
+    def ppm(c: Long, n: Long) = c * 1000000L / n
+    def row(ca: Long, cb: Long) =
+      (ca, cb, ppm(ca, 8), ppm(cb, 6), math.abs(ppm(ca, 8) - ppm(cb, 6)))
+    assert(got("alpha") == row(2, 2))
+    assert(got("beta") == row(2, 1))
+    assert(got("drift") == row(3, 0))
+    assert(got("gamma") == row(1, 3))
+    // the planted en-only token carries the largest deviation
+    assert(got.maxBy(_._2._5)._1 == "drift")
+  }
+
   test("contamination: planted probe overlap found; short docs yield no shingles") {
     import spark.implicits._
     val probes = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

@@ -362,4 +362,100 @@ class WebPipelineSpec extends AnyFunSuite {
     // neighbors 0 and 2 are symmetric (same degree) → joins comm 0
     assert(got(1)._3 == 0L)
   }
+
+  test("louvain weighted round: unit weights == unweighted round; loops/weights match brute force") {
+    import spark.implicits._
+    val edgeSeq = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val e = edgeSeq.toDF("a", "b")
+    val ew = edgeSeq.map { case (a, b) => (a, b, 1L) }.toDF("a", "b", "w")
+    val comms = (0L to 5L).map(i => (i, i)).toDF("id", "comm")
+    val plainR = graft.plans.Louvain.localMoveRound(e, comms)
+      .orderBy("id").collect().map(_.toSeq)
+    val weightR = graft.plans.Louvain.localMoveRoundWeighted(ew, comms)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(plainR.toSeq == weightR.toSeq)
+
+    // weighted multigraph WITH a self-loop and parallel edges:
+    // 0-1 (w 2+3 merged), 1-2 (w 1), loop 2-2 (w 4), 2-3 (w 2)
+    val wg = Seq((0L, 1L, 2L), (1L, 0L, 3L), (1L, 2L, 1L), (2L, 2L, 4L), (2L, 3L, 2L))
+      .toDF("a", "b", "w")
+    val wnodes = 0L to 3L
+    val wcomms = wnodes.map(i => (i, i)).toDF("id", "comm")
+    val got = graft.plans.Louvain.localMoveRoundWeighted(wg, wcomms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    // brute force with the documented conventions
+    val und = Map((0L, 1L) -> 5L, (1L, 2L) -> 1L, (2L, 2L) -> 4L, (2L, 3L) -> 2L)
+    val m = und.values.sum
+    def wOf(i: Long, j: Long) = und.getOrElse((math.min(i, j), math.max(i, j)), 0L)
+    val deg = wnodes.map(i => i ->
+      (wnodes.filter(_ != i).map(j => wOf(i, j)).sum + 2L * und.getOrElse((i, i), 0L))).toMap
+    val commOf = wnodes.map(i => i -> i).toMap
+    val want = wnodes.map { i =>
+      val nbrC = wnodes.filter(j => j != i && wOf(i, j) > 0).map(commOf)
+      val cands = (nbrC :+ commOf(i)).distinct
+      val scored = cands.map { c =>
+        val kic = wnodes.filter(j => j != i && commOf(j) == c).map(j => wOf(i, j)).sum
+        val tot = wnodes.filter(commOf(_) == c).map(deg).sum
+        (c, 4L * m * kic - 2L * deg(i) * (tot - (if (c == commOf(i)) deg(i) else 0L)))
+      }
+      val best = scored.minBy { case (c, s) => (-s, c) }
+      (i, commOf(i), best._1, best._2, scored.find(_._1 == commOf(i)).get._2,
+        best._1 != commOf(i))
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("louvain coarsen: inter weights sum to super-edges, intra (incl. loops) to self-loops") {
+    import spark.implicits._
+    val wg = Seq((0L, 1L, 2L), (1L, 0L, 3L), (1L, 2L, 1L), (2L, 2L, 4L), (2L, 3L, 2L),
+      (3L, 4L, 7L)).toDF("a", "b", "w")
+    val comm = Seq((0L, 10L), (1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)).toDF("id", "comm")
+    val got = graft.plans.Louvain.coarsen(wg, comm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    // intra(10) = 0-1 merged 5; inter(10,20) = 1-2 w1; intra(20) = loop 4 + 2-3 w2 + 3-4 w7
+    assert(got.toSeq == Seq((10L, 10L, 5L), (10L, 20L, 1L), (20L, 20L, 13L)))
+    // modularity invariance across coarsening: Σ_c (4m·L_c − D_c²) computed
+    // on the fine graph under `comm` equals the coarse graph's value under
+    // singleton communities, with L_c/D_c in the weighted conventions
+    def scaledQ(edges: Seq[(Long, Long, Long)], cOf: Map[Long, Long]): Long = {
+      val m = edges.map(_._3).sum
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = nodes.map(i => i -> (edges.collect {
+        case (a, b, w) if a == i && b == i => 2L * w
+        case (a, b, w) if a == i || b == i => w
+      }.sum)).toMap
+      val comms = cOf.values.toSeq.distinct
+      comms.map { c =>
+        val lc = edges.collect { case (a, b, w) if cOf(a) == c && cOf(b) == c => w }.sum
+        val dc = nodes.filter(cOf(_) == c).map(deg).sum
+        4L * m * lc - dc * dc
+      }.sum
+    }
+    val fine = Seq((0L, 1L, 5L), (1L, 2L, 1L), (2L, 2L, 4L), (2L, 3L, 2L), (3L, 4L, 7L))
+    val fineQ = scaledQ(fine, Map(0L -> 10L, 1L -> 10L, 2L -> 20L, 3L -> 20L, 4L -> 20L))
+    val coarseQ = scaledQ(got.toSeq, Map(10L -> 10L, 20L -> 20L))
+    assert(fineQ == coarseQ)
+  }
+
+  test("louvain cluster: recovers planted cliques; modularity strictly improves over singletons") {
+    import spark.implicits._
+    // two 5-cliques bridged by one edge
+    val cliqueA = for (i <- 0 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 14; j <- (i + 1) to 14) yield (i.toLong, j.toLong)
+    val e = (cliqueA ++ cliqueB :+ ((4L, 10L))).toDF("a", "b")
+    val got = graft.plans.Louvain.cluster(e, maxLevels = 4, maxRoundsPerLevel = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each clique lands in ONE community; the two differ
+    val ca = (0L to 4L).map(got).distinct
+    val cb = (10L to 14L).map(got).distinct
+    assert(ca.size == 1 && cb.size == 1 && ca.head != cb.head)
+    val comm = got.toSeq.toDF("id", "comm")
+    val qFinal = graft.plans.Modularity.scaled(e, comm)
+      .agg(sum("contrib")).first().getLong(0)
+    val singles = got.keys.toSeq.map(i => (i, i)).toDF("id", "comm")
+    val qSingle = graft.plans.Modularity.scaled(e, singles)
+      .agg(sum("contrib")).first().getLong(0)
+    assert(qFinal > qSingle)
+  }
 }
