@@ -1249,6 +1249,21 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table(name).orderBy($"user_id", $"event_type")
     },
+    // Streaming CDC-apply (StreamingPipeline.mergeStreamToTable):
+    // foreachBatch upserts the event stream into a SnapshotTable with a
+    // staleness guard — final state = global per-key (ts, event_id)
+    // argmax regardless of micro-batching. Oracle: the same argmax
+    // replayed as a window over the batch table.
+    "q_stream_merge" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft-stream-merge").toString
+      val q = graft.streaming.StreamingPipeline.mergeStreamToTable(
+        s, s"$dir/events.parquet", table)
+      q.awaitTermination()
+      sources.SnapshotTable.read(s, table)
+        .select($"user_id", $"bucket".cast("long").as("bucket"),
+          $"ts", $"event_id", $"event_type")
+        .orderBy("user_id")
+    },
     // Sequence packing (training-batch assembly): per-language quota
     // bins of 256 tokens, parallel per group — no global sort
     "q_seq_pack" -> { (s, dir) => implicit val sp = s; import sp.implicits._
@@ -2051,6 +2066,18 @@ object SparkEntry {
       val moved = plans.Louvain.localMoveRoundWeighted(edges, comms)
         .select($"id", $"new_comm".as("comm"))
       plans.Louvain.coarsen(edges, moved).orderBy("cu", "cv")
+    },
+    // One Luby MIS round (plans.Mis.round): strict local (sha52, id)
+    // minima join the independent set, their neighborhoods retire —
+    // the distributed symmetry-breaking primitive; min(struct) per
+    // node, no window. Oracle replays priorities and statuses verbatim.
+    "q_mis_round" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 80L).as("a"),
+          (($"user_id" * 17L + $"event_id") % 80L).as("b"))
+        .where($"a" =!= $"b")
+      val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
+      plans.Mis.round(edges, nodes, 0).orderBy("id")
     }
   )
 
@@ -3230,6 +3257,14 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // CDC-apply fixed point: the table converges to the per-key
+    // (ts, event_id) argmax of the whole stream
+    "q_stream_merge" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, user_id % 8 AS bucket, ts, event_id, event_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // quota packing replayed as a window: bin = floor(exclusive-cumsum
     // of token counts within lang / capacity)
     "q_seq_pack" ->
@@ -4147,7 +4182,33 @@ object SparkEntry {
           |SELECT LEAST(m1.comm, m2.comm) AS cu, GREATEST(m1.comm, m2.comm) AS cv,
           |  CAST(SUM(e.w) AS BIGINT) AS w
           |FROM e JOIN newc m1 ON e.u = m1.id JOIN newc m2 ON e.v = m2.id
-          |GROUP BY 1, 2 ORDER BY cu, cv""".stripMargin)
+          |GROUP BY 1, 2 ORDER BY cu, cv""".stripMargin),
+    // Luby round replay: 52-bit sha256 priorities ("id@0"), strict
+    // (p, id) local minima win, winners' neighborhoods drop
+    "q_mis_round" ->
+      """WITH raw AS (SELECT user_id % 80 AS a, (user_id * 17 + event_id) % 80 AS b
+        |    FROM events),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |n AS (SELECT id, CAST('0x' || substr(sha256(CAST(id AS VARCHAR) || '@0'),
+        |    1, 13) AS BIGINT) AS p FROM nodes),
+        |adj AS (SELECT u AS id, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |nmin AS (SELECT id, np, nbr FROM (
+        |    SELECT adj.id, n2.p AS np, adj.nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY adj.id ORDER BY n2.p, adj.nbr) AS rn
+        |    FROM adj JOIN n n2 ON adj.nbr = n2.id) WHERE rn = 1),
+        |wins AS (SELECT n.id, n.p,
+        |    (nm.id IS NULL OR (n.p, n.id) < (nm.np, nm.nbr)) AS w
+        |  FROM n LEFT JOIN nmin nm ON n.id = nm.id),
+        |dropped AS (SELECT DISTINCT adj.id FROM adj
+        |    JOIN wins w2 ON adj.nbr = w2.id AND w2.w
+        |  WHERE adj.id NOT IN (SELECT id FROM wins WHERE w))
+        |SELECT w.id, w.p,
+        |  CASE WHEN w.w THEN 'mis' WHEN d.id IS NOT NULL THEN 'dropped'
+        |       ELSE 'active' END AS status
+        |FROM wins w LEFT JOIN dropped d ON w.id = d.id
+        |ORDER BY w.id""".stripMargin
   )
 
   /** Shared DuckDB CTE replaying one WEIGHTED Louvain local-move round

@@ -351,12 +351,15 @@ object SnapshotTable {
     val affected = updates.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => if (r.isNullAt(0)) NullPartition else r.getString(0)).toSeq
     val ins = tombstoneCol.map(c => updates.filter(!col(c)).drop(c)).getOrElse(updates)
-    val current = read(spark, table, partitions = Some(affected))
     val merged =
-      if (current.columns.isEmpty) ins // no affected partition existed yet
-      else ins.unionByName(
-        current.join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-          .select(ins.columns.map(col).toSeq: _*))
+      if (currentVersion(table) == 0) ins // merge into an empty table = insert
+      else {
+        val current = read(spark, table, partitions = Some(affected))
+        if (current.columns.isEmpty) ins // no affected partition existed yet
+        else ins.unionByName(
+          current.join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+            .select(ins.columns.map(col).toSeq: _*))
+      }
     commit(merged, table, partitionCol, replace = true,
       statsCols = statsCols, clearPartitions = affected)
   }

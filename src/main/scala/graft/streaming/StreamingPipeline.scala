@@ -52,14 +52,15 @@ object StreamingPipeline {
 
   /** Events file stream. The file source requires a directory; for a
     * bare parquet file, stage a symlink inside a temp dir (zero-copy). */
-  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, eventsDir: String,
+                   options: Map[String, String] = Map.empty): DataFrame = {
     val base = if (eventsDir.endsWith(".parquet")) {
       val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
       java.nio.file.Files.createSymbolicLink(
         d.resolve("part-0.parquet"), java.nio.file.Paths.get(eventsDir))
       d.toString
     } else eventsDir
-    spark.readStream.schema(eventsSchema).parquet(base)
+    spark.readStream.options(options).schema(eventsSchema).parquet(base)
   }
 
   /** Windowed event aggregation with watermark (late-data-safe tumbling
@@ -298,6 +299,56 @@ object StreamingPipeline {
             closed.iterator
           }
       }
+  }
+
+  /** Streaming CDC-apply (foreachBatch → [[graft.sources.SnapshotTable]]
+    * MERGE): the incremental lakehouse-maintenance loop — a keyed event
+    * stream continuously upserted into a versioned snapshot table, the
+    * shape a live KG store takes between full rebuilds.
+    *
+    * Per micro-batch: reduce to ONE row per key (argmax by
+    * (ts, event_id) — a partial-aggregable max(struct), no window),
+    * drop updates STALER than the table's current row for that key
+    * (one key-join against the table — the standard out-of-order
+    * CDC-apply guard), then one atomic MERGE commit. The guard makes
+    * the final state independent of how the stream was micro-batched
+    * or ordered: any replay converges to the global per-key
+    * (ts, event_id) argmax (test-asserted with shuffled multi-batch
+    * splits), and a crash-replayed batch re-merges idempotently (its
+    * rows are no longer fresher than the table).
+    *
+    * Partitioning: `bucket = user_id % nBuckets` — key-stable by
+    * construction, so MERGE's partition-scoped COW invariant holds and
+    * each commit rewrites only the buckets its keys touch. */
+  def mergeStreamToTable(spark: SparkSession, eventsDir: String, table: String,
+                         nBuckets: Int = 8,
+                         maxFilesPerTrigger: Option[Int] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.SnapshotTable
+    val src0 = eventsStream(spark, eventsDir,
+      maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
+    src0.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val reduced = batch
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("b"))
+        .select(col("user_id"), (col("user_id") % nBuckets).as("bucket"),
+          col("b.ts").as("ts"), col("b.event_id").as("event_id"),
+          col("b.event_type").as("event_type"))
+      val fresh =
+        if (SnapshotTable.currentVersion(table) == 0) reduced
+        else {
+          val cur = SnapshotTable.read(spark, table)
+            .select(col("user_id"),
+              struct(col("ts"), col("event_id")).as("_cur"))
+          reduced.join(cur, Seq("user_id"), "left")
+            .filter(col("_cur").isNull ||
+              struct(col("ts"), col("event_id")) > col("_cur"))
+            .drop("_cur")
+        }
+      if (!fresh.isEmpty)
+        SnapshotTable.merge(spark, table, fresh, "bucket", Seq("user_id"))
+      ()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
   }
 
   /** Custom keyed state via mapGroupsWithState: running per-user event

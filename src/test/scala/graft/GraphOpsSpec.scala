@@ -472,6 +472,63 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped((0L, 1L)) == 1L && capped((0L, 2L)) == 1L)
   }
 
+  test("luby MIS: independent, maximal, deterministic across partitionings; budget fires") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = edges.toDF("src", "dst")
+    val got = graft.plans.Mis.run(df)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    val mis = got.filter(_._2).keySet
+    // independence: no simple edge inside the MIS
+    assert(und.forall { case (u, v) => !(mis(u) && mis(v)) })
+    // maximality: every outsider has a MIS neighbor
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(nodes.filterNot(mis).forall(v => nbrs.getOrElse(v, Set()).exists(mis)))
+    // determinism: a different partitioning yields the identical set
+    val got2 = graft.plans.Mis.run(df.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2 == got)
+    // fail-fast budget
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.Mis.run(df, maxRounds = 0)
+    }
+    assert(e.getMessage.contains("still active"))
+  }
+
+  test("luby round statuses: winners are strict local minima; drops are their neighbors") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 10L)).toDF("a", "b")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 10L).toDF("id")
+    val st = graft.plans.Mis.round(edges, nodes, 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // self-loop-only node 10 is isolated → wins unconditionally
+    assert(st(10L)._2 == "mis")
+    // replay the rule on the path 0-1-2-3-4
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$id@0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val nb = Map(0L -> Seq(1L), 1L -> Seq(0L, 2L), 2L -> Seq(1L, 3L),
+      3L -> Seq(2L, 4L), 4L -> Seq(3L))
+    nb.foreach { case (v, ns) =>
+      assert(st(v)._1 == h(v), s"priority of $v")
+      def lt(a: (Long, Long), b: (Long, Long)) =
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      val wins = ns.forall(n => lt((h(v), v), (h(n), n)))
+      val dropped = !wins && ns.exists(n =>
+        nb(n).forall(m => lt((h(n), n), (h(m), m))))
+      val want = if (wins) "mis" else if (dropped) "dropped" else "active"
+      assert(st(v)._2 == want, s"status of $v")
+    }
+  }
+
   test("resource-allocation index matches brute force; hub discount orders pairs sensibly") {
     import spark.implicits._
     val rnd = new scala.util.Random(78)

@@ -699,6 +699,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
   }
 
+  test("streaming CDC-apply: out-of-order multi-batch merges converge to the per-key argmax") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-cdc-table").toString
+    // NEWEST events staged in the FIRST file; older duplicates of the
+    // same keys arrive in later micro-batches and must be discarded by
+    // the staleness guard, not applied
+    Seq((10L, ts(100), 1L, "buy", 1.0, ""), (11L, ts(90), 2L, "buy", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/b1")
+    Seq((5L, ts(50), 1L, "click", 1.0, ""), (6L, ts(60), 3L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/b2")
+    // same ts as user 3's row above but higher event_id → wins tie-break
+    Seq((7L, ts(60), 3L, "buy", 1.0, ""), (1L, ts(10), 2L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/b3")
+    val q = graft.streaming.StreamingPipeline.mergeStreamToTable(
+      spark, s"$dir/b*/", table, nBuckets = 2, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // multiple merge commits actually happened (multi-batch, not one)
+    assert(graft.sources.SnapshotTable.currentVersion(table) >= 2,
+      s"version ${graft.sources.SnapshotTable.currentVersion(table)}")
+    val got = graft.sources.SnapshotTable.read(spark, table)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSet
+    val want = Set(
+      (1L, ts(100), 10L, "buy"),  // newest beat the later-arriving older click
+      (2L, ts(90), 11L, "buy"),
+      (3L, ts(60), 7L, "buy"))    // equal ts, larger event_id wins
+    assert(got == want, s"$got vs $want")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions by gap and timeout") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
