@@ -1157,6 +1157,16 @@ object SparkEntry {
       val seeds = nodes.filter($"id" % 50 === 0).distinct()
       plans.PageRank.personalized(s, edges, seeds, iters = 3).orderBy($"id")
     },
+    // edge-weighted PageRank (PageRank.weighted): contributions scale
+    // with integer edge weights (statement multiplicity / confidence) —
+    // (r·w) div Σw_out; parallel edges merge by weight sum; 2 unrolled
+    // rounds replayed by the oracle in the same fixed-point arithmetic
+    "q_pagerank_weighted" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "orders")
+        .select($"o_custkey".as("src"), ($"o_orderkey" % 1000).as("dst"),
+          ($"o_orderkey" % 5 + 1).as("w"))
+      plans.PageRank.weighted(s, edges, iters = 2).orderBy($"id")
+    },
     // log2-binned degree profile (Profiling.log2Histogram): the
     // power-law histogram that tells the planner which hub keys need
     // salting — bitlength bins, one hash agg over ≤ 64 bins
@@ -3174,6 +3184,27 @@ object SparkEntry {
         |    + (85 * COALESCE(c3.sc, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
         |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin,
+    // 2 weighted-PageRank iterations unrolled: contribution
+    // (r*w) // wdeg, parallel edges pre-merged by SUM(w)
+    "q_pagerank_weighted" ->
+      """WITH raw AS (SELECT o_custkey AS src, o_orderkey % 1000 AS dst,
+        |    o_orderkey % 5 + 1 AS w FROM orders),
+        |e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM raw GROUP BY 1, 2),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM((r0.r * e.w) // d.wdeg) AS BIGINT) AS sc
+        |  FROM e JOIN r0 ON e.src = r0.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |    + (85 * COALESCE(c1.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM((r1.r * e.w) // d.wdeg) AS BIGINT) AS sc
+        |  FROM e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+        |    + (85 * COALESCE(c2.sc, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON nodes.id = c2.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r2 ORDER BY id""".stripMargin,
     // bitlength == length(to_base(v, 2)), the engine's exact log2 bin
     "q_degree_profile" ->
       """WITH edges AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 1000 AS dst FROM orders),

@@ -49,6 +49,46 @@ object PageRank {
     rank.select(col("id"), col("r").as("rank_scaled"))
   }
 
+  /** Edge-weighted PageRank: per-edge contribution is proportional to
+    * the edge's integer weight — `(r · w) div Σw_out(src)` — the KG
+    * variant where statement multiplicity / confidence weights the
+    * random surfer. Parallel edges merge by weight sum. Same
+    * fixed-point integer arithmetic, per-iteration shuffle shape, and
+    * dangling-mass convention as [[run]] (to which it reduces at
+    * w ≡ 1). Overflow bound: r < scale and Σw per edge ≤ ~10^6 keeps
+    * r·w < 10^18 inside Long.
+    *
+    * @param edges (src, dst, w) in the first three columns, w cast to
+    *        long; non-positive total out-weight never occurs (an edge
+    *        implies w ≥ 1 after the sum if inputs are ≥ 1 — callers
+    *        pass counts).
+    * @return (id, rank_scaled) in units of 1/scale */
+  def weighted(spark: SparkSession, edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    val c = edges.columns
+    val e = edges.select(col(c(0)).as("src"), col(c(1)).as("dst"),
+        col(c(2)).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val deg = e.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val base = (scale * 15L) / (100L * n)
+    var rank = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("(r * w) div wdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("r").as("rank_scaled"))
+  }
+
   /** Personalized PageRank (random walk with restart): the teleport
     * mass returns to a SEED set instead of the uniform vector — "what
     * is related to THESE entities", the related-entities /

@@ -472,6 +472,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped((0L, 1L)) == 1L && capped((0L, 2L)) == 1L)
   }
 
+  test("weighted pagerank: reduces to unweighted at w=1; heavy edge redirects rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val unw = PageRank.run(spark, edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val w1 = graft.plans.PageRank.weighted(
+        spark, edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(unw == w1, "w=1 must equal the unweighted ranks bit-exactly")
+    // source 0 splits mass 9:1 between 1 and 2 → 1 outranks 2
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val r = graft.plans.PageRank.weighted(spark, skew, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // excess over the teleport base splits exactly 9:1
+    val base = 1000000000000L * 15L / (100L * 3L)
+    assert(r(1L) - base == 9L * (r(2L) - base), r.toString)
+    // parallel edges merge by weight sum: (0,1,9) == (0,1,4)+(0,1,5)
+    val merged = graft.plans.PageRank.weighted(spark,
+        Seq((0L, 1L, 4L), (0L, 1L, 5L), (0L, 2L, 1L)).toDF("src", "dst", "w"), iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(merged == r)
+  }
+
   test("luby MIS: independent, maximal, deterministic across partitionings; budget fires") {
     import spark.implicits._
     val rnd = new scala.util.Random(79)
