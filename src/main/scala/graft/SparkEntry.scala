@@ -2088,6 +2088,37 @@ object SparkEntry {
         .where($"a" =!= $"b")
       val nodes = edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct()
       plans.Mis.round(edges, nodes, 0).orderBy("id")
+    },
+    // GraphSAGE k-hop neighborhood sampling (plans.KhopSample): per hop,
+    // each frontier node keeps the fanout neighbors with the largest
+    // sha52("src:dst") via the partial-aggregable TopKAgg (no window on
+    // the data path; the oracle replays the rank with a window)
+    "q_khop_sample" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 60L).as("src"),
+        (($"user_id" * 7L + $"event_id") % 60L).as("dst"))
+      val seeds = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+      plans.KhopSample.sample(edges, seeds, Seq(3, 2)).orderBy("hop", "src", "rn")
+    },
+    // Source-sampled Brandes betweenness (plans.Betweenness.approx):
+    // BFS sigma counts + integer-ppm dependency accumulation from 5
+    // sampled sources over a 3-layer DAG (depth exactly 2, so the
+    // oracle unrolls both the forward and backward passes verbatim)
+    "q_betweenness" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val e01 = ev.select(($"user_id" % 20L).as("src"),
+        (lit(20L) + ($"user_id" * 7L + $"event_id") % 20L).as("dst"))
+      val e12 = ev.select((lit(20L) + $"user_id" % 20L).as("src"),
+        (lit(40L) + ($"user_id" * 11L + $"event_id") % 20L).as("dst"))
+      val sources = Seq(0L, 1L, 2L, 3L, 4L).toDF("s")
+      plans.Betweenness.approx(e01.union(e12), sources, maxDepth = 3).orderBy("id")
+    },
+    // Robust MAD outlier flags per language (Quantiles.madOutliers):
+    // median + median-absolute-deviation via the distributed-selection
+    // quantiles (fact table never sorted), 3-MAD rule in integer ppm
+    "q_mad_outliers" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Quantiles.madOutliers(t(dir, "documents"), $"lang", $"n_chars")
+        .orderBy("g", "v")
     }
   )
 
@@ -4239,7 +4270,68 @@ object SparkEntry {
         |  CASE WHEN w.w THEN 'mis' WHEN d.id IS NOT NULL THEN 'dropped'
         |       ELSE 'active' END AS status
         |FROM wins w LEFT JOIN dropped d ON w.id = d.id
-        |ORDER BY w.id""".stripMargin
+        |ORDER BY w.id""".stripMargin,
+    // 2-hop GraphSAGE sampling replay: rank = ROW_NUMBER over
+    // (sha52("src:dst") DESC, dst ASC) per frontier node, fanouts (3, 2)
+    "q_khop_sample" ->
+      """WITH raw AS (SELECT user_id % 60 AS src, (user_id * 7 + event_id) % 60 AS dst
+        |    FROM events),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |eh AS (SELECT src, dst, CAST('0x' || substr(sha256(
+        |    CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+        |  FROM e),
+        |h0 AS (SELECT src, dst,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY hv DESC, dst ASC) AS rn
+        |  FROM eh WHERE src IN (0, 1, 2, 3, 4)),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS hop, src, dst, rn FROM h0 WHERE rn <= 3),
+        |f1 AS (SELECT DISTINCT dst AS id FROM s0),
+        |h1 AS (SELECT src, dst,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY hv DESC, dst ASC) AS rn
+        |  FROM eh WHERE src IN (SELECT id FROM f1)),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS hop, src, dst, rn FROM h1 WHERE rn <= 2)
+        |SELECT hop, src, dst, CAST(rn AS BIGINT) AS rn FROM s0
+        |UNION ALL SELECT hop, src, dst, CAST(rn AS BIGINT) AS rn FROM s1
+        |ORDER BY hop, src, rn""".stripMargin,
+    // Brandes replay on the layered DAG: sigma1 = 1 per direct edge,
+    // sigma2 = predecessor count, delta(w) = sum 1e6 // sigma2 over
+    // successors, bc = sum of deltas over sources (s != v)
+    "q_betweenness" ->
+      """WITH src AS (SELECT UNNEST([0, 1, 2, 3, 4]) AS s),
+        |e01 AS (SELECT DISTINCT user_id % 20 AS src, 20 + (user_id * 7 + event_id) % 20 AS dst
+        |  FROM events),
+        |e12 AS (SELECT DISTINCT 20 + (user_id % 20) AS src, 40 + (user_id * 11 + event_id) % 20 AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst FROM e01 UNION SELECT src, dst FROM e12),
+        |l1 AS (SELECT s.s, e.dst AS v, CAST(1 AS BIGINT) AS sigma
+        |  FROM src s JOIN e ON e.src = s.s),
+        |l2 AS (SELECT l1.s, e.dst AS v, CAST(COUNT(*) AS BIGINT) AS sigma
+        |  FROM l1 JOIN e ON e.src = l1.v GROUP BY 1, 2),
+        |d1 AS (SELECT l1.s, l1.v, CAST(SUM(l1.sigma * 1000000 // l2.sigma) AS BIGINT) AS delta
+        |  FROM l1 JOIN e ON e.src = l1.v
+        |  JOIN l2 ON l2.s = l1.s AND l2.v = e.dst GROUP BY 1, 2),
+        |an AS (SELECT s, v FROM l1 UNION SELECT s, v FROM l2)
+        |SELECT an.v AS id, CAST(SUM(COALESCE(d1.delta, 0)) AS BIGINT) AS bc_ppm
+        |FROM an LEFT JOIN d1 ON d1.s = an.s AND d1.v = an.v
+        |WHERE an.s <> an.v
+        |GROUP BY an.v ORDER BY id""".stripMargin,
+    // MAD outliers replayed with the rank-ceil median convention
+    // (k = CEIL(n/2)-th smallest) for both the median and the MAD
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT lang AS g, n_chars AS v FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM base),
+        |med AS (SELECT g, CAST(MIN(CASE WHEN rn = CEIL(n * 0.5) THEN v END) AS BIGINT)
+        |    AS med FROM r GROUP BY g),
+        |dev AS (SELECT b.g, b.v, m.med, ABS(b.v - m.med) AS d
+        |  FROM base b JOIN med m USING (g)),
+        |r2 AS (SELECT g, d, ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM dev),
+        |mad AS (SELECT g, CAST(MIN(CASE WHEN rn = CEIL(n * 0.5) THEN d END) AS BIGINT)
+        |    AS mad FROM r2 GROUP BY g)
+        |SELECT dev.g, dev.v, dev.med, dev.d, mad.mad,
+        |  (dev.d * 1000000 > 3000000 * mad.mad) AS outlier
+        |FROM dev JOIN mad USING (g) ORDER BY g, v""".stripMargin
   )
 
   /** Shared DuckDB CTE replaying one WEIGHTED Louvain local-move round

@@ -116,4 +116,40 @@ object Quantiles {
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Robust per-group outlier flags by Median Absolute Deviation —
+    * the quality-filter pass a training pipeline runs on numeric
+    * document metrics (lengths, scores): unlike z-scores, the median /
+    * MAD pair is immune to the outliers it hunts (50% breakdown point;
+    * Hampel 1974, public statistic). A row is flagged when
+    *
+    *   |v − median(g)| · 10^6  >  kPpm · MAD(g)
+    *
+    * with MAD(g) = median(|v − median(g)|) and both medians in the
+    * engine's exact rank-ceil convention (k = ceil(n/2)-th smallest —
+    * SQL-replayable, integer-exact). kPpm = 3·10^6 is the classic "3
+    * MADs out". Degenerate MAD = 0 (over half the group identical)
+    * flags every deviating row — the documented Hampel behavior.
+    *
+    * Plan shape: two [[quantiles]] passes (each ≤ 7 partial-aggregable
+    * histogram rounds; the fact table is never sorted or re-shuffled by
+    * value) + two broadcast joins of the per-group medians — the same
+    * few-groups-over-huge-table design point, inheriting `maxGroups`.
+    * Output: (g, v, med, d, mad, outlier) — one row per input row. */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  kPpm: Long = 3000000L, buckets: Int = 1024,
+                  maxGroups: Int = 65536): DataFrame = {
+    require(kPpm >= 0, s"kPpm=$kPpm")
+    val base = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val med = quantiles(base, col("g"), col("v"), Seq((0.5, "med")),
+      buckets, maxGroups)
+    val dev = base.join(broadcast(med), "g")
+      .select(col("g"), col("v"), col("med"), abs(col("v") - col("med")).as("d"))
+    val mad = quantiles(dev, col("g"), col("d"), Seq((0.5, "mad")),
+      buckets, maxGroups)
+    dev.join(broadcast(mad), "g")
+      .select(col("g"), col("v"), col("med"), col("d"), col("mad"),
+        (col("d") * lit(1000000L) > lit(kPpm) * col("mad")).as("outlier"))
+  }
 }

@@ -472,6 +472,91 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped((0L, 1L)) == 1L && capped((0L, 2L)) == 1L)
   }
 
+  /** textbook Brandes with the engine's integer-ppm dependency
+    * convention, single-threaded */
+  private def refBetweenness(edges: Seq[(Long, Long)], sources: Seq[Long],
+                             maxDepth: Int): Map[Long, Long] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val bc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (s <- sources.distinct) {
+      var dist = Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      val predEdges = scala.collection.mutable.Buffer.empty[(Long, Long, Int)]
+      var frontier = Seq(s)
+      var d = 0
+      while (d < maxDepth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        for (v <- frontier; w <- adj.getOrElse(v, Nil) if !dist.contains(w)) {
+          next(w) = next.getOrElse(w, 0L) + sigma(v)
+          predEdges += ((v, w, d + 1))
+        }
+        next.foreach { case (w, sg) => sigma(w) = sg; dist += (w -> (d + 1)) }
+        frontier = next.keys.toSeq
+        d += 1
+      }
+      val deltaS = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val maxLvl = if (dist.isEmpty) 0 else dist.values.max
+      for (l <- maxLvl to 1 by -1; (pv, w, lvl) <- predEdges if lvl == l)
+        deltaS(pv) += sigma(pv) * (1000000L + deltaS(w)) / sigma(w)
+      for (v <- dist.keys if v != s) bc(v) += deltaS(v)
+    }
+    bc.toMap
+  }
+
+  test("betweenness: matches textbook Brandes (ppm convention) on random digraphs; bridge dominates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 5L, 10L, 15L)
+    val got = graft.plans.Betweenness.approx(
+        edges.toDF("src", "dst"), sources.toDF("s"), maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refBetweenness(edges, sources, 8),
+      s"${got.size} nodes vs ref ${refBetweenness(edges, sources, 8).size}")
+    // hand case: two sources funneling through one bridge
+    // 0→2, 1→2, 2→3, 2→4: from each source, 2 carries both descendants
+    val bridge = Seq((0L, 2L), (1L, 2L), (2L, 3L), (2L, 4L))
+    val b = graft.plans.Betweenness.approx(
+        bridge.toDF("src", "dst"), Seq(0L, 1L).toDF("s"), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // delta(2) per source = 2 * (1e6 // 1) = 2e6; two sources → 4e6
+    assert(b(2L) == 4000000L, b.toString)
+    assert(b(3L) == 0L && b(4L) == 0L)
+  }
+
+  test("khop sampling: matches brute-force sha52 ranks; union frontier; no Window in plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(81)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 1L, 2L)
+    val fanouts = Seq(2, 3)
+    val df = graft.plans.KhopSample.sample(
+      edges.toDF("src", "dst"), seeds.toDF("id"), fanouts)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force with the same hash convention (h52 helper below)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    def block(frontier: Seq[Long], hop: Long, f: Int) = frontier.flatMap { s =>
+      adj.getOrElse(s, Nil)
+        .sortBy(d => (-h52(s"$s:$d"), d)).take(f).zipWithIndex
+        .map { case (d, i) => (hop, s, d, i + 1L) }
+    }
+    val b0 = block(seeds, 0L, fanouts(0))
+    val f1 = b0.map(_._3).distinct
+    val b1 = block(f1, 1L, fanouts(1))
+    assert(got == (b0 ++ b1).toSet, s"got ${got.size} vs want ${(b0 ++ b1).size}")
+    // fanout larger than any degree keeps every neighbor
+    val all = graft.plans.KhopSample.sample(
+        edges.toDF("src", "dst"), seeds.toDF("id"), Seq(1000))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(all == seeds.flatMap(s => adj.getOrElse(s, Nil).map(s -> _)).toSet)
+    // the data path ranks via the partial-aggregable TopKAgg, not a window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("weighted pagerank: reduces to unweighted at w=1; heavy edge redirects rank") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

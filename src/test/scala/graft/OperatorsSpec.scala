@@ -783,6 +783,25 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "en", 1L, 1L), (5L, "de", 3L, 0L)))
   }
 
+  test("madOutliers: 3-MAD rule matches hand medians; MAD=0 degenerate flags any deviation") {
+    import spark.implicits._
+    // g=a: values 1..9 + planted 1000 → med = rank ceil(10/2)=5th = 5,
+    // d over {4,3,2,1,0,1,2,3,4,995} → sorted 0,1,1,2,2,3,3,4,4,995,
+    // MAD = 5th = 2; outlier iff d > 6 → only 1000
+    // g=b: 7,7,7,9 → med = 7 (rank 2), MAD = 0, 9 flagged (d=2 > 0)
+    val rows = ((1L to 9L) :+ 1000L).map(("a", _)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L))
+    val got = graft.operators.Quantiles.madOutliers(
+        rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(("a", 5L)) == ((5L, 0L, 2L, false)))
+    assert(got(("a", 1000L)) == ((5L, 995L, 2L, true)))
+    assert(got(("a", 9L)) == ((5L, 4L, 2L, false)), "4 <= 3*MAD(2)=6: inlier")
+    assert(got(("b", 7L)) == ((7L, 0L, 0L, false)))
+    assert(got(("b", 9L)) == ((7L, 2L, 0L, true)), "degenerate MAD=0 flags deviation")
+  }
+
   test("tokenDrift: per-token TVD ppm matches a hand count; planted drift token dominates") {
     import spark.implicits._
     val docs = Seq(
