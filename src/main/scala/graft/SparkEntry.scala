@@ -2113,6 +2113,24 @@ object SparkEntry {
       val sources = Seq(0L, 1L, 2L, 3L, 4L).toDF("s")
       plans.Betweenness.approx(e01.union(e12), sources, maxDepth = 3).orderBy("id")
     },
+    // Per-node local clustering coefficient (Triangles.clusteringCoeff):
+    // degree-ordered triangle corners exploded + one partial-agg count;
+    // cc_ppm = 2·tri·1e6 div (deg·(deg−1)) — per-document cluster
+    // coherence on a near-dup-style graph
+    "q_clustering_coeff" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      val ev = t(dir, "events")
+      val edges = ev.select(($"user_id" % 70L).as("a"),
+        (($"user_id" * 13L + $"event_id") % 70L).as("b"))
+      plans.Triangles.clusteringCoeff(edges).orderBy("node")
+    },
+    // EXACT set-similarity join (SetSim.setSimJoin, prefix filtering):
+    // every doc pair with token-set Jaccard >= 0.5, no false negatives —
+    // the exact audit of the MinHash-LSH recall path; candidates only
+    // from shared RAREST-prefix tokens, never all-pairs
+    "q_setsim_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.SetSim.setSimJoin(t(dir, "documents"), $"doc_id", $"text", 500000L)
+        .orderBy("u", "v")
+    },
     // Robust MAD outlier flags per language (Quantiles.madOutliers):
     // median + median-absolute-deviation via the distributed-selection
     // quantiles (fact table never sorted), 3-MAD rule in integer ppm
@@ -4314,6 +4332,48 @@ object SparkEntry {
         |FROM an LEFT JOIN d1 ON d1.s = an.s AND d1.v = an.v
         |WHERE an.s <> an.v
         |GROUP BY an.v ORDER BY id""".stripMargin,
+    // clustering coefficient replay: triangles enumerated a<b<c once by
+    // an ordered 3-way self-join, corners exploded, Watts-Strogatz ppm
+    "q_clustering_coeff" ->
+      """WITH raw AS (SELECT user_id % 70 AS a, (user_id * 13 + event_id) % 70 AS b
+        |    FROM events),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |tri AS (SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM e x JOIN e y ON y.u = x.v JOIN e z ON z.u = x.u AND z.v = y.v),
+        |corners AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(c.tri, 0) AS tri,
+        |  CAST(CASE WHEN d.deg >= 2
+        |    THEN 2 * COALESCE(c.tri, 0) * 1000000 // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN corners c USING (node) ORDER BY node""".stripMargin,
+    // prefix-filtered exact Jaccard join replay: (df, token) global
+    // order, prefix n - ceil(tau*n) + 1, list_intersect verify
+    "q_setsim_join" ->
+      """WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        |    FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(ts) AS token FROM docs),
+        |dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tdf FROM tok GROUP BY 1),
+        |ord AS (SELECT t.doc_id, list(t.token ORDER BY d.tdf, t.token) AS ots,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tok t JOIN dfc d USING (token) GROUP BY t.doc_id),
+        |pr AS (SELECT doc_id, ots, n,
+        |    CAST(n - (500000 * n + 999999) // 1000000 + 1 AS BIGINT) AS p FROM ord),
+        |pref AS (SELECT doc_id, UNNEST(ots[1:p]) AS token FROM pr),
+        |cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id),
+        |ver AS (SELECT c.u, c.v,
+        |    CAST(len(list_intersect(x.ots, y.ots)) AS BIGINT) AS inter,
+        |    x.n AS n_u, y.n AS n_v
+        |  FROM cand c JOIN pr x ON c.u = x.doc_id JOIN pr y ON c.v = y.doc_id)
+        |SELECT u, v, inter, n_u, n_v,
+        |  inter * 1000000 // (n_u + n_v - inter) AS jac_ppm
+        |FROM ver WHERE inter * 1000000 // (n_u + n_v - inter) >= 500000
+        |ORDER BY u, v""".stripMargin,
     // MAD outliers replayed with the rank-ceil median convention
     // (k = CEIL(n/2)-th smallest) for both the median and the MAD
     "q_mad_outliers" ->

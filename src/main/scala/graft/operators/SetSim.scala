@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join by prefix filtering (Chaudhuri-Ganti-Kaushik
+  * SSJoin 2006 / Bayardo-Ma-Srikant "Scaling up all pairs" 2007 —
+  * public algorithms): every document pair whose token-SET Jaccard is
+  * ≥ τ, with no false negatives — the exact counterpart of the
+  * engine's probabilistic MinHash-LSH near-dup path (LSH trades recall
+  * for speed; this trades candidate volume for exactness, and audits
+  * the LSH recall claims).
+  *
+  * Prefix-filtering theorem: order every document's token set by ONE
+  * global order (here (df, token) — rarest first, which minimizes
+  * candidate fan-out); if J(A,B) ≥ τ, then A and B must share at least
+  * one token among the first |A| − ceil(τ·|A|) + 1 tokens of A (and
+  * symmetrically B). So candidate pairs = pairs sharing ANY prefix
+  * token, and the exact Jaccard verify on candidates loses nothing.
+  *
+  * Scale shape: one token-df hash agg → per-doc ordered-set rebuild
+  * (collect_list bounded by the document's own token count — state no
+  * larger than the text column itself) → prefix explode (≈ (1−τ)·|doc|
+  * tokens per doc) → ONE equi-join on the prefix token (rarest-first
+  * ordering keeps these keys LOW-frequency by construction — the
+  * anti-skew story) → exact in-row array_intersect verify on
+  * candidates only. Never all-pairs; no window.
+  *
+  * Reference analog: none (beyond-reference dedup operator).
+  */
+object SetSim {
+
+  /** @param df      corpus
+    * @param id      document id column (long)
+    * @param text    whitespace-tokenizable text column
+    * @param tauPpm  Jaccard threshold in ppm (e.g. 500000L = 0.5)
+    * @return (u, v, inter, n_u, n_v, jac_ppm), u < v, every pair with
+    *         set-Jaccard·10^6 ≥ tauPpm (div convention) */
+  def setSimJoin(df: DataFrame, id: Column, text: Column, tauPpm: Long): DataFrame = {
+    require(tauPpm >= 1 && tauPpm <= 1000000L, s"tauPpm=$tauPpm")
+    val docs = df.select(id.cast("long").as("doc_id"),
+      array_distinct(split(text, " ")).as("ts"))
+    val tok = docs.select(col("doc_id"), explode(col("ts")).as("token"))
+    val dfc = tok.groupBy("token").agg(count(lit(1)).as("tdf"))
+    // per-doc token set in global (df, token) order + the prefix
+    val ordered = tok.join(dfc, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tdf"), col("token")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), x => x.getField("token")).as("ots"),
+        size(col("st")).cast("long").as("n"))
+      .withColumn("p",
+        (col("n") - expr(s"($tauPpm * n + 999999) div 1000000") + 1L).cast("int"))
+      .localCheckpoint()
+    val pref = ordered.select(col("doc_id"),
+      explode(slice(col("ots"), lit(1), col("p"))).as("token"))
+    val cand = pref.select(col("token"), col("doc_id").as("u"))
+      .join(pref.select(col("token"), col("doc_id").as("v")), Seq("token"))
+      .where(col("u") < col("v"))
+      .select("u", "v").distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("u"), col("ots").as("ta"),
+        col("n").as("n_u")), Seq("u"))
+      .join(ordered.select(col("doc_id").as("v"), col("ots").as("tb"),
+        col("n").as("n_v")), Seq("v"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac_ppm", expr("inter * 1000000 div (n_u + n_v - inter)"))
+      .where(col("jac_ppm") >= tauPpm)
+      .select("u", "v", "inter", "n_u", "n_v", "jac_ppm")
+  }
+}

@@ -472,6 +472,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped((0L, 1L)) == 1L && capped((0L, 2L)) == 1L)
   }
 
+  test("clustering coefficient: brute-force equality; clique corner vs pendant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(85)
+    val edges = Seq.fill(180)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = graft.plans.Triangles.clusteringCoeff(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = nbrs.map { case (v, ns) =>
+      val tri = ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        nbrs(x)(y)
+      }.toLong
+      val d = ns.size.toLong
+      v -> ((d, tri, if (d >= 2) 2L * tri * 1000000L / (d * (d - 1)) else 0L))
+    }
+    assert(got == want, s"${got.size} vs ${want.size}")
+    // triangle abc + pendant d on a: cc(b) = cc(c) = 1e6; cc(a) = 1/3e6
+    val hand = graft.plans.Triangles.clusteringCoeff(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hand(2L) == 1000000L && hand(3L) == 1000000L)
+    assert(hand(1L) == 333333L && hand(4L) == 0L)
+  }
+
   /** textbook Brandes with the engine's integer-ppm dependency
     * convention, single-threaded */
   private def refBetweenness(edges: Seq[(Long, Long)], sources: Seq[Long],

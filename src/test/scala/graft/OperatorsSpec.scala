@@ -783,6 +783,37 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "en", 1L, 1L), (5L, "de", 3L, 0L)))
   }
 
+  test("setSimJoin: exact equality with brute-force all-pairs Jaccard; no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(87)
+    val vocab = (0 until 40).map(i => s"w$i")
+    // random docs + planted near-dup pairs
+    val docs = (1L to 25L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"),    // J = 5/7 vs 100
+      (102L, "alpha beta gamma kappa lambda mu nu xi")) // J low vs both
+    val df = docs.toDF("doc_id", "text")
+    for (tauPpm <- Seq(400000L, 500000L, 700000L)) {
+      val got = graft.operators.SetSim.setSimJoin(df, col("doc_id"), col("text"), tauPpm)
+      val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val sets = docs.map { case (i, t) => i -> t.split(" ").distinct.toSet }.toMap
+      val ids = sets.keys.toSeq.sorted
+      val want = (for {
+        u <- ids; v <- ids if u < v
+        inter = (sets(u) & sets(v)).size.toLong
+        un = (sets(u) | sets(v)).size.toLong
+        jac = inter * 1000000L / un if jac >= tauPpm
+      } yield (u, v) -> ((inter, sets(u).size.toLong, sets(v).size.toLong, jac))).toMap
+      assert(gotSet == want, s"tau=$tauPpm: got ${gotSet.size} vs want ${want.size}")
+      if (tauPpm == 500000L) assert(gotSet.contains((100L, 101L)))
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   test("madOutliers: 3-MAD rule matches hand medians; MAD=0 degenerate flags any deviation") {
     import spark.implicits._
     // g=a: values 1..9 + planted 1000 → med = rank ceil(10/2)=5th = 5,
