@@ -911,6 +911,18 @@ object SparkEntry {
       graft.operators.Sketch.estimateFromRegs(tbl, Seq("ws"), 8)
         .withColumnRenamed("estimate", "distinct_estimate").orderBy("ws")
     },
+    // Streaming quantile-sketch state: per-window log2 (DDSketch γ=2)
+    // histogram — ≤ 64 rows per window, bins sum associatively ⇒
+    // micro-batch invariant, equal to the batch histogram
+    "q_stream_ddsketch" -> { (s, dir) =>
+      val h = graft.streaming.StreamingPipeline
+        .windowedLog2Histogram(s, s"$dir/events.parquet")
+      val name = "dd" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = h.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("w.start").as("ws"), col("bin"),
+        col("n"), col("min_v"), col("max_v")).orderBy("ws", "bin")
+    },
     // Streaming frequency state: per-window Count-Min registers over
     // the user stream (bounded 4·64 rows per window); counts sum
     // associatively ⇒ micro-batch invariant, equal to the batch sketch
@@ -2910,6 +2922,13 @@ object SparkEntry {
         |FROM p GROUP BY 1, 2, 3 ORDER BY ws, "row", col""".stripMargin,
     // streaming HLL == batch sketch over the same files: same register
     // derivation per hour window, same harmonic estimate (m=256)
+    // windowed log2 histogram == the batch histogram per hour
+    "q_stream_ddsketch" ->
+      """SELECT date_trunc('hour', ts) AS ws,
+        |  CAST(CASE WHEN user_id <= 0 THEN 0
+        |       ELSE length(to_base(user_id, 2)) END AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(user_id) AS min_v, MAX(user_id) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY ws, bin""".stripMargin,
     "q_stream_hll" -> {
       val m = 256
       val alpha = 0.7213 / (1.0 + 1.079 / m)

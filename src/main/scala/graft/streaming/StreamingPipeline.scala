@@ -115,6 +115,29 @@ object StreamingPipeline {
       .groupBy(col("w"), col("row"), col("col"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming per-window mergeable QUANTILE-sketch state: the log2
+    * (DDSketch-at-γ=2) histogram keyed by event-time window — "p50/p99
+    * of the value per hour" in ≤ 64 state rows per window, completing
+    * the windowed sketch family (distinct = HLL registers, frequency =
+    * CMS registers, quantiles = this). Bin counts SUM and min/max
+    * MERGE associatively ⇒ micro-batch-split invariant and ≡ the batch
+    * [[graft.operators.Profiling.log2Histogram]] over the same files
+    * (the oracle contract); quantiles read off a window's slice with
+    * the [[graft.operators.Profiling.log2Quantiles]] cumulative walk. */
+  def windowedLog2Histogram(spark: SparkSession, eventsDir: String,
+                            valueCol: String = "user_id",
+                            window_ : String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame = {
+    val v = col(valueCol).cast("long")
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"),
+        when(v <= 0, lit(0L)).otherwise(length(conv(v, 10, 2)).cast("long")).as("bin"),
+        v.as("v"))
+      .groupBy(col("w"), col("bin"))
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+  }
+
   /** Streaming per-window keyed counts — the state behind exact
     * windowed top-k ("top users per hour"). One count row per
     * (window, key): bounded by the per-window KEY CARDINALITY, not the

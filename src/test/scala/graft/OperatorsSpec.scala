@@ -699,6 +699,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
   }
 
+  test("streaming windowed log2 histogram equals batch histogram (micro-batch invariance)") {
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    val split = java.nio.file.Files.createTempDirectory("graft-dds-stream").toString
+    spark.read.parquet(dir).repartition(3).write.mode("overwrite").parquet(split)
+    val h = graft.streaming.StreamingPipeline.windowedLog2Histogram(spark, split)
+    val name = "dds" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = h.writeStream.format("memory").queryName(name)
+      .option("maxFilesPerTrigger", "1").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+      .select(col("w.start").cast("long").as("ws"), col("bin"), col("n"),
+        col("min_v"), col("max_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val v = col("user_id").cast("long")
+    val want = spark.read.parquet(dir)
+      .select(date_trunc("hour", col("ts")).cast("long").as("ws"),
+        when(v <= 0, lit(0L)).otherwise(length(conv(v, 10, 2)).cast("long")).as("bin"),
+        v.as("v"))
+      .groupBy("ws", "bin")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("streaming CDC-apply: out-of-order multi-batch merges converge to the per-key argmax") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
