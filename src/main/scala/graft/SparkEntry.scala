@@ -2143,6 +2143,13 @@ object SparkEntry {
       operators.SetSim.setSimJoin(t(dir, "documents"), $"doc_id", $"text", 500000L)
         .orderBy("u", "v")
     },
+    // Per-language winsorization (Quantiles.winsorize): heavy-tail
+    // clipping to exact [p05, p95] via the distributed-selection
+    // quantiles; broadcast cutpoint join, fact table never sorted
+    "q_winsorize" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.Quantiles.winsorize(t(dir, "documents"), $"lang", $"n_chars")
+        .orderBy("g", "v")
+    },
     // Robust MAD outlier flags per language (Quantiles.madOutliers):
     // median + median-absolute-deviation via the distributed-selection
     // quantiles (fact table never sorted), 3-MAD rule in integer ppm
@@ -4393,6 +4400,22 @@ object SparkEntry {
         |  inter * 1000000 // (n_u + n_v - inter) AS jac_ppm
         |FROM ver WHERE inter * 1000000 // (n_u + n_v - inter) >= 500000
         |ORDER BY u, v""".stripMargin,
+    // winsorize replay: rank-ceil cutpoints with the IDENTICAL double
+    // multiply (CAST AS DOUBLE * q) the engine's math.ceil(q*n) does
+    "q_winsorize" ->
+      """WITH base AS (SELECT lang AS g, n_chars AS v FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM base),
+        |c AS (SELECT g,
+        |    CAST(MIN(CASE WHEN rn = CEIL(CAST(n AS DOUBLE) * 0.05) THEN v END)
+        |      AS BIGINT) AS lo,
+        |    CAST(MIN(CASE WHEN rn = CEIL(CAST(n AS DOUBLE) * 0.95) THEN v END)
+        |      AS BIGINT) AS hi
+        |  FROM r GROUP BY g)
+        |SELECT b.g, b.v, c.lo, c.hi,
+        |  GREATEST(c.lo, LEAST(c.hi, b.v)) AS v_clipped
+        |FROM base b JOIN c USING (g) ORDER BY g, v""".stripMargin,
     // MAD outliers replayed with the rank-ceil median convention
     // (k = CEIL(n/2)-th smallest) for both the median and the MAD
     "q_mad_outliers" ->

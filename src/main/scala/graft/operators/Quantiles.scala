@@ -117,6 +117,28 @@ object Quantiles {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Per-group winsorization (quantile clipping) — the standard
+    * heavy-tail tamer for numeric features before training: values
+    * clip to the group's EXACT [pLo, pHi] cutpoints (rank-ceil
+    * convention, computed by [[quantiles]] — the fact table is never
+    * sorted). Both q fractions should be exactly representable doubles
+    * OR the oracle must replay the same double arithmetic (the
+    * q_winsorize oracle does: CEIL(CAST(n AS DOUBLE) * q) — identical
+    * IEEE multiply in both engines).
+    * Output: (g, v, lo, hi, v_clipped), one row per input row. */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+                qLo: Double = 0.05, qHi: Double = 0.95, buckets: Int = 1024,
+                maxGroups: Int = 65536): DataFrame = {
+    require(qLo > 0 && qHi <= 1 && qLo < qHi, s"qLo=$qLo qHi=$qHi")
+    val base = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val cuts = quantiles(base, col("g"), col("v"),
+      Seq((qLo, "lo"), (qHi, "hi")), buckets, maxGroups)
+    base.join(broadcast(cuts), "g")
+      .select(col("g"), col("v"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("v_clipped"))
+  }
+
   /** Robust per-group outlier flags by Median Absolute Deviation —
     * the quality-filter pass a training pipeline runs on numeric
     * document metrics (lengths, scores): unlike z-scores, the median /

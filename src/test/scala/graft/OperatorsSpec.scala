@@ -840,6 +840,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: exact p05/p95 rank-ceil cutpoints; clipping preserves inliers") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(("a", _)) ++ Seq(("b", 5L), ("b", 6L), ("b", 7L))
+    val got = graft.operators.Quantiles.winsorize(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // g=a (1..100): lo = ceil(0.05*100)=5th = 5, hi = 95th = 95
+    assert(got(("a", 1L)) == ((5L, 95L, 5L)))
+    assert(got(("a", 50L)) == ((5L, 95L, 50L)))
+    assert(got(("a", 100L)) == ((5L, 95L, 95L)))
+    // g=b (3 values): lo = ceil(0.15)=1st = 5, hi = ceil(2.85)=3rd = 7
+    assert(got(("b", 5L)) == ((5L, 7L, 5L)) && got(("b", 7L)) == ((5L, 7L, 7L)))
+  }
+
   test("madOutliers: 3-MAD rule matches hand medians; MAD=0 degenerate flags any deviation") {
     import spark.implicits._
     // g=a: values 1..9 + planted 1000 → med = rank ceil(10/2)=5th = 5,
