@@ -133,7 +133,8 @@ object Bench {
     "q_louvain_weighted", "q_louvain_coarsen", "q_snapshot_cdc",
     "q_link_ra", "q_token_drift", "q_mis_round", "q_stream_merge",
     "q_pagerank_weighted", "q_khop_sample", "q_mad_outliers", "q_betweenness",
-    "q_clustering_coeff", "q_setsim_join", "q_stream_ddsketch", "q_winsorize")
+    "q_clustering_coeff", "q_setsim_join", "q_stream_ddsketch", "q_winsorize",
+    "q_vocab_coverage")
 
   /** Quiet-window gate for a shared-tenant box (observed: a 15s 32t job
     * reading 140-195s under a neighbor's burst). Gates on the MACHINE'S

@@ -2143,6 +2143,14 @@ object SparkEntry {
       operators.SetSim.setSimJoin(t(dir, "documents"), $"doc_id", $"text", 500000L)
         .orderBy("u", "v")
     },
+    // Tokenizer vocabulary coverage (TextAnalysis.vocabCoverage): OOV
+    // occurrence rate per doc against the corpus's 20 most frequent
+    // tokens (deterministic tie-break) — the post-BPE coverage eval
+    "q_vocab_coverage" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      operators.TextAnalysis.vocabCoverage(
+        t(dir, "documents"), $"doc_id", $"text", vocabSize = 20)
+        .orderBy("doc_id")
+    },
     // Per-language winsorization (Quantiles.winsorize): heavy-tail
     // clipping to exact [p05, p95] via the distributed-selection
     // quantiles; broadcast cutpoint join, fact table never sorted
@@ -4400,6 +4408,20 @@ object SparkEntry {
         |  inter * 1000000 // (n_u + n_v - inter) AS jac_ppm
         |FROM ver WHERE inter * 1000000 // (n_u + n_v - inter) >= 500000
         |ORDER BY u, v""".stripMargin,
+    // vocab coverage replay: top-20 by (count DESC, token ASC), OOV
+    // occurrences per doc
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |    FROM documents),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, COUNT(*) AS c FROM tok GROUP BY 1)
+        |  ORDER BY c DESC, token ASC LIMIT 20)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS oov_ppm
+        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // winsorize replay: rank-ceil cutpoints with the IDENTICAL double
     // multiply (CAST AS DOUBLE * q) the engine's math.ceil(q*n) does
     "q_winsorize" ->

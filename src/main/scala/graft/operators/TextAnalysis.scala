@@ -382,6 +382,32 @@ object TextAnalysis {
           .as("dev_ppm"))
   }
 
+  /** Tokenizer vocabulary coverage / OOV rate — the eval a pipeline
+    * runs after training a vocabulary (the third leg beside BPE learn
+    * and apply): fix the vocab as the corpus's `vocabSize` most
+    * frequent tokens (ties broken by token asc — deterministic
+    * cross-engine), then score every document's out-of-vocabulary
+    * token OCCURRENCES (multiset, not distinct — coverage is about
+    * the token stream a tokenizer will actually see).
+    *
+    * Plan: one token hash agg → vocab = global sort+limit
+    * (TakeOrdered — vocab-sized, never a full sort shuffle) →
+    * broadcast vocab left join per token → ONE per-doc partial agg.
+    * Output: (doc_id, n_tok, n_oov, oov_ppm). */
+  def vocabCoverage(df: DataFrame, id: Column, text: Column,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize")
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tok"))
+  }
+
   def contamination(docs: DataFrame, probes: DataFrame, id: Column, text: Column,
                     n: Int = 5, minShared: Int = 1): DataFrame = {
     val d = shingles(docs, id, text, n)

@@ -840,6 +840,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabCoverage: OOV occurrences vs a deterministic top-k vocab; boundary tie-break") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=2, d=2, e=1 — vocab of 3 must be {a, b, c}
+    // (c beats d on the token-asc tie-break at equal count 2)
+    val docs = Seq(
+      (1L, "a a b c d"),     // 5 tokens, oov: d → 1
+      (2L, "a b c d e"),     // 5 tokens, oov: d e → 2
+      (3L, "a a b")          // 3 tokens, oov 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.vocabCoverage(
+        docs, col("doc_id"), col("text"), vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 1L, 200000L)))
+    assert(got(2L) == ((5L, 2L, 400000L)))
+    assert(got(3L) == ((3L, 0L, 0L)))
+  }
+
   test("winsorize: exact p05/p95 rank-ceil cutpoints; clipping preserves inliers") {
     import spark.implicits._
     val rows = (1L to 100L).map(("a", _)) ++ Seq(("b", 5L), ("b", 6L), ("b", 7L))
