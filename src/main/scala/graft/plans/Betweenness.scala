@@ -83,9 +83,8 @@ object Betweenness {
       }
     }
     val maxLvl = lvl
-    if (preds.isEmpty)
-      return state.groupBy(col("v").as("id")).agg(lit(0L).as("bc_ppm"))
-        .where(lit(false)) // no edges from any source: empty result, right schema
+    if (preds.isEmpty) // no edges from any source: empty result, right schema
+      return state.select(col("v").as("id"), lit(0L).as("bc_ppm")).where(lit(false))
 
     val pe = preds.get
     val sigma = state.select(col("s"), col("v"), col("sigma"))

@@ -550,6 +550,10 @@ class GraphOpsSpec extends AnyFunSuite {
     // delta(2) per source = 2 * (1e6 // 1) = 2e6; two sources → 4e6
     assert(b(2L) == 4000000L, b.toString)
     assert(b(3L) == 0L && b(4L) == 0L)
+    // sources with no out-edges: empty result, right schema
+    val none = graft.plans.Betweenness.approx(
+      Seq((7L, 8L)).toDF("src", "dst"), Seq(9L).toDF("s"), maxDepth = 3)
+    assert(none.columns.toSeq == Seq("id", "bc_ppm") && none.count() == 0)
   }
 
   test("khop sampling: matches brute-force sha52 ranks; union frontier; no Window in plan") {
