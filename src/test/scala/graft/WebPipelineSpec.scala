@@ -438,6 +438,22 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(fineQ == coarseQ)
   }
 
+  test("louvain weighted round: deterministic across repartitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(89)
+    val edges = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong,
+      rnd.nextInt(5).toLong + 1L)).filter(e => e._1 != e._2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comms = nodes.map(i => (i, i % 4)).toDF("id", "comm")
+    val a = graft.plans.Louvain.localMoveRoundWeighted(
+        edges.toDF("a", "b", "w").repartition(1), comms)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = graft.plans.Louvain.localMoveRoundWeighted(
+        edges.toDF("a", "b", "w").repartition(11), comms)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.toSeq == b.toSeq, "integer-argmax round must be partitioning-invariant")
+  }
+
   test("louvain cluster: recovers planted cliques; modularity strictly improves over singletons") {
     import spark.implicits._
     // two 5-cliques bridged by one edge
