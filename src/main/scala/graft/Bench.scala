@@ -143,7 +143,7 @@ object Bench {
     * own already-exited forks for ~100s and couldn't tell our tail from
     * a live neighbor. Proceeds after the cap so the bench always
     * finishes. */
-  private def awaitQuiet(maxWaitSec: Int = 240, minIdleFrac: Double = 0.70): Double = {
+  private def awaitQuiet(maxWaitSec: Int, minIdleFrac: Double = 0.70): Double = {
     def cpuLine(): Array[Long] =
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
@@ -172,6 +172,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // ---- total wall-clock budget with graceful degradation (round-5
+    // verdict item 1: the driver killed the r5 run at ~60 min and the
+    // one JSON line was lost — an empty artifact loses even the finished
+    // record evidence). The budget only DEGRADES under time pressure
+    // (skip quiet-waits → trim diagnostics → trim headline reps → trim
+    // headline tail); on a quiet box nothing triggers and every entry is
+    // timed exactly as before. Default 2400s keeps the JSON line ahead
+    // of both a 45-min and a 60-min external kill including sbt startup.
+    val benchStart = System.nanoTime()
+    val totalBudgetSec = sys.env.get("SPARK_GRAFT_TOTAL_BUDGET_SEC").map(_.toLong)
+      .getOrElse(2400L)
+    def remainingSec: Long =
+      totalBudgetSec - (System.nanoTime() - benchStart) / 1000000000L
+    // quiet-wait cap shrinks as the budget drains (240s unpressured)
+    def quietCapSec: Int = math.min(240L, math.max(5L, remainingSec / 10)).toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val corpusN = sys.env.get("SPARK_GRAFT_CORPUS_N").map(_.toLong)
       .getOrElse(if (sfDir.contains("0.001")) 2000L else if (sfDir.contains("0.01")) 20000L else 200000L)
@@ -186,15 +201,22 @@ object Bench {
     // jobs are far past this regime anyway).
     val scalingNRequested = math.max(corpusN, sys.env.get("SPARK_GRAFT_SCALING_N").map(_.toLong).getOrElse(8000000L))
     // SPARK_GRAFT_CORPUS_DIR: reuse an already-staged corpus (repeated
-    // quiet-window hunts skip the ~3-min staging); absent/empty → stage.
+    // quiet-window hunts skip the staging); absent → a DETERMINISTIC
+    // per-size path, so the driver's warm-up invocation stages and its
+    // measured invocation reuses (the corpus is a pure function of
+    // (seed, i); entities/sec math below always recounts the actual
+    // rows). Staging itself generates straight into 256 range
+    // partitions — the old explicit repartition(256) paid a full
+    // corpus shuffle just for file count (guide §2.4: remove shuffles
+    // outright); content per global row index i is identical.
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR",
-      java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString)
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-bench-corpus-$scalingNRequested")
     val scalingN = locally {
       val s = session(32)
       try {
         if (!new java.io.File(corpusDir + "/_SUCCESS").exists)
-          sources.EntityCorpus.generate(s, scalingNRequested).toDF()
-            .repartition(256).write.mode("overwrite").parquet(corpusDir)
+          sources.EntityCorpus.generate(s, scalingNRequested, numPartitions = 256).toDF()
+            .write.mode("overwrite").parquet(corpusDir)
         // entities/sec math must reflect the ACTUAL staged corpus (a
         // reused dir may hold a different size than requested);
         // parquet count() is metadata-only
@@ -268,8 +290,8 @@ object Bench {
       runs.head
     }
     def runPair(idx: Int, mode: Mode, lo: Int = 8, hi: Int = 32): Pair = {
-      awaitQuiet() // gate BETWEEN pairs only: within a pair the members
-                   // stay adjacent so ambient load hits both
+      awaitQuiet(quietCapSec) // gate BETWEEN pairs only: within a pair the
+                   // members stay adjacent so ambient load hits both
       if (idx % 2 == 0) { val a = forkedRun(lo, mode); Pair(a, forkedRun(hi, mode)) }
       else { val b = forkedRun(hi, mode); Pair(forkedRun(lo, mode), b) }
     }
@@ -299,7 +321,11 @@ object Bench {
     def bwCleanPairs = bwPairs.filter(bwClean)
     while (bwPairs.size < bwTarget + 3 &&
            (bwCleanPairs.size < bwTarget ||
-            relSpread(bwCleanPairs.map(_.ratio).toSeq) > 0.30)) {
+            relSpread(bwCleanPairs.map(_.ratio).toSeq) > 0.30) &&
+           // budget guard: always ≥1 pair; stop topping up when the
+           // remaining sections (headline + minimum diagnostics) would
+           // starve — a short clean record beats a lost JSON line
+           (bwPairs.isEmpty || remainingSec > 1400L)) {
       bwPairs += runPair(bwPairs.size, Slot, lo = 2, hi = 8)
       val p = bwPairs.last
       System.err.println(f"[bench] bw-fair pair ${bwPairs.size}: 2t=${p.m8.sec}%.1fs" +
@@ -317,16 +343,31 @@ object Bench {
     // run excluded, min over 3 measured runs (shared-tenant noise showed
     // up as a 20x outlier on a single run in BENCH_r01's successor, and
     // r2's min-over-2 still let two unchanged queries drift +53..87%).
-    if (!scalingOnly) awaitQuiet()
+    if (!scalingOnly) awaitQuiet(quietCapSec)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Budget reserve for the post-headline sections (slot diagnostics'
+    // guaranteed 2 pairs + cpuset/executor pairs + multiplex + JSON).
+    // Above the high-water mark every query keeps the full warm-up +
+    // min-over-3 protocol (bit-identical to the frozen methodology);
+    // between the marks reps drop to 1 (flagged via headline_degraded);
+    // below the low mark remaining queries are skipped (-1 = the
+    // existing error sentinel, excluded from the total as before).
+    val headlineReserveFull = 1100L
+    val headlineReserveMin = 950L
+    var headlineDegraded = false
     if (!scalingOnly) {
       val s = session(32)
       try {
         val qs = SparkEntry.queries
         headline.foreach { name =>
           val sec = try {
-            force(qs(name)(s, sfDir)) // codegen/listing warm-up
-            (1 to 3).map(_ => time(force(qs(name)(s, sfDir)))).min
+            if (remainingSec > headlineReserveFull) {
+              force(qs(name)(s, sfDir)) // codegen/listing warm-up
+              (1 to 3).map(_ => time(force(qs(name)(s, sfDir)))).min
+            } else if (remainingSec > headlineReserveMin) {
+              headlineDegraded = true
+              time(force(qs(name)(s, sfDir)))
+            } else { headlineDegraded = true; -1.0 }
           } catch { case _: Throwable => -1.0 }
           results(name) = sec
         }
@@ -376,8 +417,12 @@ object Bench {
     val nSlotPairs = sys.env.get("SPARK_GRAFT_SCALING_PAIRS").map(_.toInt).getOrElse(5)
     val maxAttempts = sys.env.get("SPARK_GRAFT_SCALING_MAX_ATTEMPTS").map(_.toInt)
       .getOrElse(nSlotPairs + 6)
+    // diagnostics budget additionally bounded by the total budget, with
+    // a reserve for the sections after it (cpuset/executor/multiplex)
     val diagDeadline = System.nanoTime() +
-      sys.env.get("SPARK_GRAFT_DIAG_BUDGET_SEC").map(_.toLong).getOrElse(1500L) * 1000000000L
+      math.min(
+        sys.env.get("SPARK_GRAFT_DIAG_BUDGET_SEC").map(_.toLong).getOrElse(1500L),
+        math.max(0L, remainingSec - 600L)) * 1000000000L
     val slotPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
     def intrinsic8: Double = slotPairs.map(_.m8.cpu).min
     def isClean(p: Pair): Boolean =
@@ -400,10 +445,14 @@ object Bench {
         f"ratio=${p.ratio}%.2f clean=${isClean(p)}")
     }
     val diagDeadlineHit = System.nanoTime() >= diagDeadline
-    val cpusetPairs = (0 until 2).map(i => runPair(i, Cpuset))
+    // under budget pressure the cpuset/executor diagnostics run 1 pair
+    // instead of 2 (their published value is a median over pairs, so the
+    // field stays populated; these are diagnostics, not the gate)
+    def latePairCount: Int = if (remainingSec > 700L) 2 else 1
+    val cpusetPairs = (0 until latePairCount).map(i => runPair(i, Cpuset))
     // executor-scaling evidence: 1 × 8-core executor JVM vs 4 × 8-core
     // executor JVMs (the rule's literal N→4N executors)
-    val executorPairs = (0 until 2).map { i =>
+    val executorPairs = (0 until latePairCount).map { i =>
       val p = runPair(i, Executor)
       System.err.println(f"[bench] executor pair ${i + 1}: 1x8=${p.m8.sec}%.1fs " +
         f"4x8=${p.m32.sec}%.1fs ratio=${p.ratio}%.2f")
@@ -430,7 +479,7 @@ object Bench {
     // S3 shared-scan: 4 specs multiplexed over ONE pass (fixed 300k-row
     // stage — english-labels emits terms for EVERY doc, so this measures
     // the all-inclusive case without blowing the bench budget)
-    val multiSecs = if (scalingOnly) -1.0 else {
+    val multiSecs = if (scalingOnly || remainingSec < 120L) -1.0 else {
       val s = session(32)
       try {
         val multiDir = java.nio.file.Files.createTempDirectory("graft-bench-multi").toString
@@ -455,6 +504,6 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency":$bwEfficiency%.3f,"scaling_gate_0p8_passed":${bwEfficiency >= 0.8},"scaling_levels":"local[2] vs local[8] -- the rule's N and 4N cores with per-core DRAM bandwidth held constant (the resource profile of an N-to-4N executor scale-up; single-socket 8-to-32 thread diagnostics below)","scaling_record_methodology":"bandwidth_fair_paired_forks_median_of_${bwUsable.size}_clean","scaling_record_pair_ratios":${arr(bwPairs.map(_.ratio).toSeq)},"scaling_record_pairs_attempted":${bwPairs.size},"scaling_record_pairs_clean":${bwCleanPairs.size},"scaling_record_contended":$bwContended,"scaling_record_utils_lo":${arr(bwPairs.map(_.m8.util).toSeq)},"scaling_record_utils_hi":${arr(bwPairs.map(_.m32.util).toSeq)},"scaling_record_cpusecs_lo":${arr(bwPairs.map(_.m8.cpu).toSeq)},"scaling_record_cpusecs_hi":${arr(bwPairs.map(_.m32.cpu).toSeq)},"scaling_record_spread":${relSpread(bwUsable.map(_.ratio))}%.3f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_8_to_32_methodology":"slot_bounded_paired_forks_median_of_${usable.size}_clean","scaling_pair_ratios":${arr(slotRatios)},"scaling_pairs_attempted":${slotPairs.size},"scaling_pairs_clean":${cleanPairs.size},"scaling_box_contended":$boxContended,"scaling_diag_budget_hit":$diagDeadlineHit,"scaling_tainted_ratios":${arr(slotPairs.filterNot(isClean).map(_.ratio).toSeq)},"scaling_utils_8t":${arr(slotPairs.map(_.m8.util).toSeq)},"scaling_utils_32t":${arr(slotPairs.map(_.m32.util).toSeq)},"scaling_cpusecs_8t":${arr(slotPairs.map(_.m8.cpu).toSeq)},"scaling_cpusecs_32t":${arr(slotPairs.map(_.m32.cpu).toSeq)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"scaling_efficiency_executor_mode":$executorEfficiency%.3f,"executor_pair_ratios":${arr(executorPairs.map(_.ratio))},"executor_sec_1x8":${executorPairs.map(_.m8.sec).min}%.2f,"executor_sec_4x8":${executorPairs.map(_.m32.sec).min}%.2f,"scaling_record_sec_2t":${bwPairs.map(_.m8.sec).min}%.2f,"scaling_record_sec_8t":${bwPairs.map(_.m32.sec).min}%.2f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.m8.sec).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.m32.sec).toSeq)},"slot_spread_8t":${spread(usable.map(_.m8.sec))}%.3f,"slot_spread_32t":${spread(usable.map(_.m32.sec))}%.3f}""")
+      f"""{"metric":"graft total (headline queries + KG pipeline at 8/32 threads)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_budget_sec":$totalBudgetSec,"headline_degraded":$headlineDegraded,"kg_corpus_rows":$scalingN,"kg_triples":$triples32,"kg_entities_per_sec_8t":${tput8}%.0f,"kg_entities_per_sec_32t":${tput32}%.0f,"kg_triples_per_sec_32t":${triples32 / slot32}%.0f,"scaling_efficiency":$bwEfficiency%.3f,"scaling_gate_0p8_passed":${bwEfficiency >= 0.8},"scaling_levels":"local[2] vs local[8] -- the rule's N and 4N cores with per-core DRAM bandwidth held constant (the resource profile of an N-to-4N executor scale-up; single-socket 8-to-32 thread diagnostics below)","scaling_record_methodology":"bandwidth_fair_paired_forks_median_of_${bwUsable.size}_clean","scaling_record_pair_ratios":${arr(bwPairs.map(_.ratio).toSeq)},"scaling_record_pairs_attempted":${bwPairs.size},"scaling_record_pairs_clean":${bwCleanPairs.size},"scaling_record_contended":$bwContended,"scaling_record_utils_lo":${arr(bwPairs.map(_.m8.util).toSeq)},"scaling_record_utils_hi":${arr(bwPairs.map(_.m32.util).toSeq)},"scaling_record_cpusecs_lo":${arr(bwPairs.map(_.m8.cpu).toSeq)},"scaling_record_cpusecs_hi":${arr(bwPairs.map(_.m32.cpu).toSeq)},"scaling_record_spread":${relSpread(bwUsable.map(_.ratio))}%.3f,"scaling_efficiency_8_to_32":$slotEfficiency%.3f,"scaling_8_to_32_methodology":"slot_bounded_paired_forks_median_of_${usable.size}_clean","scaling_pair_ratios":${arr(slotRatios)},"scaling_pairs_attempted":${slotPairs.size},"scaling_pairs_clean":${cleanPairs.size},"scaling_box_contended":$boxContended,"scaling_diag_budget_hit":$diagDeadlineHit,"scaling_tainted_ratios":${arr(slotPairs.filterNot(isClean).map(_.ratio).toSeq)},"scaling_utils_8t":${arr(slotPairs.map(_.m8.util).toSeq)},"scaling_utils_32t":${arr(slotPairs.map(_.m32.util).toSeq)},"scaling_cpusecs_8t":${arr(slotPairs.map(_.m8.cpu).toSeq)},"scaling_cpusecs_32t":${arr(slotPairs.map(_.m32.cpu).toSeq)},"scaling_efficiency_cpuset_bounded":$cpusetEfficiency%.3f,"cpuset_pair_ratios":${arr(cpusetPairs.map(_.ratio))},"scaling_efficiency_executor_mode":$executorEfficiency%.3f,"executor_pair_ratios":${arr(executorPairs.map(_.ratio))},"executor_sec_1x8":${executorPairs.map(_.m8.sec).min}%.2f,"executor_sec_4x8":${executorPairs.map(_.m32.sec).min}%.2f,"scaling_record_sec_2t":${bwPairs.map(_.m8.sec).min}%.2f,"scaling_record_sec_8t":${bwPairs.map(_.m32.sec).min}%.2f,"slot_sec_8t":$slot8%.2f,"slot_sec_32t":$slot32%.2f,"cpuset_sec_8t":$cpu8%.2f,"cpuset_sec_32t":$cpu32%.2f,"slot_runs_8t":${arr(slotPairs.map(_.m8.sec).toSeq)},"slot_runs_32t":${arr(slotPairs.map(_.m32.sec).toSeq)},"slot_spread_8t":${spread(usable.map(_.m8.sec))}%.3f,"slot_spread_32t":${spread(usable.map(_.m32.sec))}%.3f}""")
   }
 }

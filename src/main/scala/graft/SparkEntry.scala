@@ -358,7 +358,7 @@ object SparkEntry {
     },
     // language ID (stopword-marker heuristic)
     "q_langid" -> { (s, dir) => implicit val sp = s; import sp.implicits._
-      t(dir, "documents")
+      operators.Par.spread(t(dir, "documents"))
         .select($"doc_id", graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
         .orderBy("doc_id")
     },
@@ -2140,7 +2140,15 @@ object SparkEntry {
     // the exact audit of the MinHash-LSH recall path; candidates only
     // from shared RAREST-prefix tokens, never all-pairs
     "q_setsim_join" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      // localCheckpoint before the presentation sort: orderBy's range-
+      // partitioning SAMPLING pass otherwise re-executes the whole
+      // verify subtree (distinct → joins → array_intersect — measured
+      // 377 task-seconds of pure recompute at sf0.1); the checkpoint
+      // materializes the result once and the sort samples the
+      // materialized rows (guide §3.3 / §5: truncate an expensive
+      // subtree that is consumed twice). Result rows unchanged.
       operators.SetSim.setSimJoin(t(dir, "documents"), $"doc_id", $"text", 500000L)
+        .localCheckpoint()
         .orderBy("u", "v")
     },
     // Tokenizer vocabulary coverage (TextAnalysis.vocabCoverage): OOV

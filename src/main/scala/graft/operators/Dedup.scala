@@ -377,7 +377,8 @@ object Dedup {
   def exactSubstrDedup(df: DataFrame, id: Column, text: Column, window: Int = 20): DataFrame = {
     require(window >= 2 && window <= 4096, s"window=$window")
     val w = lit(window)
-    val base = df.select(id.cast("long").as("doc_id"), text.as("text"))
+    // per-position hashing is O(chars) heavy map work: widen narrow scans
+    val base = Par.spread(df).select(id.cast("long").as("doc_id"), text.as("text"))
     // 1. the distributed suffix-array stand-in: (doc_id, p, h) per window
     val pos = base.where(length(col("text")) >= window)
       .select(col("doc_id"), explode(transform(

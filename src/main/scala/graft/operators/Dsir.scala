@@ -43,12 +43,13 @@ object Dsir {
   /** Hashed n-gram feature stream: one row per unigram AND bigram
     * occurrence, bucketed. (doc_id, bucket) — in-row, zero shuffle. */
   def docFeatures(df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame = {
+    val src = Par.spread(df) // n-gram explode + poly hash is the heavy map
     val toks = TextAnalysis.tokens(text)
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(id.as("doc_id"), explode(concat(toks, bigrams)).as("gram"))
+    src.select(id.as("doc_id"), explode(concat(toks, bigrams)).as("gram"))
       .select(col("doc_id"),
         pmod(Dedup.polyTokenId(col("gram")), lit(buckets.toLong)).as("bucket"))
   }
@@ -58,10 +59,15 @@ object Dsir {
     * feature counts are control-plane scalars (two longs). */
   def bucketRatios(raw: DataFrame, target: DataFrame, id: Column, text: Column,
                    buckets: Int): DataFrame = {
+    // materialize the two ≤B-row count tables once (bounded by
+    // construction): each is consumed TWICE — by its total-count scalar
+    // below and by the ratio join — and without the checkpoint both
+    // corpus feature passes ran twice (guide §1.2 step 1: don't compute
+    // things twice; §5: cutting lineage of a tiny reused frame is free)
     val tf = docFeatures(target, id, text, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      .groupBy("bucket").agg(count(lit(1)).as("ct")).localCheckpoint()
     val rf = docFeatures(raw, id, text, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+      .groupBy("bucket").agg(count(lit(1)).as("cr")).localCheckpoint()
     // totals re-aggregate the ≤B-row count tables: bounded by construction
     val nt = tf.agg(coalesce(sum("ct"), lit(0L))).head.getLong(0)
     val nr = rf.agg(coalesce(sum("cr"), lit(0L))).head.getLong(0)

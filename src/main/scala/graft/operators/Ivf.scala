@@ -86,8 +86,11 @@ object Ivf {
   /** Lloyd's k-means over (vec_id, embedding). Returns
     * (cid: int, centroid: array<long>) — quantized integer centroids. */
   def train(vectors: DataFrame, k: Int, iters: Int = 4): DataFrame = {
-    val qv = vectors.select(col("vec_id"), quantize(col("embedding")).as("qe"))
-    var centroids = initCentroids(vectors, k).localCheckpoint(true)
+    // the per-iteration assignment (k × dim integer distance per vector)
+    // is the heavy map stage — widen a narrow input once so it does not
+    // run at file-count parallelism (no-op at production width)
+    val qv = Par.spread(vectors).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    var centroids = initCentroids(vectors, k).localCheckpoint(false)
     (1 to iters).foreach { _ =>
       val cLit = centroidLiteral(centroids)
       // one shuffle per iteration: groupBy(cid, pos) partial+final agg
@@ -106,7 +109,7 @@ object Ivf {
       // carry empty clusters forward instead of silently shrinking k
       centroids = centroids.as("p").join(sums.as("n"), Seq("cid"), "left_outer")
         .select(col("cid"), coalesce(col("n.centroid"), col("p.centroid")).as("centroid"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     centroids
   }

@@ -66,7 +66,9 @@ object Pq {
     val d = vectors.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val subdim = d / m
-    val subs = vectors.select(col("vec_id"),
+    // per-iteration per-subspace assignment is the heavy map stage —
+    // widen a narrow input once (no-op at production width)
+    val subs = Par.spread(vectors).select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
         subvec(col("embedding"), j, subdim))).as(Seq("sub", "qe")))
     val n = vectors.count()
@@ -75,7 +77,7 @@ object Pq {
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(col("sub"), (col("vec_id") / stride).cast("int").as("cid"),
         col("qe").as("centroid"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (1 to iters).foreach { _ =>
       val bLit = bookLiteral(books)
       val sums = subs
@@ -93,7 +95,7 @@ object Pq {
       books = books.as("p").join(sums.as("n"), Seq("sub", "cid"), "left_outer")
         .select(col("sub"), col("cid"),
           coalesce(col("n.centroid"), col("p.centroid")).as("centroid"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     books
   }
@@ -103,7 +105,7 @@ object Pq {
     * the output engine-portable and join-ready for ADC). */
   def encode(vectors: DataFrame, books: DataFrame, m: Int, subdim: Int): DataFrame = {
     val bLit = bookLiteral(books)
-    vectors.select(col("vec_id"),
+    Par.spread(vectors).select(col("vec_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
           nearestCid(bLit, j, subvec(col("embedding"), j, subdim)))).as(Seq("sub", "cid")))
       .select(col("vec_id"), col("sub").cast("int").as("sub"), col("cid"))

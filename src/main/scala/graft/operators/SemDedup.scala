@@ -52,9 +52,25 @@ object SemDedup {
     * directly assertable. `assigned` is (vec_id, cid). */
   def duplicateEdges(vectors: DataFrame, assigned: DataFrame, minDotQ: Long): DataFrame = {
     val v = vectors.join(assigned, "vec_id")
-    val left = v.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val right = v.select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    left.join(right, "cid") // equi-join on cid: never a cartesian
+    // Salted, partition-pinned pair join (guide §2.5): with few cells
+    // (small k) the plain cid equi-join has ≤ k distinct keys, and AQE
+    // coalesces its small INPUT exchange to one partition — the whole
+    // quadratic pair scan then runs as a single task (measured 10.8 s
+    // at bench scale). Salt the left side by a deterministic hash of
+    // the vector id, replicate the right side across the S salts, and
+    // pin the partition count so the tiny-input/huge-compute exchange
+    // cannot be re-coalesced. Each same-cell pair still matches exactly
+    // once (at salt = f(a_id)); still an equi-join — never a cartesian.
+    val spark = vectors.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val s = math.max(1, p / 4) // replication factor; cells × salts ≥ p
+    val left = v.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        pmod(xxhash64(col("vec_id")), lit(s.toLong)).as("salt"))
+      .repartition(p, col("cid"), col("salt"))
+    val right = v.select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        explode(sequence(lit(0L), lit(s.toLong - 1))).as("salt"))
+      .repartition(p, col("cid"), col("salt"))
+    left.join(right, Seq("cid", "salt")) // equi-join on (cid, salt)
       .where(col("a_id") < col("b_id") &&
         Similarity.qdot(col("a_emb"), col("b_emb")) >= minDotQ)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -67,9 +83,15 @@ object SemDedup {
     * @param iters    Lloyd iterations (paper uses few; quantizer only
     *                 needs to co-locate near-duplicates, not converge) */
   def run(vectors: DataFrame, k: Int, minDotQ: Long, iters: Int = 3): DataFrame = {
-    val centroids = Ivf.train(vectors, k, iters)
-    val assigned = Ivf.assign(vectors, centroids) // (vec_id, cid) zero-shuffle
-    val edges = duplicateEdges(vectors, assigned, minDotQ)
+    // widen a narrow (few-file) input once: the cell-local pair join and
+    // the Lloyd assignment are the compute-heavy stages and inherit this
+    // partitioning (measured: the pair stage ran as ONE 11 s task at
+    // bench scale because AQE coalesced the tiny exchange ahead of it);
+    // no-op at production width (guide §2.5)
+    val v0 = Par.spread(vectors)
+    val centroids = Ivf.train(v0, k, iters)
+    val assigned = Ivf.assign(v0, centroids) // (vec_id, cid) zero-shuffle
+    val edges = duplicateEdges(v0, assigned, minDotQ)
     val groups = graft.plans.ConnectedComponents.run(edges) // (node, component=min id)
     assigned
       .join(groups.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")

@@ -51,12 +51,42 @@ object SetSim {
         size(col("st")).cast("long").as("n"))
       .withColumn("p",
         (col("n") - expr(s"($tauPpm * n + 999999) div 1000000") + 1L).cast("int"))
-      .localCheckpoint()
-    val pref = ordered.select(col("doc_id"),
-      explode(slice(col("ots"), lit(1), col("p"))).as("token"))
-    val cand = pref.select(col("token"), col("doc_id").as("u"))
-      .join(pref.select(col("token"), col("doc_id").as("v")), Seq("token"))
-      .where(col("u") < col("v"))
+      .localCheckpoint(false)
+    // Prefix rows WITH position: the PPJoin candidate filters (Xiao et
+    // al. 2008, "Efficient similarity joins for near duplicate
+    // detection" — public algorithm) prune inside the join, before the
+    // pair-dedup aggregation ever sees a row (guide §2.3: shuffle/agg
+    // fewer rows; on the dense-vocab fixture the unfiltered prefix join
+    // emitted ~8 rows per candidate pair):
+    //  - LENGTH filter: J ≥ τ ⇒ min(n)·10^6 ≥ τppm·max(n) (exact-integer
+    //    derivation: inter·10^6 ≥ τppm·(n_u+n_v−inter) and inter ≤ min(n));
+    //  - POSITIONAL filter: for the first shared token (positions pu,
+    //    pv, 0-based), overlap ≤ 1 + min(n_u−1−pu, n_v−1−pv), and J ≥ τ
+    //    needs overlap ≥ ⌈τppm·(n_u+n_v) / (10^6+τppm)⌉. Every true pair
+    //    keeps its first-shared-token row, so no false negatives; rows
+    //    for later shared tokens may drop — the pair-level distinct only
+    //    needs one surviving row.
+    // The checkpointed `ordered` collapses to ONE partition at small
+    // scale (AQE coalesces the groupBy ahead of it), and the candidate
+    // join is a broadcast join that PRESERVES stream-side partitioning —
+    // measured as a single 31 s task doing the whole pair generation.
+    // Spread the prefix stream to cluster width before the exploding
+    // join (guide §2.5 input-parallelism fix; explicit count so AQE
+    // cannot re-coalesce the tiny-input/huge-output stage).
+    val nParts = ordered.sparkSession.sparkContext.defaultParallelism
+    val pref = ordered.select(col("doc_id"), col("n"),
+      posexplode(slice(col("ots"), lit(1), col("p"))).as(Seq("pos", "token")))
+      .repartition(nParts)
+    val minOv = expr(
+      s"($tauPpm * (n_u + n_v) + ${1000000L + tauPpm - 1}) div ${1000000L + tauPpm}")
+    val cand = pref.select(col("token"), col("doc_id").as("u"),
+        col("n").as("n_u"), col("pos").as("pu"))
+      .join(pref.select(col("token"), col("doc_id").as("v"),
+        col("n").as("n_v"), col("pos").as("pv")), Seq("token"))
+      .where(col("u") < col("v") &&
+        col("n_u") * 1000000L >= lit(tauPpm) * col("n_v") &&
+        col("n_v") * 1000000L >= lit(tauPpm) * col("n_u") &&
+        lit(1L) + least(col("n_u") - 1L - col("pu"), col("n_v") - 1L - col("pv")) >= minOv)
       .select("u", "v").distinct()
     cand
       .join(ordered.select(col("doc_id").as("u"), col("ots").as("ta"),

@@ -48,7 +48,8 @@ object Sketch {
 
   /** Per-register max-rho table: (reg: long, rho_max: long), only
     * non-empty registers present (empty ⇔ rho 0 by convention). */
-  def hllRegisters(df: DataFrame, value: Column, b: Int = 8): DataFrame = {
+  def hllRegisters(df0: DataFrame, value: Column, b: Int = 8): DataFrame = {
+    val df = Par.spread(df0) // sha256 per row: widen narrow scans
     val (reg, rho) = regRho(value, b)
     df.select(reg.as("reg"), rho.as("rho"))
       .groupBy("reg").agg(max("rho").as("rho_max"))
@@ -131,7 +132,7 @@ object Sketch {
   }
 
   def cmsSketch(df: DataFrame, value: Column, width: Int = 256): DataFrame =
-    df.select(explode(cmsPairs(value, width)).as("p"))
+    Par.spread(df).select(explode(cmsPairs(value, width)).as("p"))
       .select(col("p.row").cast("long").as("row"), col("p.col").as("col"))
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
 

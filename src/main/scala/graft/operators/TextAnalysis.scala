@@ -130,7 +130,8 @@ object TextAnalysis {
     * array (sort + fold inside the row) — zero shuffle, zero explode;
     * the frequency "table" is a sorted-run scan, so a 10^12-doc corpus
     * pays exactly one map pass. */
-  def repetitionMetrics(df: DataFrame, text: Column, idCols: Column*): DataFrame = {
+  def repetitionMetrics(df0: DataFrame, text: Column, idCols: Column*): DataFrame = {
+    val df = Par.spread(df0) // heavy in-row fold: widen narrow scans (guide §2.5)
     val toks = tokens(text)
     val bigrams = transform(sequence(lit(1), size(toks) - 1),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
@@ -245,7 +246,8 @@ object TextAnalysis {
     * broadcasts the model when it fits, else a plain hash join — and
     * one final per-doc agg. Docs with < 2 tokens have no bigrams and
     * are absent from the output (no fluency evidence). */
-  def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def lmScore(df0: DataFrame, id: Column, text: Column): DataFrame = {
+    val df = Par.spread(df0) // heavy per-row scoring: widen narrow scans
     val toks = tokens(text)
     val bg = transform(sequence(lit(1), size(toks) - 1),
       i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))

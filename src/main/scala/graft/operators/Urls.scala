@@ -64,7 +64,8 @@ object Urls {
 
   /** Normalize a URL column of `df` into (idCols..., norm_url, host,
     * domain) — one map pass. */
-  def normalize(df: DataFrame, url: Column, idCols: Column*): DataFrame = {
+  def normalize(df0: DataFrame, url: Column, idCols: Column*): DataFrame = {
+    val df = Par.spread(df0) // regex-heavy map: widen narrow scans (guide §2.5)
     val (n, h, d) = normalized(url)
     df.select(idCols :+ n.as("norm_url") :+ h.as("host") :+ d.as("domain"): _*)
   }

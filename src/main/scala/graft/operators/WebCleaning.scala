@@ -57,8 +57,9 @@ object WebCleaning {
     * Document rule: at least `minLinesPerDoc` surviving lines AND the
     * ORIGINAL text contains neither "{" nor "lorem ipsum" (the C4
     * code/boilerplate document drops). */
-  def c4Clean(df: DataFrame, text: Column, minWordsPerLine: Int,
+  def c4Clean(df0: DataFrame, text: Column, minWordsPerLine: Int,
               minLinesPerDoc: Int, idCols: Column*): DataFrame = {
+    val df = Par.spread(df0) // regex/HOF-heavy map: widen narrow scans
     val lines = split(text, "\n")
     val kept = filter(lines, ln =>
       ln.rlike(TerminalLine) &&
@@ -90,8 +91,9 @@ object WebCleaning {
     * The intermediates are staged as `_gf_*` columns so the integer
     * `div` ratios can reference them by name; Catalyst collapses the
     * projections back into one map stage. */
-  def gopher(df: DataFrame, text: Column, minWords: Long,
+  def gopher(df0: DataFrame, text: Column, minWords: Long,
              maxWords: Long, idCols: Column*): DataFrame = {
+    val df = Par.spread(df0) // regex/HOF-heavy map: widen narrow scans
     val staged = df.withColumn("_gf_text", text)
       .withColumn("_gf_lines", split(col("_gf_text"), "\n"))
       .withColumn("_gf_ws", words(regexp_replace(col("_gf_text"), "\n", " ")))

@@ -48,14 +48,14 @@ object Betweenness {
     val c = edges.columns
     val e = edges.select(col(c(0)).cast("long").as("src"),
         col(c(1)).cast("long").as("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     val spark = edges.sparkSession
 
     // forward BFS: settled (s, v, dist, sigma); per level record the
     // shortest-path-DAG edges (s, pv, v, lvl) with lvl = dist(v)
     var state = sources.toDF("s").select(col("s").cast("long").as("s")).distinct()
       .select(col("s"), col("s").as("v"), lit(0).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = state
     var preds: Option[DataFrame] = None
     var lvl = 0
@@ -66,18 +66,18 @@ object Betweenness {
       // only edges into NOT-YET-SETTLED nodes are shortest-path-DAG edges
       val fresh = step.join(
           state.select(col("s"), col("v").as("w")), Seq("s", "w"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nf = fresh.groupBy(col("s"), col("w").as("v"))
         .agg(sum(col("sigma")).as("sigma"))
         .withColumn("dist", lit(lvl + 1))
         .select(col("s"), col("v"), col("dist"), col("sigma"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       more = nf.limit(1).count() > 0
       if (more) {
         val pe = fresh.select(col("s"), col("pv"), col("w").as("v"),
           lit(lvl + 1).as("lvl"))
-        preds = Some(preds.fold(pe)(_ unionAll pe).localCheckpoint())
-        state = state.unionAll(nf).localCheckpoint()
+        preds = Some(preds.fold(pe)(_ unionAll pe).localCheckpoint(false))
+        state = state.unionAll(nf).localCheckpoint(false)
         frontier = nf
         lvl += 1
       }
@@ -90,7 +90,7 @@ object Betweenness {
     val sigma = state.select(col("s"), col("v"), col("sigma"))
     // backward accumulation, levels maxLvl..1; δ starts at 0 everywhere
     var delta = state.select(col("s"), col("v"), lit(0L).as("delta"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var l = maxLvl
     while (l >= 1) {
       val contrib = pe.where(col("lvl") === l)
@@ -103,7 +103,7 @@ object Betweenness {
       delta = delta.join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v"),
           (col("delta") + coalesce(col("add"), lit(0L))).as("delta"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       l -= 1
     }
     delta.where(col("s") =!= col("v"))

@@ -31,7 +31,7 @@ object Closure {
     * constraints. (Cluster note: swap localCheckpoint → checkpoint with
     * a checkpoint dir, same as [[ConnectedComponents]].) */
   private def materialize(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint()
+    val chk = df.localCheckpoint(false)
     chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
   }
 

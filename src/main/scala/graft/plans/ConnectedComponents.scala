@@ -40,7 +40,7 @@ object ConnectedComponents {
     val a = "a"; val b = "b"
     val truncate: DataFrame => DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
-      else _.localCheckpoint(true)
+      else _.localCheckpoint(false)
 
     val input = edges.toDF(a, b)
     // normalize: drop self loops + dups, both directions not needed yet

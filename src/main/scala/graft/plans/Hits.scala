@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   private def mat(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint()
+    val chk = df.localCheckpoint(false)
     chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
   }
 

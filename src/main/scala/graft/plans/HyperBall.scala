@@ -48,7 +48,7 @@ object HyperBall {
       .union(e.select(col("dst").as("id"))).distinct()
     val (reg, rho) = Sketch.regRho(col("id"), b)
     var regs = nodes.select(col("id"), reg.as("reg"), rho.as("rho"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (1 to rounds).foreach { _ =>
       // ball(v) absorbs ball(u) along v→u: one equi-join on the head,
       // one partial-aggregable max — registers only ever grow
@@ -56,7 +56,7 @@ object HyperBall {
         .select(e("src").as("id"), col("reg"), col("rho"))
       regs = regs.union(fromNbr)
         .groupBy("id", "reg").agg(max("rho").as("rho"))
-        .localCheckpoint(true) // truncate the per-round lineage growth
+        .localCheckpoint(false) // truncate the per-round lineage growth
     }
     regs
   }
@@ -84,14 +84,14 @@ object HyperBall {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val (reg, rho) = Sketch.regRho(col("id"), b)
     // ONE propagation (the registers loop), snapshotting the per-round
     // estimate — maxDepth rounds total, not maxDepth²
     var regs = nodes.select(col("id"), reg.as("reg"), rho.as("rho"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def estOf(r: Int): DataFrame =
       Sketch.estimateFromRegs(regs, Seq("id"), b)
         .select(col("id"), col("estimate").as(s"est$r"))
@@ -101,7 +101,7 @@ object HyperBall {
         .select(e("src").as("id"), col("reg"), col("rho"))
       regs = regs.union(fromNbr)
         .groupBy("id", "reg").agg(max("rho").as("rho"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       acc = acc.join(estOf(d), "id")
     }
     val terms = (1 to maxDepth).map(d =>

@@ -68,7 +68,7 @@ object KTruss {
     val spark = edges.sparkSession
     val truncate: DataFrame => DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
-      else _.localCheckpoint(true)
+      else _.localCheckpoint(false)
 
     val input = edges.toDF("a", "b")
     var e = input.where(col("a") =!= col("b"))

@@ -37,7 +37,7 @@ object LabelProp {
     val spark = edges.sparkSession
     val truncate: DataFrame => DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
-      else _.localCheckpoint(true)
+      else _.localCheckpoint(false)
     val und = truncate(edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct())

@@ -44,7 +44,7 @@ object Louvain {
   def localMoveRound(edges: DataFrame, communities: DataFrame): DataFrame = {
     val canon = edges.toDF("a", "b").where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val comm = communities.toDF("id", "comm")
     val m = canon.count()
     val deg = canon.select(col("u").as("id")).unionAll(canon.select(col("v").as("id")))
@@ -115,7 +115,7 @@ object Louvain {
     * (i, c) partial agg, two |V| hash aggs, one min(struct) argmax —
     * no window, no candidate arrays. */
   def localMoveRoundWeighted(edges: DataFrame, communities: DataFrame): DataFrame = {
-    val canon = canonWeighted(edges).localCheckpoint()
+    val canon = canonWeighted(edges).localCheckpoint(false)
     val comm = communities.toDF("id", "comm")
     val m = canon.agg(sum(col("w"))).first().getLong(0)
     val loops = canon.where(col("u") === col("v"))
@@ -189,26 +189,26 @@ object Louvain {
     var g =
       if (c.length >= 3) canonWeighted(edges)
       else canonWeighted(edges.select(col(c(0)), col(c(1)), lit(1L)))
-    g = g.localCheckpoint()
+    g = g.localCheckpoint(false)
     val spark = edges.sparkSession
     // mapping: original id -> current community (community ids live in
     // the same id space: the representative super-node id)
     var mapping = g.select(col("u").as("id")).unionAll(g.select(col("v").as("id")))
-      .distinct().select(col("id"), col("id").as("comm")).localCheckpoint()
+      .distinct().select(col("id"), col("id").as("comm")).localCheckpoint(false)
     var level = 0
     var levelMoved = true
     while (level < maxLevels && levelMoved) {
       var comm = g.select(col("u").as("id")).unionAll(g.select(col("v").as("id")))
-        .distinct().select(col("id"), col("id").as("comm")).localCheckpoint()
+        .distinct().select(col("id"), col("id").as("comm")).localCheckpoint(false)
       var round = 0
       var moved = 1L
       var anyMove = false
       while (round < maxRoundsPerLevel && moved > 0) {
-        val r = localMoveRoundWeighted(g, comm).localCheckpoint()
+        val r = localMoveRoundWeighted(g, comm).localCheckpoint(false)
         moved = r.where(col("moved")).count()
         if (moved > 0) {
           anyMove = true
-          comm = r.select(col("id"), col("new_comm").as("comm")).localCheckpoint()
+          comm = r.select(col("id"), col("new_comm").as("comm")).localCheckpoint(false)
         }
         round += 1
       }
@@ -217,9 +217,9 @@ object Louvain {
         mapping = mapping.join(
             comm.select(col("comm").as("mcomm"), col("id").as("comm0")),
             mapping("comm") === col("comm0"))
-          .select(mapping("id"), col("mcomm").as("comm")).localCheckpoint()
+          .select(mapping("id"), col("mcomm").as("comm")).localCheckpoint(false)
         g = coarsen(g, comm).select(col("cu").as("u"), col("cv").as("v"), col("w"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       level += 1
     }

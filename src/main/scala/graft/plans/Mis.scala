@@ -77,10 +77,10 @@ object Mis {
     var e = edges.select(col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val all = edges.select(col(c(0)).cast("long").as("id"))
       .unionAll(edges.select(col(c(1)).cast("long").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var active = all
     var mis = active.sparkSession.emptyDataFrame.selectExpr("CAST(NULL AS LONG) AS id").limit(0)
     var r = 0
@@ -90,13 +90,13 @@ object Mis {
         s"Mis.run: $nActive nodes still active after $maxRounds rounds — " +
           "the hash symmetry-breaking failed to converge; raise maxRounds " +
           "or inspect the graph for pathological structure")
-      val st = round(e.select(col("u"), col("v")), active, r).localCheckpoint()
+      val st = round(e.select(col("u"), col("v")), active, r).localCheckpoint(false)
       mis = mis.unionAll(st.where(col("status") === "mis").select(col("id")))
-        .localCheckpoint()
-      active = st.where(col("status") === "active").select(col("id")).localCheckpoint()
+        .localCheckpoint(false)
+      active = st.where(col("status") === "active").select(col("id")).localCheckpoint(false)
       e = e.join(active.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(active.select(col("id").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint()
+        .select(col("u"), col("v")).localCheckpoint(false)
       nActive = active.count()
       r += 1
     }

@@ -29,9 +29,9 @@ object PageRank {
     * @return (id, rank_scaled) — rank in units of 1/scale */
   def run(spark: SparkSession, edges: DataFrame, iters: Int,
           scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
     val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = (scale * 15L) / (100L * n)
@@ -44,7 +44,7 @@ object PageRank {
       rank = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
   }
@@ -69,9 +69,9 @@ object PageRank {
     val e = edges.select(col(c(0)).as("src"), col(c(1)).as("dst"),
         col(c(2)).cast("long").as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
     val n = nodes.count()
     val deg = e.groupBy("src").agg(sum(col("w")).as("wdeg"))
     val base = (scale * 15L) / (100L * n)
@@ -84,7 +84,7 @@ object PageRank {
       rank = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
   }
@@ -102,17 +102,17 @@ object PageRank {
     * @return (id, rank_scaled) in units of 1/scale */
   def personalized(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
                    iters: Int, scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
     val seed = seeds.select(col("id")).distinct()
-      .join(nodes, Seq("id"), "left_semi").localCheckpoint()
+      .join(nodes, Seq("id"), "left_semi").localCheckpoint(false)
     val ns = seed.count()
     require(ns > 0, "personalized PageRank needs at least one seed present in the graph")
     val flagged = nodes
       .join(broadcast(seed.withColumn("is_seed", lit(1L))), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = (scale * 15L) / (100L * ns)
     var rank = flagged.select(col("id"), col("is_seed"),
@@ -125,7 +125,7 @@ object PageRank {
       rank = flagged.join(contrib, Seq("id"), "left")
         .select(col("id"), col("is_seed"),
           (col("is_seed") * lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
   }

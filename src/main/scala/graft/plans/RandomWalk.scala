@@ -61,7 +61,7 @@ object RandomWalk {
       .select(col("g").as("src"), col("id").as("dst"))
     val adj = sampled.groupBy("src")
       .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var state = adj
       .select(col("src").as("start"),
         explode(sequence(lit(0), lit(nWalks - 1))).as("w"))
@@ -80,7 +80,7 @@ object RandomWalk {
           .otherwise(concat(col("path"), lit("|"), nxt.cast("string"))).as("path"),
         when(stuck, col("steps")).otherwise(col("steps") + 1).as("steps"),
         stuck.as("done"))
-      if (s % 4 == 0 && s < len) state = state.localCheckpoint()
+      if (s % 4 == 0 && s < len) state = state.localCheckpoint(false)
     }
     state.select("walk_id", "start", "steps", "path")
   }

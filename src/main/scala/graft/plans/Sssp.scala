@@ -29,15 +29,15 @@ object Sssp {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     import spark.implicits._
-    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(false)
     (1 to rounds).foreach { _ =>
       val relaxed = e.join(dist, e("src") === dist("id"))
         .select(e("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist
   }

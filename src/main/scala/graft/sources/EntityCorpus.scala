@@ -256,10 +256,16 @@ object EntityCorpus {
   }
 
   /** Generate the corpus as a distributed Dataset — `spark.range` scales
-    * to any row count; each partition generates independently. */
-  def generate(spark: SparkSession, n: Long, seed: Long = 42L, nRepos: Int = 50): Dataset[CorpusRow] = {
+    * to any row count; each partition generates independently. Row
+    * content is a pure function of the global row index, so the
+    * generated SET is identical at any `numPartitions` (0 = Spark's
+    * default parallelism); an explicit count lets callers control
+    * output file count without a repartition shuffle. */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L, nRepos: Int = 50,
+               numPartitions: Int = 0): Dataset[CorpusRow] = {
     import spark.implicits._
-    spark.range(n).mapPartitions { it =>
+    val base = if (numPartitions > 0) spark.range(0L, n, 1L, numPartitions) else spark.range(n)
+    base.mapPartitions { it =>
       it.map { i =>
         val repo = repoFor(seed, i, nRepos)
         val path = f"entities/$i%06d.json"
