@@ -248,7 +248,8 @@ object SparkEntry {
       val edges = t(dir, "events").select(
         concat(lit("u"), $"user_id".cast("string")).as("a"),
         concat(lit("t"), $"event_type").as("b")).distinct()
-      graft.plans.ConnectedComponents.run(edges).orderBy("node")
+      // "u"/"t" prefixes make a == b impossible: self-loop-free
+      graft.plans.ConnectedComponents.run(edges, selfLoopFree = true).orderBy("node")
     },
     // full KG pipeline + entity canonicalization (rows-only; golden-tested)
     "kg_canonical_triples" -> { (s, dir) =>
@@ -765,7 +766,7 @@ object SparkEntry {
         $"doc_id", $"text", k = 4, rowsPerBand = 2, minJaccardPercent = 60, rankBased = true)
       val edges = pairs.select(lpad($"id_a".cast("string"), 8, "0").as("a"),
         lpad($"id_b".cast("string"), 8, "0").as("b"))
-      graft.plans.ConnectedComponents.run(edges)
+      graft.plans.ConnectedComponents.run(edges, selfLoopFree = true) // id_a < id_b
         .select($"node".cast("long").as("doc_id"), $"component".cast("long").as("cluster"))
         .orderBy("doc_id")
     },

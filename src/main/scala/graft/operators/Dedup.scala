@@ -103,7 +103,8 @@ object Dedup {
     // representative is the NUMERIC min id and survives the cast back
     def pad(c: Column) = lpad(c.cast("string"), 20, "0")
     val edges = pairs.select(pad(col("id_a")).as("a"), pad(col("id_b")).as("b"))
-    val mapping = graft.plans.ConnectedComponents.run(edges)
+    val mapping = graft.plans.ConnectedComponents // pairs have id_a < id_b
+      .run(edges, selfLoopFree = true)
       .withColumnRenamed("node", "node_id")
     docs.select(id.cast("long").as("doc_id"), quality.cast("long").as("q"))
       .join(mapping, pad(col("doc_id")) === col("node_id"), "left_outer")

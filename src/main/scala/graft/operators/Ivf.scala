@@ -71,6 +71,14 @@ object Ivf {
     typedlit(rows)
   }
 
+  /** same collected model as [[centroidLiteral]], for the JIT kernels */
+  private def centroidArray(centroids: DataFrame): Array[(Int, Array[Long])] = {
+    val rows = centroids.collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Long]](1).toArray))
+    require(rows.nonEmpty, "no centroids")
+    rows
+  }
+
   /** map-side nearest-cid expression over a quantized embedding column:
     * array_min of (d2, cid) structs = lexicographic argmin with
     * deterministic tie-break. */
@@ -92,10 +100,12 @@ object Ivf {
     val qv = Par.spread(vectors).select(col("vec_id"), quantize(col("embedding")).as("qe"))
     var centroids = initCentroids(vectors, k).localCheckpoint(false)
     (1 to iters).foreach { _ =>
-      val cLit = centroidLiteral(centroids)
+      // k×dim integer distances per vector: JIT kernel, identical
+      // lexicographic (d2, cid) argmin (Kernels scaladoc)
+      val near = Kernels.nearestCidKernel(centroidArray(centroids))
       // one shuffle per iteration: groupBy(cid, pos) partial+final agg
       val sums = qv
-        .select(nearestCid(col("qe"), cLit).as("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .select(near(col("qe")).as("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("c"))
         // half-up integer mean: floor((2s + c) / 2c) — exact in double
@@ -117,9 +127,8 @@ object Ivf {
   /** nearest-centroid assignment: (vec_id, cid). Pure map-side (literal
     * centroids), zero shuffle. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cLit = centroidLiteral(centroids)
-    vectors.select(col("vec_id"),
-      nearestCid(quantize(col("embedding")), cLit).as("cid"))
+    val near = Kernels.nearestCidKernel(centroidArray(centroids))
+    vectors.select(col("vec_id"), near(quantize(col("embedding"))).as("cid"))
   }
 
   /** The nProbe nearest cells per probe, map-side (array_sort of the k
@@ -138,13 +147,17 @@ object Ivf {
     * quantized dot product (consistent with Similarity.qdot). */
   def search(vectors: DataFrame, probes: DataFrame, centroids: DataFrame,
              k: Int, nProbe: Int = 2): DataFrame = {
-    val cLit = centroidLiteral(centroids)
-    val indexed = vectors.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
-      nearestCid(quantize(col("embedding")), cLit).as("cid"))
+    val near = Kernels.nearestCidKernel(centroidArray(centroids))
+    val indexed = vectors.select(col("vec_id").as("nid"),
+      quantize(col("embedding")).as("qn"), col("embedding").as("emb_n"))
+      .withColumn("cid", near(col("qn")))
+      .select(col("nid"), col("qn"), col("cid"))
     val wr = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
-    probeCells(probes, centroids, nProbe).join(indexed, "cid")
+    probeCells(probes, centroids, nProbe)
+      .withColumn("qq", quantize(col("emb_q"))).drop("emb_q")
+      .join(indexed, "cid")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("dot", Similarity.qdot(col("emb_q"), col("emb_n")))
+      .withColumn("dot", Kernels.dotQ(col("qq"), col("qn")))
       .withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rn"))
   }

@@ -42,16 +42,24 @@ object SetSim {
       array_distinct(split(text, " ")).as("ts"))
     val tok = docs.select(col("doc_id"), explode(col("ts")).as("token"))
     val dfc = tok.groupBy("token").agg(count(lit(1)).as("tdf"))
-    // per-doc token set in global (df, token) order + the prefix
+    // per-doc token set in global (df, token) order + the prefix; the
+    // parallel tdf array rides along so the verify can MERGE the two
+    // sorted sets in O(|A|+|B|) (Kernels.interSorted) instead of
+    // hash-building array_intersect per candidate pair
     val ordered = tok.join(dfc, "token")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("tdf"), col("token")))).as("st"))
       .select(col("doc_id"),
         transform(col("st"), x => x.getField("token")).as("ots"),
+        transform(col("st"), x => x.getField("tdf")).as("otd"),
         size(col("st")).cast("long").as("n"))
       .withColumn("p",
         (col("n") - expr(s"($tauPpm * n + 999999) div 1000000") + 1L).cast("int"))
       .localCheckpoint(false)
+    // materialized doc count picks the verify strategy below (broadcast
+    // vs shuffle); the action also warms the checkpoint the prefix
+    // stream reads twice
+    val nDocs = ordered.count()
     // Prefix rows WITH position: the PPJoin candidate filters (Xiao et
     // al. 2008, "Efficient similarity joins for near duplicate
     // detection" — public algorithm) prune inside the join, before the
@@ -79,7 +87,7 @@ object SetSim {
       .repartition(nParts)
     val minOv = expr(
       s"($tauPpm * (n_u + n_v) + ${1000000L + tauPpm - 1}) div ${1000000L + tauPpm}")
-    val cand = pref.select(col("token"), col("doc_id").as("u"),
+    val cand0 = pref.select(col("token"), col("doc_id").as("u"),
         col("n").as("n_u"), col("pos").as("pu"))
       .join(pref.select(col("token"), col("doc_id").as("v"),
         col("n").as("n_v"), col("pos").as("pv")), Seq("token"))
@@ -87,13 +95,25 @@ object SetSim {
         col("n_u") * 1000000L >= lit(tauPpm) * col("n_v") &&
         col("n_v") * 1000000L >= lit(tauPpm) * col("n_u") &&
         lit(1L) + least(col("n_u") - 1L - col("pu"), col("n_v") - 1L - col("pv")) >= minOv)
-      .select("u", "v").distinct()
-    cand
-      .join(ordered.select(col("doc_id").as("u"), col("ots").as("ta"),
-        col("n").as("n_u")), Seq("u"))
-      .join(ordered.select(col("doc_id").as("v"), col("ots").as("tb"),
-        col("n").as("n_v")), Seq("v"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .select("u", "v")
+    // pack each doc's ordered token set as ONE space-joined string
+    // (tokens come from a split-on-space, so the separator cannot
+    // occur inside a token) — the verify kernel then crosses the UDF
+    // boundary with two strings + two primitive arrays per pair
+    // instead of materializing every token as a String object
+    val ordA = ordered.select(col("doc_id").as("u"),
+      array_join(col("ots"), " ").as("ta"), col("otd").as("da"), col("n").as("n_u"))
+    val ordB = ordered.select(col("doc_id").as("v"),
+      array_join(col("ots"), " ").as("tb"), col("otd").as("db"), col("n").as("n_v"))
+    // attach joins: broadcast the doc-level side when its MEASURED row
+    // count is small (the candidate stream then never shuffles); at
+    // scale both joins fall back to their shuffle path
+    def side(df: DataFrame): DataFrame =
+      if (nDocs <= 2000000L) broadcast(df) else df
+    cand0.distinct()
+      .join(side(ordA), Seq("u"))
+      .join(side(ordB), Seq("v"))
+      .withColumn("inter", Kernels.interSorted(col("da"), col("ta"), col("db"), col("tb")))
       .withColumn("jac_ppm", expr("inter * 1000000 div (n_u + n_v - inter)"))
       .where(col("jac_ppm") >= tauPpm)
       .select("u", "v", "inter", "n_u", "n_v", "jac_ppm")

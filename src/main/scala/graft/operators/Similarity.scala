@@ -20,19 +20,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** exact integer dot product of two float-array columns */
+  /** Exact integer dot product of two float-array columns. The
+    * rounding-sensitive quantization (round(x·1000), half-up) stays in
+    * the Column path (Ivf.quantize); the 64-multiply fold runs as a
+    * JIT-compiled kernel instead of an interpreted CodegenFallback
+    * zip_with/aggregate chain (guide §1.2 per-task work; measured
+    * ~40 µs → <1 µs per 64-dim pair). Hot pair-join call sites
+    * pre-quantize each side once before the join and call
+    * [[Kernels.dotQ]] directly. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000).cast("long") * round(y.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    Kernels.dotQ(Ivf.quantize(a), Ivf.quantize(b))
 
   /** Brute-force top-k neighbors for a probe set. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("emb_n"))
-    val p = probes.select(col("vec_id").as("qid"), col("embedding").as("emb_q"))
+    val c = corpus.select(col("vec_id").as("nid"), Ivf.quantize(col("embedding")).as("qn"))
+    val p = probes.select(col("vec_id").as("qid"), Ivf.quantize(col("embedding")).as("qq"))
     val pairs = p.crossJoin(c).filter(col("qid") =!= col("nid"))
-      .withColumn("dot", qdot(col("emb_q"), col("emb_n")))
+      .withColumn("dot", Kernels.dotQ(col("qq"), col("qn")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rn"))
@@ -47,13 +51,13 @@ object Similarity {
     * verification baseline; at corpus scale use [[hardNegativesLsh]]
     * (same semantics over bucketed candidates, sublinear). */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("emb_n"),
+    val c = corpus.select(col("vec_id").as("nid"), Ivf.quantize(col("embedding")).as("qn"),
       col("label").as("lbl_n"))
-    val p = probes.select(col("vec_id").as("qid"), col("embedding").as("emb_q"),
+    val p = probes.select(col("vec_id").as("qid"), Ivf.quantize(col("embedding")).as("qq"),
       col("label").as("lbl_q"))
     val pairs = p.crossJoin(c)
       .filter(col("qid") =!= col("nid") && col("lbl_q") =!= col("lbl_n"))
-      .withColumn("dot", qdot(col("emb_q"), col("emb_n")))
+      .withColumn("dot", Kernels.dotQ(col("qq"), col("qn")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rn"))
@@ -111,23 +115,28 @@ object Similarity {
     * carries `label` on both sides and keeps only cross-label pairs. */
   private def lshRank(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int,
                       probeHamming: Int, labelAware: Boolean): DataFrame = {
-    val c = corpus.select(Seq(col("vec_id").as("nid"), col("embedding").as("emb_n"),
+    // pre-quantize each side ONCE before the bucket join (guide §2.3:
+    // the join fan-out then reuses the integer vectors; the dot is the
+    // JIT kernel, not an interpreted per-pair fold)
+    val c = corpus.select(Seq(col("vec_id").as("nid"),
+      Ivf.quantize(col("embedding")).as("qn"),
       signBucket(col("embedding"), bits).as("bucket")) ++
       (if (labelAware) Seq(col("label").as("lbl_n")) else Nil): _*)
     val masks = probeMasks(bits, probeHamming)
-    val p = probes.select(Seq(col("vec_id").as("qid"), col("embedding").as("emb_q"),
+    val p = probes.select(Seq(col("vec_id").as("qid"),
+        Ivf.quantize(col("embedding")).as("qq"),
         explode(transform(typedlit(masks),
           m => signBucket(col("embedding"), bits).bitwiseXOR(m))).as("bucket")) ++
         (if (labelAware) Seq(col("label").as("lbl_q")) else Nil): _*)
     val filt = col("qid") =!= col("nid") &&
       (if (labelAware) col("lbl_q") =!= col("lbl_n") else lit(true))
     val joined = p.join(c, "bucket").filter(filt)
-      .select(col("qid"), col("nid"), col("emb_q"), col("emb_n"))
+      .select(col("qid"), col("nid"), col("qq"), col("qn"))
     // a candidate can surface through several probe buckets — dedupe
     // BEFORE scoring so row_number ranks distinct neighbors (single-
     // probe can't duplicate, skip the extra shuffle there)
     val cand = if (probeHamming == 0) joined else joined.dropDuplicates("qid", "nid")
-    val pairs = cand.withColumn("dot", qdot(col("emb_q"), col("emb_n")))
+    val pairs = cand.withColumn("dot", Kernels.dotQ(col("qq"), col("qn")))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rn"))
@@ -136,12 +145,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: quantized-dot threshold
     * within LSH buckets (the near-dup flavor of the same machinery). */
   def cosineNearDups(corpus: DataFrame, minDot: Long, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
+    val c = corpus.select(col("vec_id"), Ivf.quantize(col("embedding")).as("qe"),
       signBucket(col("embedding"), bits).as("bucket"))
-    val a = c.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = c.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    val a = c.select(col("vec_id").as("id_a"), col("qe").as("qa"), col("bucket"))
+    val b = c.select(col("vec_id").as("id_b"), col("qe").as("qb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .withColumn("dot", qdot(col("emb_a"), col("emb_b")))
+      .withColumn("dot", Kernels.dotQ(col("qa"), col("qb")))
       .filter(col("dot") >= minDot)
       .select(col("id_a"), col("id_b"), col("dot"))
   }
@@ -171,13 +180,13 @@ object Similarity {
     * (vec_id, j, p) rows for engine-portable comparison. */
   def randomProject(vectors: DataFrame, outDim: Int = 16): DataFrame = {
     val d = vectors.select(size(col("embedding"))).head.getInt(0)
-    val signs: Seq[Seq[Long]] = Seq.tabulate(outDim, d)((j, i) => rpSign(j, i))
-    val mLit = typedlit(signs)
-    val qe = Ivf.quantize(col("embedding"))
+    val signs: Array[Array[Long]] = Array.tabulate(outDim, d)((j, i) => rpSign(j, i))
+    // quantization stays in the Column path; the outDim×d multiply-
+    // accumulate runs as one JIT kernel pass per row instead of outDim
+    // interpreted zip_with/aggregate chains (Kernels scaladoc)
+    val proj = Kernels.jlProjectKernel(signs)
     vectors.select(col("vec_id"),
-        posexplode(transform(mLit, row =>
-          aggregate(zip_with(qe, row, (x, s) => x * s),
-            lit(0L), (acc, v) => acc + v))).as(Seq("j", "p")))
+        posexplode(proj(Ivf.quantize(col("embedding")))).as(Seq("j", "p")))
       .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
   }
 }

@@ -132,16 +132,15 @@ object TextAnalysis {
     * pays exactly one map pass. */
   def repetitionMetrics(df0: DataFrame, text: Column, idCols: Column*): DataFrame = {
     val df = Par.spread(df0) // heavy in-row fold: widen narrow scans (guide §2.5)
-    val toks = tokens(text)
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-    df.select(idCols :+
-      size(toks).cast("long").as("n_words") :+
-      size(array_distinct(toks)).cast("long").as("n_distinct_words") :+
-      maxRunSorted(array_sort(toks)).as("top_word_count") :+
-      greatest(size(toks).cast("long") - 1L, lit(0L)).as("n_bigrams") :+
-      when(size(toks) >= 2, maxRunSorted(array_sort(bigrams)))
-        .otherwise(lit(0L)).as("top_bigram_count"): _*)
+    // one JIT kernel pass per row over the token array (replaces four
+    // interpreted sort/fold chains per row — Kernels scaladoc; the
+    // five outputs are expression-for-expression identical, DuckDB-
+    // oracled). Zero-shuffle contract unchanged.
+    df.select(idCols :+ Kernels.repStats(tokens(text)).as("_rep"): _*)
+      .select(idCols.map(c => col(c.toString)) ++ Seq(
+        col("_rep.n_words"), col("_rep.n_distinct_words"),
+        col("_rep.top_word_count"), col("_rep.n_bigrams"),
+        col("_rep.top_bigram_count")): _*)
   }
 
   /** Linear text-classifier inference over hashed bag-of-words features

@@ -34,7 +34,7 @@ object Canonicalize {
 
   /** (entity, canonical) mapping for all entities touched by alias edges. */
   def canonicalMapping(edges: DataFrame): DataFrame =
-    ConnectedComponents.run(edges)
+    ConnectedComponents.run(edges, selfLoopFree = true) // aliasEdges filters a =!= b
       .withColumnRenamed("node", "entity")
       .withColumnRenamed("component", "canonical")
 

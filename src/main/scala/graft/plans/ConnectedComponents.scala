@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components via large-star / small-star
   * alternation (Kiveris et al., "Connected Components in MapReduce and
@@ -35,7 +34,12 @@ object ConnectedComponents {
     * the SparkContext has a checkpoint dir configured (the cluster
     * story: survives executor loss, frees the driver of block
     * ownership), falling back to `localCheckpoint` otherwise. */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** `selfLoopFree = true`: the caller guarantees no row has a == b
+    * (e.g. pair joins emitting a < b, or two-prefix bipartite edges);
+    * skips the self-loop singleton pass, whose scan would re-execute
+    * the caller's whole edge-producing subtree in the final plan. */
+  def run(edges: DataFrame, maxIter: Int = 25,
+          selfLoopFree: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val a = "a"; val b = "b"
     val truncate: DataFrame => DataFrame =
@@ -43,14 +47,21 @@ object ConnectedComponents {
       else _.localCheckpoint(false)
 
     val input = edges.toDF(a, b)
-    // normalize: drop self loops + dups, both directions not needed yet
-    var e = input.where(col(a) =!= col(b))
-      .select(col(a), col(b)).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // normalize: drop self loops + dups, both directions not needed yet.
+    // Iter.mat (checkpoint leaf) instead of a bare persist: callers
+    // hand in edge PLANS that can be whole pipelines (SemDeDup's salted
+    // pair join), and a persisted-but-untruncated plan makes every
+    // round's analysis re-walk that subtree (measured on q_semdedup:
+    // the CC stage dropped ~2-5 s once the input became a leaf).
+    var e = Iter.mat(input.where(col(a) =!= col(b))
+      .select(col(a), col(b)).distinct())
 
     var converged = false
     var iter = 0
     var prevSig = signature(e)
+    // the signature action just materialized e — its row count sizes
+    // the loop's shuffle width (no-op at production scale)
+    Iter.withLoopConf(spark, prevSig._1) {
     while (!converged && iter < maxIter) {
       // ---- large-star: for each u, connect strictly-larger neighbors to
       // min(N(u) ∪ {u})
@@ -76,16 +87,17 @@ object ConnectedComponents {
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig
-      e.unpersist()
       e = next
       iter += 1
     }
+    } // Iter.withLoopConf
 
     // final state: star graphs node→min. Every edge (a,b) has b = component
     // of a; the representative itself appears only on the b side.
     val members = e.select(col(a).as("node"), col(b).as("component"))
     val reps = e.select(col(b).as("node"), col(b).as("component")).distinct()
     val connected = members.union(reps).distinct()
+    if (selfLoopFree) return connected
     // nodes whose ONLY edges were self-loops vanished at normalization —
     // emit each as its own singleton component (left_anti keeps the set
     // difference distributed; the self-loop set is tiny in practice)

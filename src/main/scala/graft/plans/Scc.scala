@@ -72,10 +72,7 @@ object Scc {
 
   /** Fresh-leaf materialization (same rationale as [[Closure.materialize]]:
     * repeated self-referential unions need fresh attribute ids). */
-  private def mat(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(false)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+  private def mat(df: DataFrame): DataFrame = Iter.mat(df)
 
   /** Per-phase telemetry: inner-round counts of the three fixpoints
     * plus how many nodes the phase disposed of. With the default
@@ -117,7 +114,14 @@ object Scc {
     * fixpoint regardless of far movement). Returns the fixpoint table
     * (id, color) and the round count. */
   private def propagateMax(edges: DataFrame, init: DataFrame, from: String, to: String,
-                           jump: Boolean, spend: () => Unit): (DataFrame, Int) = {
+                           jump: Boolean, spend: () => Unit,
+                           stateRows: Long = Long.MaxValue): (DataFrame, Int) = {
+    // bc: broadcast-hint the (id, long, long) state side of each
+    // per-round join when the measured working set is tiny (Iter.bcast
+    // gate) — the edge side then streams from cache with NO exchange
+    // and no AQE stage-materialization jobs (measured on the q_scc
+    // fixture: ~11 scheduled jobs per round → ~4)
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, stateRows)
     var st = mat(init.toDF("id", "color").withColumn("far", col("id")))
     def tot(c: DataFrame): Long = c.agg(sum(col("color"))).head.getLong(0)
     var prev = tot(st)
@@ -128,12 +132,12 @@ object Scc {
       // one edge pass: per-node max in-color + a deterministic
       // in-neighbor (the far seed for self-pointing nodes)
       val msgs = edges
-        .join(st.select(col("id").as("cfrom"), col("color").as("mcolor")),
+        .join(bc(st.select(col("id").as("cfrom"), col("color").as("mcolor"))),
           col(from) === col("cfrom"))
         .select(col(to).as("id"), col("mcolor"), col(from).as("nb"))
         .groupBy("id")
         .agg(max("mcolor").as("in_color"), max("nb").as("in_far"))
-      val relaxed = st.join(msgs, Seq("id"), "left_outer")
+      val relaxed = st.join(bc(msgs), Seq("id"), "left_outer")
       val next =
         if (jump) {
           // fetch far(v)'s row: its color joins the max, its far becomes
@@ -142,7 +146,7 @@ object Scc {
           // coalesce is belt-and-braces.
           val f = st.select(col("id").as("fid"), col("color").as("fcolor"),
             col("far").as("ffar"))
-          relaxed.join(f, col("far") === col("fid"), "left")
+          relaxed.join(bc(f), col("far") === col("fid"), "left")
             .select(col("id"),
               greatest(col("color"),
                 coalesce(col("in_color"), col("color")),
@@ -198,17 +202,27 @@ object Scc {
     val sch = StructType(Seq(StructField("id", LongType), StructField("scc_id", LongType)))
     var assigned = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
 
-    var e = mat(edges.toDF("src", "dst")
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")).distinct())
+    // stage the raw edge list ONCE (the caller's plan may be an
+    // expensive aggregation — previously it was recomputed for e and
+    // twice more for allNodes; guide §2.4: don't recompute what one
+    // materialized pass provides)
+    val raw = mat(edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long")))
+    var e = mat(raw.where(col("src") =!= col("dst")).distinct())
     // self-loop-only nodes are singletons; track every node seen so they
     // (and isolated endpoints of dropped self-loops) still get a row
-    val allNodes = mat(edges.toDF("src", "dst")
-      .select(col("src").cast("long").as("id"))
-      .union(edges.toDF("src", "dst").select(col("dst").cast("long").as("id")))
+    val allNodes = mat(raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id")))
       .distinct())
     var active = allNodes
+    // materialized working-set size drives the loop shuffle width
+    // (Iter.withLoopConf: session conf untouched at production scale)
+    // and gates the per-round broadcast hints (nodes ≤ 2·edges)
+    val eRows = e.count()
+    val nodeBound = if (eRows > Long.MaxValue / 2) Long.MaxValue else 2 * eRows
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, nodeBound)
 
+    Iter.withLoopConf(spark, eRows) {
     var phase = 0
     while (active.limit(1).count() > 0 && phase < maxPhases) {
       var trimRounds = 0
@@ -233,7 +247,7 @@ object Scc {
             .select(col("id")))
         // lazy: both sides are materialized RDDs, and the plan is only
         // re-evaluated by count() now and by the per-phase mat(assigned)
-        val trimmed = active.join(cyclic, Seq("id"), "left_anti")
+        val trimmed = active.join(bc(cyclic), Seq("id"), "left_anti")
         val nTrim = trimmed.count()
         trimming = nTrim > 0
         if (nTrim > 0) {
@@ -244,8 +258,8 @@ object Scc {
           // endpoints ≡ keeping edges with both endpoints cyclic (two
           // semi-joins against the smaller surviving side)
           e = mat(e
-            .join(cyclic.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-            .join(cyclic.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
+            .join(bc(cyclic.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+            .join(bc(cyclic.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi"))
         }
       }
 
@@ -256,7 +270,7 @@ object Scc {
         // beyond any realistic node count)
         val (color, cr) = propagateMax(
           e, active.select(col("id"), col("id").as("color")),
-          "src", "dst", pointerJump, () => spendRound("color", phase))
+          "src", "dst", pointerJump, () => spendRound("color", phase), nodeBound)
         colorRounds = cr
 
         // ---- 3. HARVEST: backward max propagation restricted to
@@ -264,18 +278,18 @@ object Scc {
         // from v through class nodes; v ∈ SCC(root) iff back(v) ==
         // color(v) (the root IS the class max, see object doc)
         val ec = mat(e
-          .join(color.select(col("id").as("csid"), col("color").as("csc")),
+          .join(bc(color.select(col("id").as("csid"), col("color").as("csc"))),
             col("src") === col("csid"))
-          .join(color.select(col("id").as("cdid"), col("color").as("cdc")),
+          .join(bc(color.select(col("id").as("cdid"), col("color").as("cdc"))),
             col("dst") === col("cdid"))
           .where(col("csc") === col("cdc"))
           .select(col("src"), col("dst")))
         val (back, hr) = propagateMax(
           ec, color.select(col("id"), col("id").as("color")),
-          "dst", "src", pointerJump, () => spendRound("harvest", phase))
+          "dst", "src", pointerJump, () => spendRound("harvest", phase), nodeBound)
         harvestRounds = hr
         val members = mat(back.withColumnRenamed("color", "back")
-          .join(color.withColumnRenamed("id", "ci"), col("id") === col("ci"))
+          .join(bc(color.withColumnRenamed("id", "ci")), col("id") === col("ci"))
           .where(col("back") === col("color"))
           .select(col("id"), col("color").as("scc_id")))
         val nMembers = members.count()
@@ -283,10 +297,10 @@ object Scc {
         // ---- 4. assign + shrink
         assigned = assigned.union(members)
         assignedThisPhase += nMembers
-        active = mat(active.join(members, Seq("id"), "left_anti"))
+        active = mat(active.join(bc(members), Seq("id"), "left_anti"))
         e = mat(e
-          .join(members.withColumnRenamed("id", "m1"), col("src") === col("m1"), "left_anti")
-          .join(members.withColumnRenamed("id", "m2"), col("dst") === col("m2"), "left_anti"))
+          .join(bc(members.withColumnRenamed("id", "m1")), col("src") === col("m1"), "left_anti")
+          .join(bc(members.withColumnRenamed("id", "m2")), col("dst") === col("m2"), "left_anti"))
       }
       // truncate the accumulated-union lineage once per phase — plain
       // unions across ~100-round phases otherwise grow the plan tree
@@ -297,6 +311,7 @@ object Scc {
     }
     require(active.limit(1).count() == 0,
       s"Scc did not converge in $maxPhases phases — raise maxPhases")
+    } // Iter.withLoopConf
     assigned
   }
 

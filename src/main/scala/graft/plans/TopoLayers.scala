@@ -28,10 +28,7 @@ import org.apache.spark.sql.functions._
   * [[Scc]]. */
 object TopoLayers {
 
-  private def mat(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(false)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+  private def mat(df: DataFrame): DataFrame = Iter.mat(df)
 
   /** @param edges (src, dst) directed; MUST be acyclic (detect-and-fail
     *        otherwise).
@@ -43,11 +40,13 @@ object TopoLayers {
     val e = mat(edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct())
+    val eRows = e.count() // sizes the loop shuffle width (Iter)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    var st = mat(nodes.withColumn("layer", lit(0L)))
     def tot(c: DataFrame): Long = c.agg(coalesce(sum(col("layer")), lit(0L)))
       .head.getLong(0)
+    Iter.withLoopConf(e.sparkSession, eRows) {
+    var st = mat(nodes.withColumn("layer", lit(0L)))
     var prev = tot(st)
     var rounds = 0
     var changed = true
@@ -71,5 +70,6 @@ object TopoLayers {
       st = nm
     }
     st
+    } // Iter.withLoopConf
   }
 }
