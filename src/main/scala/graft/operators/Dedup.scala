@@ -138,13 +138,9 @@ object Dedup {
     * with both P*31+127 < 2^63 (fold step exact) and 63*P < 2^63
     * (the a*id+b minhash step exact for k ≤ 30), so every intermediate
     * stays inside signed-64 arithmetic in Spark AND DuckDB. */
-  def polyTokenId(token: Column): Column =
-    when(length(token) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(token)),
-          i => ascii(substr(token, i, lit(1))).cast("long")),
-        lit(0L),
-        (h, c) => pmod(h * lit(31L) + c, lit(minhashBigPrime))))
+  def polyTokenId(token: Column): Column = Kernels.polyHash(token)
+  // (JIT kernel — the per-character substr/ascii/pmod interpreted fold
+  // this replaces is bit-identical; see Kernels.polyHashOf)
 
   /** MinHash over poly token ids: the oracle-checkable SCALE path —
     * map-side hashing, partial-aggregable min, no vocabulary shuffle.
@@ -381,10 +377,12 @@ object Dedup {
     // per-position hashing is O(chars) heavy map work: widen narrow scans
     val base = Par.spread(df).select(id.cast("long").as("doc_id"), text.as("text"))
     // 1. the distributed suffix-array stand-in: (doc_id, p, h) per window
+    // — one JIT kernel pass per doc sharing a single UTF-8 encoding
+    // (Kernels.posHashKernel; the interpreted per-position substr +
+    // xxhash64 chain dominated this operator's profile)
+    val posHashes = Kernels.posHashKernel(window)
     val pos = base.where(length(col("text")) >= window)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), length(col("text")) - w),
-        p => struct(p.as("p"), xxhash64(col("text").substr(p + 1, w)).as("h")))).as("ph"))
+      .select(col("doc_id"), explode(posHashes(col("text"))).as("ph"))
       .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
     // 2. window hashes seen ≥2 times anywhere → the duplicate starts
     val dupH = pos.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")

@@ -43,15 +43,14 @@ object Dsir {
   /** Hashed n-gram feature stream: one row per unigram AND bigram
     * occurrence, bucketed. (doc_id, bucket) — in-row, zero shuffle. */
   def docFeatures(df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame = {
-    val src = Par.spread(df) // n-gram explode + poly hash is the heavy map
-    val toks = TextAnalysis.tokens(text)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    src.select(id.as("doc_id"), explode(concat(toks, bigrams)).as("gram"))
-      .select(col("doc_id"),
-        pmod(Dedup.polyTokenId(col("gram")), lit(buckets.toLong)).as("bucket"))
+    val src = Par.spread(df) // n-gram hashing is the heavy map stage
+    // one JIT kernel pass per doc: unigram buckets then bigram buckets,
+    // exactly explode(concat(toks, bigrams)) → pmod(polyTokenId, B)
+    // (Kernels scaladoc; the interpreted per-gram per-character fold
+    // dominated this operator's profile)
+    val feat = Kernels.dsirBucketsKernel(buckets.toLong)
+    src.select(id.as("doc_id"),
+      explode(feat(TextAnalysis.tokens(text))).as("bucket"))
   }
 
   /** Per-bucket importance ratios (bucket, ct, cr, ratio_ppm) over the

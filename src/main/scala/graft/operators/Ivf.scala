@@ -98,7 +98,11 @@ object Ivf {
     // is the heavy map stage — widen a narrow input once so it does not
     // run at file-count parallelism (no-op at production width)
     val qv = Par.spread(vectors).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val n = vectors.count()
     var centroids = initCentroids(vectors, k).localCheckpoint(false)
+    // per-iteration aggregates sized from the measured corpus (no-op at
+    // production scale; the assignment map stage keeps Par.spread width)
+    graft.plans.Iter.withLoopConf(vectors.sparkSession, n) {
     (1 to iters).foreach { _ =>
       // k×dim integer distances per vector: JIT kernel, identical
       // lexicographic (d2, cid) argmin (Kernels scaladoc)
@@ -120,6 +124,7 @@ object Ivf {
       centroids = centroids.as("p").join(sums.as("n"), Seq("cid"), "left_outer")
         .select(col("cid"), coalesce(col("n.centroid"), col("p.centroid")).as("centroid"))
         .localCheckpoint(false)
+    }
     }
     centroids
   }

@@ -75,45 +75,177 @@ object Kernels {
     (qe: Column) => k(qe)
   }
 
-  /** |A ∩ B| of two token SETS, each given as a parallel (tdf array,
-    * space-joined token string) pair sorted by the global (tdf, token)
-    * order (SetSim's ordered-set layout): a single O(|A|+|B|) merge —
-    * replaces the per-pair `array_intersect` hash build in the
-    * set-similarity verify. The tokens ride as ONE string per doc
-    * (tokens cannot contain the separator — they come from a
-    * split-on-space), so the UDF boundary copies two strings and two
-    * primitive arrays instead of materializing hundreds of String
-    * objects per candidate pair. Exact: the comparator (tdf asc, then
-    * token code-point order) is bit-identical to Spark's struct
-    * ordering over (tdf, token) — code-point order == UTF8String
-    * binary order — and per-doc tokens are distinct by construction. */
-  val interSorted = udf((atd: Seq[Long], as: String, btd: Seq[Long], bs: String) => {
-    // token k of a doc spans [start_k, end_k) in its packed string
-    var i = 0; var j = 0; var c = 0L
-    var ia = 0; var ib = 0 // char cursors into as / bs
-    val n = atd.length; val m = btd.length
-    def tokEnd(s: String, start: Int): Int = {
-      val e = s.indexOf(' ', start); if (e < 0) s.length else e
+  /** The repo-wide SQL-portable polynomial token hash, JIT-compiled:
+    * h ← pmod(h·31 + ascii(char_i), P) over the token's characters —
+    * replaces the per-CHARACTER interpreted chain (substr + ascii +
+    * pmod per char via transform/aggregate). Replicates Spark's exact
+    * semantics: `length`/`substr`/`ascii` all operate on CODE POINTS
+    * (ascii of a one-character string = its code point — asserted by
+    * OperatorsSpec's scala-reimplementation test on a non-ASCII doc),
+    * and the fold value stays non-negative, so the pmod is a plain
+    * modulo. */
+  private def PolyPrime = Dedup.minhashBigPrime
+  private[operators] def polyHashOf(s: String): Long = {
+    if (s == null || s.isEmpty) return 0L
+    var h = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % PolyPrime
+      i += Character.charCount(cp)
     }
-    while (i < n && j < m) {
-      val ea = tokEnd(as, ia); val eb = tokEnd(bs, ib)
-      var cmp = java.lang.Long.compare(atd(i), btd(j))
-      if (cmp == 0) {
-        // code-point comparison of as[ia,ea) vs bs[ib,eb), no substrings
-        var x = ia; var y = ib
-        while (cmp == 0 && x < ea && y < eb) {
-          val cx = as.codePointAt(x); val cy = bs.codePointAt(y)
-          if (cx != cy) cmp = Integer.compare(cx, cy)
-          else { x += Character.charCount(cx); y += Character.charCount(cy) }
+    h
+  }
+  val polyHash = udf((s: String) => if (s == null) null else java.lang.Long.valueOf(polyHashOf(s)))
+
+  /** DSIR hashed-n-gram feature stream for one document: the buckets of
+    * every unigram THEN every bigram ("w1 w2"), i.e. exactly
+    * `concat(toks, bigrams)` mapped through pmod(polyTokenId, B) — one
+    * kernel pass instead of a per-gram per-character interpreted fold. */
+  def dsirBucketsKernel(buckets: Long): Column => Column = {
+    val k = udf((toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val out = new Array[Long](if (toks.length >= 2) 2 * toks.length - 1 else toks.length)
+        var i = 0
+        while (i < toks.length) {
+          out(i) = ((polyHashOf(toks(i)) % buckets) + buckets) % buckets
+          i += 1
         }
-        if (cmp == 0) cmp = Integer.compare(ea - x, eb - y)
+        if (toks.length >= 2) {
+          var j = 1
+          while (j < toks.length) {
+            out(toks.length + j - 1) =
+              ((polyHashOf(toks(j - 1) + " " + toks(j)) % buckets) + buckets) % buckets
+            j += 1
+          }
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      })
+    (toks: Column) => k(toks)
+  }
+
+  /** Hashed bag-of-words linear score: Σ_t w[pmod(polyHash(t), D)] in
+    * one pass (TextAnalysis.linearScore's fold, JIT-compiled). */
+  def linearScoreKernel(weights: Array[Long]): Column => Column = {
+    val d = weights.length.toLong
+    val k = udf((toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        var s = 0L; var i = 0
+        while (i < toks.length) {
+          s += weights((((polyHashOf(toks(i)) % d) + d) % d).toInt)
+          i += 1
+        }
+        java.lang.Long.valueOf(s)
+      })
+    (toks: Column) => k(toks)
+  }
+
+  /** Pack a doc's ordered token set — parallel (tdf, token) arrays in
+    * global (tdf, token) order — into ONE binary blob: per token an
+    * 8-byte big-endian tdf, a 4-byte big-endian byte-length, and the
+    * token's UTF-8 bytes. Built once per doc; the pair-verify kernel
+    * then crosses the UDF boundary with two byte arrays (single bulk
+    * copy each) instead of string/array object materialization per
+    * candidate pair. */
+  val setBlob = udf((tdf: Seq[Long], toks: Seq[String]) =>
+    if (tdf == null || toks == null) null
+    else {
+      var total = 0
+      val tb = new Array[Array[Byte]](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        total += 12 + tb(i).length
+        i += 1
       }
-      if (cmp == 0) { c += 1L; i += 1; j += 1; ia = ea + 1; ib = eb + 1 }
-      else if (cmp < 0) { i += 1; ia = ea + 1 }
-      else { j += 1; ib = eb + 1 }
+      val out = java.nio.ByteBuffer.allocate(total)
+      i = 0
+      while (i < toks.length) {
+        out.putLong(tdf(i)); out.putInt(tb(i).length); out.put(tb(i))
+        i += 1
+      }
+      out.array()
+    })
+
+  /** |A ∩ B| of two [[setBlob]]-packed ordered token sets: one
+    * O(|A|+|B|) merge over the raw bytes. Comparator: tdf ascending,
+    * then token by UNSIGNED byte order — identical to Spark's
+    * (tdf, token) struct ordering, since UTF8String binary order IS
+    * unsigned UTF-8 byte order. Exact (per-doc tokens distinct). */
+  val interPacked = udf((a: Array[Byte], b: Array[Byte]) => {
+    var ia = 0; var ib = 0; var c = 0L
+    while (ia < a.length && ib < b.length) {
+      // entry = 8B tdf BE | 4B len BE | bytes
+      var cmp = 0
+      var k = 0
+      while (cmp == 0 && k < 8) { // big-endian long compare; tdf >= 0
+        cmp = (a(ia + k) & 0xff) - (b(ib + k) & 0xff); k += 1
+      }
+      val la = ((a(ia + 8) & 0xff) << 24) | ((a(ia + 9) & 0xff) << 16) |
+        ((a(ia + 10) & 0xff) << 8) | (a(ia + 11) & 0xff)
+      val lb = ((b(ib + 8) & 0xff) << 24) | ((b(ib + 9) & 0xff) << 16) |
+        ((b(ib + 10) & 0xff) << 8) | (b(ib + 11) & 0xff)
+      if (cmp == 0) {
+        var x = ia + 12; var y = ib + 12
+        val ea = x + la; val eb = y + lb
+        while (cmp == 0 && x < ea && y < eb) {
+          cmp = (a(x) & 0xff) - (b(y) & 0xff); x += 1; y += 1
+        }
+        if (cmp == 0) cmp = la - lb
+      }
+      if (cmp == 0) { c += 1L; ia += 12 + la; ib += 12 + lb }
+      else if (cmp < 0) ia += 12 + la
+      else ib += 12 + lb
     }
     c
   })
+
+  /** ExactSubstr position table for one document: (p, xxhash64 of the
+    * `window`-character substring at p) for every start position — one
+    * kernel pass sharing a single UTF-8 encoding of the text, instead
+    * of an interpreted per-position substr + hash chain. Bit-exact:
+    * positions are CODE-POINT indices (Spark `substr`/`length`
+    * semantics) and the hash is Spark's own XXH64 over the substring's
+    * UTF-8 bytes with the engine seed 42. */
+  case class PosHash(p: Int, h: Long)
+  def posHashKernel(window: Int): Column => Column = {
+    val k = udf((text: String) =>
+      if (text == null) null
+      else {
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // code-point index -> byte offset (ASCII fast path: identity)
+        val nCp = text.codePointCount(0, text.length)
+        if (nCp < window) scala.collection.immutable.ArraySeq.empty[PosHash]
+        else {
+          val offs = new Array[Int](nCp + 1)
+          if (bytes.length == text.length) { // pure ASCII
+            var i = 0; while (i <= nCp) { offs(i) = i; i += 1 }
+          } else {
+            var ci = 0; var bo = 0; var cp = 0
+            while (cp < nCp) {
+              offs(cp) = bo
+              val c = text.codePointAt(ci)
+              bo += (if (c < 0x80) 1 else if (c < 0x800) 2 else if (c < 0x10000) 3 else 4)
+              ci += Character.charCount(c)
+              cp += 1
+            }
+            offs(nCp) = bo
+          }
+          val out = new Array[PosHash](nCp - window + 1)
+          var p = 0
+          while (p <= nCp - window) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(p),
+              offs(p + window) - offs(p), 42L)
+            out(p) = PosHash(p, h)
+            p += 1
+          }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+        }
+      })
+    (text: Column) => k(text)
+  }
 
   /** Repetition metrics over a token array in ONE pass: (n_words,
     * n_distinct_words, top_word_count, n_bigrams, top_bigram_count).

@@ -78,6 +78,8 @@ object Pq {
       .select(col("sub"), (col("vec_id") / stride).cast("int").as("cid"),
         col("qe").as("centroid"))
       .localCheckpoint(false)
+    // training aggregates sized from the measured corpus (Iter)
+    graft.plans.Iter.withLoopConf(vectors.sparkSession, n * m) {
     (1 to iters).foreach { _ =>
       val bLit = bookLiteral(books)
       val sums = subs
@@ -96,6 +98,7 @@ object Pq {
         .select(col("sub"), col("cid"),
           coalesce(col("n.centroid"), col("p.centroid")).as("centroid"))
         .localCheckpoint(false)
+    }
     }
     books
   }

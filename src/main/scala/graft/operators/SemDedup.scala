@@ -99,8 +99,14 @@ object SemDedup {
     val assigned = Ivf.assign(v0, centroids) // (vec_id, cid) zero-shuffle
     val edges = duplicateEdges(v0, assigned, minDotQ)
     // duplicateEdges emits src < dst — provably self-loop-free, so CC
-    // skips the singleton pass (it would re-run the pair join)
-    val groups = graft.plans.ConnectedComponents.run(edges, selfLoopFree = true)
+    // skips the singleton pass (it would re-run the pair join). CC's
+    // staging/loop aggregates are sized from the measured corpus
+    // (Iter.withLoopConf — no-op at production scale; the pair stage's
+    // explicit repartition keeps its cluster width regardless).
+    val nV = vectors.count()
+    val groups = graft.plans.Iter.withLoopConf(vectors.sparkSession, nV) {
+      graft.plans.ConnectedComponents.run(edges, selfLoopFree = true)
+    }
     assigned
       .join(groups.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"),

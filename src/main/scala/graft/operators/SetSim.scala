@@ -96,15 +96,15 @@ object SetSim {
         col("n_v") * 1000000L >= lit(tauPpm) * col("n_u") &&
         lit(1L) + least(col("n_u") - 1L - col("pu"), col("n_v") - 1L - col("pv")) >= minOv)
       .select("u", "v")
-    // pack each doc's ordered token set as ONE space-joined string
-    // (tokens come from a split-on-space, so the separator cannot
-    // occur inside a token) — the verify kernel then crosses the UDF
-    // boundary with two strings + two primitive arrays per pair
-    // instead of materializing every token as a String object
+    // pack each doc's ordered token set as ONE binary blob (tdf + token
+    // bytes per entry, built once per doc — Kernels.setBlob): the
+    // per-candidate verify then moves exactly two byte arrays across
+    // the UDF boundary (single bulk copy each) and merge-counts the
+    // intersection in O(|A|+|B|) raw-byte compares
     val ordA = ordered.select(col("doc_id").as("u"),
-      array_join(col("ots"), " ").as("ta"), col("otd").as("da"), col("n").as("n_u"))
+      Kernels.setBlob(col("otd"), col("ots")).as("pa"), col("n").as("n_u"))
     val ordB = ordered.select(col("doc_id").as("v"),
-      array_join(col("ots"), " ").as("tb"), col("otd").as("db"), col("n").as("n_v"))
+      Kernels.setBlob(col("otd"), col("ots")).as("pb"), col("n").as("n_v"))
     // attach joins: broadcast the doc-level side when its MEASURED row
     // count is small (the candidate stream then never shuffles); at
     // scale both joins fall back to their shuffle path
@@ -113,7 +113,7 @@ object SetSim {
     cand0.distinct()
       .join(side(ordA), Seq("u"))
       .join(side(ordB), Seq("v"))
-      .withColumn("inter", Kernels.interSorted(col("da"), col("ta"), col("db"), col("tb")))
+      .withColumn("inter", Kernels.interPacked(col("pa"), col("pb")))
       .withColumn("jac_ppm", expr("inter * 1000000 div (n_u + n_v - inter)"))
       .where(col("jac_ppm") >= tauPpm)
       .select("u", "v", "inter", "n_u", "n_v", "jac_ppm")

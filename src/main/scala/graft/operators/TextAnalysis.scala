@@ -157,10 +157,9 @@ object TextAnalysis {
     * so the DuckDB oracle reproduces it bit-for-bit. */
   def linearScore(df: DataFrame, id: Column, text: Column,
                   weights: Array[Long], threshold: Long = 0L): DataFrame = {
-    val d = weights.length
-    val score = aggregate(tokens(text), lit(0L),
-      (acc, tk) => acc + element_at(lit(weights),
-        pmod(Dedup.polyTokenId(tk), lit(d.toLong)).cast("int") + 1))
+    // one JIT kernel pass per doc (Kernels scaladoc): identical
+    // Σ w[pmod(polyTokenId(t), D)] fold
+    val score = Kernels.linearScoreKernel(weights)(tokens(text))
     df.select(id.as("doc_id"), score.as("score"))
       .withColumn("keep", col("score") > lit(threshold))
   }

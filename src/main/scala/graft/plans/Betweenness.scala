@@ -46,26 +46,34 @@ object Betweenness {
   def approx(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth=$maxDepth")
     val c = edges.columns
-    val e = edges.select(col(c(0)).cast("long").as("src"),
+    val e = Iter.mat(edges.select(col(c(0)).cast("long").as("src"),
         col(c(1)).cast("long").as("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+      .where(col("src") =!= col("dst")).distinct())
+    val eRows = e.count()
     val spark = edges.sparkSession
 
     // forward BFS: settled (s, v, dist, sigma); per level record the
     // shortest-path-DAG edges (s, pv, v, lvl) with lvl = dist(v)
-    var state = sources.toDF("s").select(col("s").cast("long").as("s")).distinct()
-      .select(col("s"), col("s").as("v"), lit(0).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint(false)
+    var state = Iter.mat(sources.toDF("s").select(col("s").cast("long").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0).as("dist"), lit(1L).as("sigma")))
+    val nSources = state.count()
+    // state/DAG bound: |S|·|E| rows worst case — sizes loop width and
+    // gates the per-round state broadcasts
+    val stBound =
+      if (eRows > Long.MaxValue / math.max(1L, nSources)) Long.MaxValue
+      else math.max(1L, nSources) * eRows
+    Iter.withLoopConf(spark, stBound) {
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, stBound)
     var frontier = state
     var preds: Option[DataFrame] = None
     var lvl = 0
     var more = true
     while (lvl < maxDepth && more) {
-      val step = frontier.join(e, frontier("v") === e("src"))
+      val step = e.join(bc(frontier), frontier("v") === e("src"))
         .select(col("s"), frontier("v").as("pv"), e("dst").as("w"), col("sigma"))
       // only edges into NOT-YET-SETTLED nodes are shortest-path-DAG edges
       val fresh = step.join(
-          state.select(col("s"), col("v").as("w")), Seq("s", "w"), "left_anti")
+          bc(state.select(col("s"), col("v").as("w"))), Seq("s", "w"), "left_anti")
         .localCheckpoint(false)
       val nf = fresh.groupBy(col("s"), col("w").as("v"))
         .agg(sum(col("sigma")).as("sigma"))
@@ -76,37 +84,37 @@ object Betweenness {
       if (more) {
         val pe = fresh.select(col("s"), col("pv"), col("w").as("v"),
           lit(lvl + 1).as("lvl"))
-        preds = Some(preds.fold(pe)(_ unionAll pe).localCheckpoint(false))
-        state = state.unionAll(nf).localCheckpoint(false)
+        preds = Some(Iter.mat(preds.fold(pe)(_ unionAll pe)))
+        state = Iter.mat(state.unionAll(nf))
         frontier = nf
         lvl += 1
       }
     }
     val maxLvl = lvl
     if (preds.isEmpty) // no edges from any source: empty result, right schema
-      return state.select(col("v").as("id"), lit(0L).as("bc_ppm")).where(lit(false))
-
+      state.select(col("v").as("id"), lit(0L).as("bc_ppm")).where(lit(false))
+    else {
     val pe = preds.get
     val sigma = state.select(col("s"), col("v"), col("sigma"))
     // backward accumulation, levels maxLvl..1; δ starts at 0 everywhere
-    var delta = state.select(col("s"), col("v"), lit(0L).as("delta"))
-      .localCheckpoint(false)
+    var delta = Iter.mat(state.select(col("s"), col("v"), lit(0L).as("delta")))
     var l = maxLvl
     while (l >= 1) {
       val contrib = pe.where(col("lvl") === l)
-        .join(sigma.select(col("s"), col("v").as("pv"), col("sigma").as("sig_p")),
+        .join(bc(sigma.select(col("s"), col("v").as("pv"), col("sigma").as("sig_p"))),
           Seq("s", "pv"))
-        .join(sigma.select(col("s"), col("v"), col("sigma").as("sig_w")), Seq("s", "v"))
-        .join(delta.select(col("s"), col("v"), col("delta").as("d_w")), Seq("s", "v"))
+        .join(bc(sigma.select(col("s"), col("v"), col("sigma").as("sig_w"))), Seq("s", "v"))
+        .join(bc(delta.select(col("s"), col("v"), col("delta").as("d_w"))), Seq("s", "v"))
         .groupBy(col("s"), col("pv").as("v"))
         .agg(sum(expr("sig_p * (1000000 + d_w) div sig_w")).as("add"))
-      delta = delta.join(contrib, Seq("s", "v"), "left")
+      delta = Iter.mat(delta.join(bc(contrib), Seq("s", "v"), "left")
         .select(col("s"), col("v"),
-          (col("delta") + coalesce(col("add"), lit(0L))).as("delta"))
-        .localCheckpoint(false)
+          (col("delta") + coalesce(col("add"), lit(0L))).as("delta")))
       l -= 1
     }
     delta.where(col("s") =!= col("v"))
       .groupBy(col("v").as("id")).agg(sum(col("delta")).as("bc_ppm"))
+    }
+    }
   }
 }

@@ -26,10 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  private def mat(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(false)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+  private def mat(df: DataFrame): DataFrame = Iter.mat(df)
 
   /** @param edges (src, dst) directed; duplicates ignored.
     * @param iters full hub+authority rounds (contractual, oracle-unrolled).
@@ -40,13 +37,15 @@ object Hits {
     require(iters >= 1, s"iters=$iters")
     val e = mat(edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long")).distinct())
+    val eRows = e.count() // sizes the loop width + state broadcasts
     val nodes = mat(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     def normalized(raw: DataFrame, valueCol: String): DataFrame = {
       // raw: (id, v) — join the one-row L1 total in by broadcast and
       // rescale; nodes absent from raw get 0
       val total = raw.agg(sum(col("v")).as("_tot"))
-      nodes.join(raw, Seq("id"), "left_outer")
+      nodes.join(bc(raw), Seq("id"), "left_outer")
         .crossJoin(broadcast(total))
         .select(col("id"),
           // integer div: v·scale stays in a long for deg·scale² < 2^63
@@ -54,17 +53,19 @@ object Hits {
           expr(s"CAST((coalesce(v, CAST(0 AS BIGINT)) * $scale) div _tot AS BIGINT)")
             .as(valueCol))
     }
+    Iter.withLoopConf(e.sparkSession, eRows) {
     var hub = nodes.withColumn("hub", lit(scale)) // uniform start; the first
     // normalization absorbs the arbitrary constant
     var auth = nodes.withColumn("auth", lit(0L))
     for (_ <- 1 to iters) {
-      val authRaw = e.join(hub.select(col("id").as("src"), col("hub")), "src")
+      val authRaw = e.join(bc(hub.select(col("id").as("src"), col("hub"))), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("v"))
       auth = mat(normalized(authRaw, "auth"))
-      val hubRaw = e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+      val hubRaw = e.join(bc(auth.select(col("id").as("dst"), col("auth"))), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("v"))
       hub = mat(normalized(hubRaw, "hub"))
     }
     hub.join(auth, "id")
+    }
   }
 }

@@ -41,24 +41,27 @@ object HyperBall {
     * always contains the node itself via its init registers). */
   def registers(edges: DataFrame, rounds: Int, b: Int = 4): DataFrame = {
     require(rounds >= 0 && rounds <= 64, s"rounds=$rounds")
-    val e = edges.select(col("src").cast("long").as("src"),
+    // materialize the edge staging ONCE — the caller's plan may be an
+    // aggregation; un-checkpointed it re-executed in EVERY round's join
+    val e = Iter.mat(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct())
+    val eRows = e.count()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val (reg, rho) = Sketch.regRho(col("id"), b)
-    var regs = nodes.select(col("id"), reg.as("reg"), rho.as("rho"))
-      .localCheckpoint(false)
+    Iter.withLoopConf(e.sparkSession, eRows << b) {
+    var regs = Iter.mat(nodes.select(col("id"), reg.as("reg"), rho.as("rho")))
     (1 to rounds).foreach { _ =>
       // ball(v) absorbs ball(u) along v→u: one equi-join on the head,
       // one partial-aggregable max — registers only ever grow
-      val fromNbr = e.join(regs, e("dst") === regs("id"))
+      val fromNbr = e.join(Iter.bcast(regs, eRows << b), e("dst") === regs("id"))
         .select(e("src").as("id"), col("reg"), col("rho"))
-      regs = regs.union(fromNbr)
-        .groupBy("id", "reg").agg(max("rho").as("rho"))
-        .localCheckpoint(false) // truncate the per-round lineage growth
+      regs = Iter.mat(regs.union(fromNbr)
+        .groupBy("id", "reg").agg(max("rho").as("rho")))
     }
     regs
+    }
   }
 
   /** Per-node ball-size estimates: (id, nonzero_regs, harmonic_scaled,
@@ -81,32 +84,32 @@ object HyperBall {
     * row per node: (id, ball_estimate, harmonic_ppm). */
   def harmonicCentrality(edges: DataFrame, maxDepth: Int, b: Int = 4): DataFrame = {
     require(maxDepth >= 1, s"maxDepth=$maxDepth")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e = Iter.mat(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(false)
+      .filter(col("src") =!= col("dst")).distinct())
+    val eRows = e.count()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val (reg, rho) = Sketch.regRho(col("id"), b)
+    Iter.withLoopConf(e.sparkSession, eRows << b) {
     // ONE propagation (the registers loop), snapshotting the per-round
     // estimate — maxDepth rounds total, not maxDepth²
-    var regs = nodes.select(col("id"), reg.as("reg"), rho.as("rho"))
-      .localCheckpoint(false)
+    var regs = Iter.mat(nodes.select(col("id"), reg.as("reg"), rho.as("rho")))
     def estOf(r: Int): DataFrame =
       Sketch.estimateFromRegs(regs, Seq("id"), b)
         .select(col("id"), col("estimate").as(s"est$r"))
     var acc = estOf(0)
     (1 to maxDepth).foreach { d =>
-      val fromNbr = e.join(regs, e("dst") === regs("id"))
+      val fromNbr = e.join(Iter.bcast(regs, eRows << b), e("dst") === regs("id"))
         .select(e("src").as("id"), col("reg"), col("rho"))
-      regs = regs.union(fromNbr)
-        .groupBy("id", "reg").agg(max("rho").as("rho"))
-        .localCheckpoint(false)
-      acc = acc.join(estOf(d), "id")
+      regs = Iter.mat(regs.union(fromNbr)
+        .groupBy("id", "reg").agg(max("rho").as("rho")))
+      acc = acc.join(Iter.bcast(estOf(d), eRows), "id")
     }
     val terms = (1 to maxDepth).map(d =>
       expr(s"((est$d - est${d - 1}) * 1000000) div $d"))
     acc.select(col("id"), col(s"est$maxDepth").as("ball_estimate"),
       terms.reduce(_ + _).as("harmonic_ppm"))
+    }
   }
 }

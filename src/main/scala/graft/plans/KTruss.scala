@@ -71,21 +71,22 @@ object KTruss {
       else _.localCheckpoint(false)
 
     val input = edges.toDF("a", "b")
-    var e = input.where(col("a") =!= col("b"))
+    var e = Iter.mat(input.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+      .distinct())
+    var nEdges = e.count() // materialized input sizes the loop width
     var i = 0
     var done = false
-    var nEdges = -1L
+    Iter.withLoopConf(spark, nEdges) {
     while (i < rounds && !done) {
       val keepEdges = support(e).where(col("sup") >= k - 2).select(col("u"), col("v"))
-      val next = truncate(e.join(keepEdges, Seq("u", "v"), "left_semi"))
-      if (nEdges < 0) nEdges = e.count()
+      val next = truncate(e.join(Iter.bcast(keepEdges, nEdges), Seq("u", "v"), "left_semi"))
       val m = next.count()
       done = m == nEdges
       nEdges = m
       e = next
       i += 1
+    }
     }
     e.join(support(e), Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))

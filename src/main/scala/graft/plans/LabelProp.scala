@@ -41,19 +41,23 @@ object LabelProp {
     val und = truncate(edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct())
+    val undRows = und.count() // sizes loop width + state broadcast
+    Iter.withLoopConf(spark, undRows) {
     var labels = seeds.select(col("id"), col("label"))
     for (_ <- 1 to rounds) {
-      val neigh = und.join(labels, und("b") === labels("id"))
+      val neigh = und.join(Iter.bcast(labels, undRows), und("b") === labels("id"))
         .groupBy(und("a").as("nid"), col("label"))
         .agg(count(lit(1)).as("n"))
       // plurality with smallest-label tie-break: max over (n, -label)
       val upd = neigh.groupBy("nid")
         .agg(max(struct(col("n"), negate(col("label")).as("nl"))).as("w"))
         .select(col("nid").as("id"), negate(col("w.nl")).as("label"))
-      labels = truncate(labels.as("l").join(upd.as("u"), Seq("id"), "left")
+      labels = truncate(labels.as("l").join(Iter.bcast(upd.as("u"), undRows),
+          Seq("id"), "left")
         .select(col("id"),
           coalesce(col("u.label"), col("l.label")).as("label")))
     }
     labels
+    }
   }
 }

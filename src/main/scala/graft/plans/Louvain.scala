@@ -47,6 +47,8 @@ object Louvain {
       .distinct().localCheckpoint(false)
     val comm = communities.toDF("id", "comm")
     val m = canon.count()
+    // per-round state joins broadcast when the measured graph is tiny
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * m)
     val deg = canon.select(col("u").as("id")).unionAll(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("k"))
     val sigtot = deg.join(comm, "id").groupBy(col("comm").as("c"))
@@ -55,17 +57,17 @@ object Louvain {
     // plus a weight-0 "stay" candidate so the own community is always
     // in the argmax even when no neighbor shares it
     val nbr = canon
-      .join(comm.select(col("id").as("v"), col("comm").as("cv")), "v")
+      .join(bc(comm.select(col("id").as("v"), col("comm").as("cv"))), "v")
       .select(col("u").as("i"), col("cv").as("c"), lit(1L).as("w"))
       .unionAll(canon
-        .join(comm.select(col("id").as("u"), col("comm").as("cu")), "u")
+        .join(bc(comm.select(col("id").as("u"), col("comm").as("cu"))), "u")
         .select(col("v").as("i"), col("cu").as("c"), lit(1L).as("w")))
       .unionAll(comm.select(col("id").as("i"), col("comm").as("c"), lit(0L).as("w")))
     val kic = nbr.groupBy("i", "c").agg(sum(col("w")).as("k_ic"))
     val cand = kic
-      .join(sigtot, "c")
-      .join(deg.select(col("id").as("i"), col("k")), "i")
-      .join(comm.select(col("id").as("i"), col("comm").as("own")), "i")
+      .join(bc(sigtot), "c")
+      .join(bc(deg.select(col("id").as("i"), col("k"))), "i")
+      .join(bc(comm.select(col("id").as("i"), col("comm").as("own"))), "i")
       .withColumn("score",
         lit(4L) * lit(m) * col("k_ic") -
           lit(2L) * col("k") *
@@ -116,8 +118,19 @@ object Louvain {
     * no window, no candidate arrays. */
   def localMoveRoundWeighted(edges: DataFrame, communities: DataFrame): DataFrame = {
     val canon = canonWeighted(edges).localCheckpoint(false)
-    val comm = communities.toDF("id", "comm")
     val m = canon.agg(sum(col("w"))).first().getLong(0)
+    moveRoundCanon(canon, m, communities)
+  }
+
+  /** [[localMoveRoundWeighted]] core over an ALREADY-canonical weighted
+    * edge frame with a precomputed total weight `m` — lets the
+    * multi-level driver loop skip the per-round re-canonicalization
+    * and m-aggregate (both loop-invariant within a level). `rowsBound`
+    * gates the per-round broadcast hints (Iter.bcast). */
+  private def moveRoundCanon(canon: DataFrame, m: Long, communities: DataFrame,
+                             rowsBound: Long = Long.MaxValue): DataFrame = {
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, rowsBound)
+    val comm = communities.toDF("id", "comm")
     val loops = canon.where(col("u") === col("v"))
       .select(col("u").as("id"), (col("w") * 2L).as("k"))
     val plain = canon.where(col("u") =!= col("v"))
@@ -128,17 +141,17 @@ object Louvain {
     val sigtot = deg.join(comm, "id").groupBy(col("comm").as("c"))
       .agg(sum(col("k")).as("tot"))
     val nbr = plain
-      .join(comm.select(col("id").as("v"), col("comm").as("cv")), "v")
+      .join(bc(comm.select(col("id").as("v"), col("comm").as("cv"))), "v")
       .select(col("u").as("i"), col("cv").as("c"), col("w"))
       .unionAll(plain
-        .join(comm.select(col("id").as("u"), col("comm").as("cu")), "u")
+        .join(bc(comm.select(col("id").as("u"), col("comm").as("cu"))), "u")
         .select(col("v").as("i"), col("cu").as("c"), col("w")))
       .unionAll(comm.select(col("id").as("i"), col("comm").as("c"), lit(0L).as("w")))
     val kic = nbr.groupBy("i", "c").agg(sum(col("w")).as("k_ic"))
     val cand = kic
-      .join(sigtot, "c")
-      .join(deg.select(col("id").as("i"), col("k")), "i")
-      .join(comm.select(col("id").as("i"), col("comm").as("own")), "i")
+      .join(bc(sigtot), "c")
+      .join(bc(deg.select(col("id").as("i"), col("k"))), "i")
+      .join(bc(comm.select(col("id").as("i"), col("comm").as("own"))), "i")
       .withColumn("score",
         lit(4L) * lit(m) * col("k_ic") -
           lit(2L) * col("k") *
@@ -149,7 +162,7 @@ object Louvain {
     val stay = cand.where(col("c") === col("own"))
       .select(col("i").as("id"), col("own").as("old_comm"),
         col("score").as("stay_score"))
-    stay.join(best, "id")
+    stay.join(bc(best), "id")
       .select(col("id"), col("old_comm"), col("new_comm"),
         col("best_score"), col("stay_score"),
         (col("new_comm") =!= col("old_comm")).as("moved"))
@@ -186,40 +199,46 @@ object Louvain {
   def cluster(edges: DataFrame, maxLevels: Int = 8,
               maxRoundsPerLevel: Int = 16): DataFrame = {
     val c = edges.columns
-    var g =
+    var g = Iter.mat(
       if (c.length >= 3) canonWeighted(edges)
-      else canonWeighted(edges.select(col(c(0)), col(c(1)), lit(1L)))
-    g = g.localCheckpoint(false)
+      else canonWeighted(edges.select(col(c(0)), col(c(1)), lit(1L))))
     val spark = edges.sparkSession
     // mapping: original id -> current community (community ids live in
     // the same id space: the representative super-node id)
-    var mapping = g.select(col("u").as("id")).unionAll(g.select(col("v").as("id")))
-      .distinct().select(col("id"), col("id").as("comm")).localCheckpoint(false)
+    var mapping = Iter.mat(g.select(col("u").as("id")).unionAll(g.select(col("v").as("id")))
+      .distinct().select(col("id"), col("id").as("comm")))
     var level = 0
     var levelMoved = true
     while (level < maxLevels && levelMoved) {
-      var comm = g.select(col("u").as("id")).unionAll(g.select(col("v").as("id")))
-        .distinct().select(col("id"), col("id").as("comm")).localCheckpoint(false)
+      // canonical already (canonWeighted at entry, coarsen afterwards):
+      // total weight and edge count are loop-invariant WITHIN a level —
+      // hoisted out of the rounds (the round previously re-aggregated
+      // canon and re-ran the m action every round)
+      val gRows = g.count()
+      val mW = g.agg(sum(col("w"))).first().getLong(0)
+      var comm = Iter.mat(g.select(col("u").as("id")).unionAll(g.select(col("v").as("id")))
+        .distinct().select(col("id"), col("id").as("comm")))
       var round = 0
       var moved = 1L
       var anyMove = false
-      while (round < maxRoundsPerLevel && moved > 0) {
-        val r = localMoveRoundWeighted(g, comm).localCheckpoint(false)
-        moved = r.where(col("moved")).count()
-        if (moved > 0) {
-          anyMove = true
-          comm = r.select(col("id"), col("new_comm").as("comm")).localCheckpoint(false)
+      Iter.withLoopConf(spark, gRows) {
+        while (round < maxRoundsPerLevel && moved > 0) {
+          val r = Iter.mat(moveRoundCanon(g, mW, comm, 2 * gRows))
+          moved = r.where(col("moved")).count()
+          if (moved > 0) {
+            anyMove = true
+            comm = Iter.mat(r.select(col("id"), col("new_comm").as("comm")))
+          }
+          round += 1
         }
-        round += 1
       }
       levelMoved = anyMove
       if (anyMove) {
-        mapping = mapping.join(
-            comm.select(col("comm").as("mcomm"), col("id").as("comm0")),
+        mapping = Iter.mat(mapping.join(
+            Iter.bcast(comm.select(col("comm").as("mcomm"), col("id").as("comm0")), 2 * gRows),
             mapping("comm") === col("comm0"))
-          .select(mapping("id"), col("mcomm").as("comm")).localCheckpoint(false)
-        g = coarsen(g, comm).select(col("cu").as("u"), col("cv").as("v"), col("w"))
-          .localCheckpoint(false)
+          .select(mapping("id"), col("mcomm").as("comm")))
+        g = Iter.mat(coarsen(g, comm).select(col("cu").as("u"), col("cv").as("v"), col("w")))
       }
       level += 1
     }

@@ -74,17 +74,19 @@ object Mis {
     * graph defeated the hash symmetry-breaking — practically never). */
   def run(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val c = edges.columns
-    var e = edges.select(col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b"))
+    var e = Iter.mat(edges.select(col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(false)
-    val all = edges.select(col(c(0)).cast("long").as("id"))
+      .distinct())
+    val eRows = e.count() // sizes loop width
+    val all = Iter.mat(edges.select(col(c(0)).cast("long").as("id"))
       .unionAll(edges.select(col(c(1)).cast("long").as("id")))
-      .distinct().localCheckpoint(false)
+      .distinct())
     var active = all
     var mis = active.sparkSession.emptyDataFrame.selectExpr("CAST(NULL AS LONG) AS id").limit(0)
     var r = 0
     var nActive = active.count()
+    Iter.withLoopConf(active.sparkSession, eRows) {
     while (nActive > 0) {
       require(r < maxRounds,
         s"Mis.run: $nActive nodes still active after $maxRounds rounds — " +
@@ -100,6 +102,7 @@ object Mis {
       nActive = active.count()
       r += 1
     }
+    } // Iter.withLoopConf
     all.join(mis.withColumn("in_mis", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
   }

@@ -29,24 +29,29 @@ object PageRank {
     * @return (id, rank_scaled) — rank in units of 1/scale */
   def run(spark: SparkSession, edges: DataFrame, iters: Int,
           scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
+    val e = Iter.mat(edges.select(col("src"), col("dst")).distinct())
+    val eRows = e.count() // sizes loop width + state broadcasts
+    val nodes = Iter.mat(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree table is loop-invariant: materialize once instead of
+    // re-aggregating it from e inside every iteration's plan
+    val deg = Iter.mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     val base = (scale * 15L) / (100L * n)
+    Iter.withLoopConf(spark, eRows) {
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .join(deg, "src")
+      val contrib = e.join(bc(rank), e("src") === rank("id"))
+        .join(bc(deg), "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("sc"))
-      rank = nodes.join(contrib, Seq("id"), "left")
+      rank = Iter.mat(nodes.join(bc(contrib), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r")))
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
+    }
   }
 
   /** Edge-weighted PageRank: per-edge contribution is proportional to
@@ -66,27 +71,29 @@ object PageRank {
   def weighted(spark: SparkSession, edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L): DataFrame = {
     val c = edges.columns
-    val e = edges.select(col(c(0)).as("src"), col(c(1)).as("dst"),
+    val e = Iter.mat(edges.select(col(c(0)).as("src"), col(c(1)).as("dst"),
         col(c(2)).cast("long").as("w"))
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .localCheckpoint(false)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w")))
+    val eRows = e.count()
+    val nodes = Iter.mat(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val deg = Iter.mat(e.groupBy("src").agg(sum(col("w")).as("wdeg")))
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     val base = (scale * 15L) / (100L * n)
+    Iter.withLoopConf(spark, eRows) {
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .join(deg, "src")
+      val contrib = e.join(bc(rank), e("src") === rank("id"))
+        .join(bc(deg), "src")
         .select(col("dst").as("id"), expr("(r * w) div wdeg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("sc"))
-      rank = nodes.join(contrib, Seq("id"), "left")
+      rank = Iter.mat(nodes.join(bc(contrib), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r")))
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
+    }
   }
 
   /** Personalized PageRank (random walk with restart): the teleport
@@ -102,31 +109,33 @@ object PageRank {
     * @return (id, rank_scaled) in units of 1/scale */
   def personalized(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
                    iters: Int, scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
-    val seed = seeds.select(col("id")).distinct()
-      .join(nodes, Seq("id"), "left_semi").localCheckpoint(false)
+    val e = Iter.mat(edges.select(col("src"), col("dst")).distinct())
+    val eRows = e.count()
+    val nodes = Iter.mat(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val seed = Iter.mat(seeds.select(col("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi"))
     val ns = seed.count()
     require(ns > 0, "personalized PageRank needs at least one seed present in the graph")
-    val flagged = nodes
+    val flagged = Iter.mat(nodes
       .join(broadcast(seed.withColumn("is_seed", lit(1L))), Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint(false)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed")))
+    val deg = Iter.mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     val base = (scale * 15L) / (100L * ns)
+    Iter.withLoopConf(spark, eRows) {
     var rank = flagged.select(col("id"), col("is_seed"),
       (col("is_seed") * lit(scale / ns)).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .join(deg, "src")
+      val contrib = e.join(bc(rank), e("src") === rank("id"))
+        .join(bc(deg), "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("sc"))
-      rank = flagged.join(contrib, Seq("id"), "left")
+      rank = Iter.mat(flagged.join(bc(contrib), Seq("id"), "left")
         .select(col("id"), col("is_seed"),
-          (col("is_seed") * lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
+          (col("is_seed") * lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r")))
     }
     rank.select(col("id"), col("r").as("rank_scaled"))
+    }
   }
 }

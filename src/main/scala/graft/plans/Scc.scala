@@ -215,6 +215,7 @@ object Scc {
       .union(raw.select(col("dst").as("id")))
       .distinct())
     var active = allNodes
+    var activeN = allNodes.count()
     // materialized working-set size drives the loop shuffle width
     // (Iter.withLoopConf: session conf untouched at production scale)
     // and gates the per-round broadcast hints (nodes ≤ 2·edges)
@@ -224,7 +225,7 @@ object Scc {
 
     Iter.withLoopConf(spark, eRows) {
     var phase = 0
-    while (active.limit(1).count() > 0 && phase < maxPhases) {
+    while (activeN > 0 && phase < maxPhases) {
       var trimRounds = 0
       var colorRounds = 0
       var harvestRounds = 0
@@ -245,15 +246,19 @@ object Scc {
             .groupBy("id").agg(max(col("o")).as("o"), max(col("i")).as("i"))
             .where(col("o") === 1 && col("i") === 1)
             .select(col("id")))
-        // lazy: both sides are materialized RDDs, and the plan is only
-        // re-evaluated by count() now and by the per-phase mat(assigned)
-        val trimmed = active.join(bc(cyclic), Seq("id"), "left_anti")
-        val nTrim = trimmed.count()
+        // one action per trim round: count the SURVIVORS (materializes
+        // the mat above); the trimmed count is the active-count delta —
+        // the old per-round trimmed.count() join-action is gone, and the
+        // left_anti below stays lazy until the per-phase mat(assigned)
+        val cyclicN = cyclic.count()
+        val nTrim = activeN - cyclicN
         trimming = nTrim > 0
         if (nTrim > 0) {
+          val trimmed = active.join(bc(cyclic), Seq("id"), "left_anti")
           assigned = assigned.union(trimmed.select(col("id"), col("id").as("scc_id")))
           assignedThisPhase += nTrim
           active = cyclic
+          activeN = cyclicN
           // e's endpoints are ⊆ active throughout, so dropping trimmed
           // endpoints ≡ keeping edges with both endpoints cyclic (two
           // semi-joins against the smaller surviving side)
@@ -263,7 +268,7 @@ object Scc {
         }
       }
 
-      if (active.limit(1).count() > 0) {
+      if (activeN > 0) {
         // ---- 2. COLOR: forward max propagation to fixpoint (Σcolor
         // strictly increases until the fixpoint, so change detection
         // is a one-row aggregate; sums of ≤2^31 ids fit a long far
@@ -298,6 +303,7 @@ object Scc {
         assigned = assigned.union(members)
         assignedThisPhase += nMembers
         active = mat(active.join(bc(members), Seq("id"), "left_anti"))
+        activeN = active.count()
         e = mat(e
           .join(bc(members.withColumnRenamed("id", "m1")), col("src") === col("m1"), "left_anti")
           .join(bc(members.withColumnRenamed("id", "m2")), col("dst") === col("m2"), "left_anti"))
@@ -309,7 +315,7 @@ object Scc {
       phase += 1
       telemetry(PhaseStats(phase, trimRounds, colorRounds, harvestRounds, assignedThisPhase))
     }
-    require(active.limit(1).count() == 0,
+    require(activeN == 0,
       s"Scc did not converge in $maxPhases phases — raise maxPhases")
     } // Iter.withLoopConf
     assigned

@@ -26,19 +26,20 @@ object Sssp {
   def run(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 256, s"rounds=$rounds")
     val spark = edges.sparkSession
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e = Iter.mat(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
-      .localCheckpoint(false)
+      .groupBy("src", "dst").agg(min("w").as("w"))) // parallel edges: keep cheapest
+    val eRows = e.count() // sizes loop width + state broadcast
     import spark.implicits._
-    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(false)
+    Iter.withLoopConf(spark, eRows) {
+    var dist = Iter.mat(Seq((source, 0L)).toDF("id", "dist"))
     (1 to rounds).foreach { _ =>
-      val relaxed = e.join(dist, e("src") === dist("id"))
+      val relaxed = e.join(Iter.bcast(dist, 2 * eRows), e("src") === dist("id"))
         .select(e("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(false)
+      dist = Iter.mat(dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
     }
     dist
+    }
   }
 }

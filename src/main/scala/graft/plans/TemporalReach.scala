@@ -29,10 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object TemporalReach {
 
-  private def mat(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(false)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+  private def mat(df: DataFrame): DataFrame = Iter.mat(df)
 
   /** @param edges (src, dst, ts) directed temporal edges.
     * @param seeds  (id) seed nodes; arrival 0 (may take any edge).
@@ -46,13 +43,16 @@ object TemporalReach {
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("ts").cast("long"))
       .distinct())
+    val eRows = e.count() // sizes loop width + state broadcast
+    Iter.withLoopConf(e.sparkSession, eRows) {
     var st = mat(seeds.toDF("id").select(col("id").cast("long")).distinct()
       .withColumn("arrival", lit(0L)))
     var hops = 0
     var changed = true
     while (changed && hops < maxHops) {
       hops += 1
-      val msgs = e.join(st.select(col("id").as("src"), col("arrival")), "src")
+      val msgs = e.join(
+          Iter.bcast(st.select(col("id").as("src"), col("arrival")), 2 * eRows), "src")
         .where(col("ts") >= col("arrival"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("ts")).as("in_arrival"))
@@ -68,5 +68,6 @@ object TemporalReach {
       st = nm
     }
     st
+    }
   }
 }

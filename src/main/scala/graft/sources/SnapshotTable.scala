@@ -360,7 +360,15 @@ object SnapshotTable {
           current.join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
             .select(ins.columns.map(col).toSeq: _*))
       }
-    commit(merged, table, partitionCol, replace = true,
+    // rewrite each affected partition as ONE task's output (the
+    // compact() convention — "each key lands on exactly one task"):
+    // without this the anti-join's shuffle width fans every rewritten
+    // partition into shuffle-partition-count small files, which every
+    // subsequent read (and the CDC diff) pays for (guide §6 small
+    // files). Same caveat as compact(): a partition bigger than one
+    // healthy file should be split upstream by the partition key.
+    import org.apache.spark.sql.functions.{col => c}
+    commit(merged.repartition(c(partitionCol)), table, partitionCol, replace = true,
       statsCols = statsCols, clearPartitions = affected)
   }
 
