@@ -62,7 +62,7 @@ object Betweenness {
     val stBound =
       if (eRows > Long.MaxValue / math.max(1L, nSources)) Long.MaxValue
       else math.max(1L, nSources) * eRows
-    Iter.withLoopConf(spark, stBound) {
+    Iter.withLoopConf(spark, stBound, aqeOff = true) {
     def bc(df: DataFrame): DataFrame = Iter.bcast(df, stBound)
     var frontier = state
     var preds: Option[DataFrame] = None

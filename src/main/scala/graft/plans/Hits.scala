@@ -53,7 +53,7 @@ object Hits {
           expr(s"CAST((coalesce(v, CAST(0 AS BIGINT)) * $scale) div _tot AS BIGINT)")
             .as(valueCol))
     }
-    Iter.withLoopConf(e.sparkSession, eRows) {
+    Iter.withLoopConf(e.sparkSession, eRows, aqeOff = true) {
     var hub = nodes.withColumn("hub", lit(scale)) // uniform start; the first
     // normalization absorbs the arbitrary constant
     var auth = nodes.withColumn("auth", lit(0L))

@@ -50,7 +50,7 @@ object HyperBall {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val (reg, rho) = Sketch.regRho(col("id"), b)
-    Iter.withLoopConf(e.sparkSession, eRows << b) {
+    Iter.withLoopConf(e.sparkSession, eRows << b, aqeOff = true) {
     var regs = Iter.mat(nodes.select(col("id"), reg.as("reg"), rho.as("rho")))
     (1 to rounds).foreach { _ =>
       // ball(v) absorbs ball(u) along v→u: one equi-join on the head,
@@ -91,7 +91,7 @@ object HyperBall {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val (reg, rho) = Sketch.regRho(col("id"), b)
-    Iter.withLoopConf(e.sparkSession, eRows << b) {
+    Iter.withLoopConf(e.sparkSession, eRows << b, aqeOff = true) {
     // ONE propagation (the registers loop), snapshotting the per-round
     // estimate — maxDepth rounds total, not maxDepth²
     var regs = Iter.mat(nodes.select(col("id"), reg.as("reg"), rho.as("rho")))

@@ -76,7 +76,8 @@ object Iter {
     * count). No-op when the derived width would not shrink the
     * session's — the production configuration always wins at scale. */
   def withLoopConf[A](spark: SparkSession, rows: Long,
-                      rowsPerPartition: Long = RowsPerPartition)(body: => A): A = {
+                      rowsPerPartition: Long = RowsPerPartition,
+                      aqeOff: Boolean = false)(body: => A): A = {
     val conf = spark.conf
     val sessionParts =
       try conf.get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 200 }
@@ -84,19 +85,27 @@ object Iter {
     if (target >= sessionParts) body
     else {
       val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+      val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
       try {
-        // AQE stays ON: its runtime size observation is what converts
+        // AQE normally stays ON: its runtime size observation converts
         // the loop's state⋈edges joins to broadcast (checkpointed RDD
         // leaves carry no stats, so the static planner would pick
         // sort-merge and pay two extra exchanges per join), and it
         // materializes independent join-side stages concurrently.
         // Measured on q_scc: AQE off + width 1 was 8.7 s vs 6.8 s
-        // baseline; AQE on + derived width is the winning combination.
+        // baseline when the rounds relied on that conversion.
+        // `aqeOff` is for loops whose per-round joins ALL carry
+        // explicit size-gated broadcast hints (bcast): the static plan
+        // is then already the AQE plan, and each round's remaining AQE
+        // contribution is one scheduled query-stage job per exchange.
         conf.set("spark.sql.shuffle.partitions", target.toString)
+        if (aqeOff) conf.set("spark.sql.adaptive.enabled", "false")
         body
       } finally {
         prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
           v => conf.set("spark.sql.shuffle.partitions", v))
+        prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+          v => conf.set("spark.sql.adaptive.enabled", v))
       }
     }
   }

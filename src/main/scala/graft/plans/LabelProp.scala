@@ -42,7 +42,7 @@ object LabelProp {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct())
     val undRows = und.count() // sizes loop width + state broadcast
-    Iter.withLoopConf(spark, undRows) {
+    Iter.withLoopConf(spark, undRows, aqeOff = true) {
     var labels = seeds.select(col("id"), col("label"))
     for (_ <- 1 to rounds) {
       val neigh = und.join(Iter.bcast(labels, undRows), und("b") === labels("id"))

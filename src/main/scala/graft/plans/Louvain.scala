@@ -221,7 +221,7 @@ object Louvain {
       var round = 0
       var moved = 1L
       var anyMove = false
-      Iter.withLoopConf(spark, gRows) {
+      Iter.withLoopConf(spark, gRows, aqeOff = true) {
         while (round < maxRoundsPerLevel && moved > 0) {
           val r = Iter.mat(moveRoundCanon(g, mW, comm, 2 * gRows))
           moved = r.where(col("moved")).count()

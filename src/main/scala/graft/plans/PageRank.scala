@@ -39,7 +39,7 @@ object PageRank {
     val deg = Iter.mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
     def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     val base = (scale * 15L) / (100L * n)
-    Iter.withLoopConf(spark, eRows) {
+    Iter.withLoopConf(spark, eRows, aqeOff = true) {
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
       val contrib = e.join(bc(rank), e("src") === rank("id"))
@@ -81,7 +81,7 @@ object PageRank {
     val deg = Iter.mat(e.groupBy("src").agg(sum(col("w")).as("wdeg")))
     def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     val base = (scale * 15L) / (100L * n)
-    Iter.withLoopConf(spark, eRows) {
+    Iter.withLoopConf(spark, eRows, aqeOff = true) {
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
       val contrib = e.join(bc(rank), e("src") === rank("id"))
@@ -123,7 +123,7 @@ object PageRank {
     val deg = Iter.mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
     def bc(df: DataFrame): DataFrame = Iter.bcast(df, 2 * eRows)
     val base = (scale * 15L) / (100L * ns)
-    Iter.withLoopConf(spark, eRows) {
+    Iter.withLoopConf(spark, eRows, aqeOff = true) {
     var rank = flagged.select(col("id"), col("is_seed"),
       (col("is_seed") * lit(scale / ns)).as("r"))
     for (_ <- 1 to iters) {

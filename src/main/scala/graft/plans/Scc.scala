@@ -223,7 +223,9 @@ object Scc {
     val nodeBound = if (eRows > Long.MaxValue / 2) Long.MaxValue else 2 * eRows
     def bc(df: DataFrame): DataFrame = Iter.bcast(df, nodeBound)
 
-    Iter.withLoopConf(spark, eRows) {
+    // every per-round join below is explicitly broadcast-hinted when
+    // tiny, so the loop opts out of AQE's per-stage scheduling
+    Iter.withLoopConf(spark, eRows, aqeOff = true) {
     var phase = 0
     while (activeN > 0 && phase < maxPhases) {
       var trimRounds = 0

@@ -31,7 +31,7 @@ object Sssp {
       .groupBy("src", "dst").agg(min("w").as("w"))) // parallel edges: keep cheapest
     val eRows = e.count() // sizes loop width + state broadcast
     import spark.implicits._
-    Iter.withLoopConf(spark, eRows) {
+    Iter.withLoopConf(spark, eRows, aqeOff = true) {
     var dist = Iter.mat(Seq((source, 0L)).toDF("id", "dist"))
     (1 to rounds).foreach { _ =>
       val relaxed = e.join(Iter.bcast(dist, 2 * eRows), e("src") === dist("id"))

@@ -44,7 +44,7 @@ object TemporalReach {
         col("ts").cast("long"))
       .distinct())
     val eRows = e.count() // sizes loop width + state broadcast
-    Iter.withLoopConf(e.sparkSession, eRows) {
+    Iter.withLoopConf(e.sparkSession, eRows, aqeOff = true) {
     var st = mat(seeds.toDF("id").select(col("id").cast("long")).distinct()
       .withColumn("arrival", lit(0L)))
     var hops = 0
