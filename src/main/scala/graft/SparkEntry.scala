@@ -679,12 +679,14 @@ object SparkEntry {
     // engines: the 9 most frequent mid-band bigrams (N/20 ≤ df ≤ N/2)
     // round-robined over query ids 0..2.
     "q_bm25_multi" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      // bigram text via one kernel pass per doc (identical to the
+      // concat_ws/transform chain — Kernels.bigramText), checkpointed:
+      // the retrieval stats consume this frame ~5 times
       val docs = t(dir, "documents")
         .select($"doc_id", split($"text", " ").as("w"))
         .filter(size($"w") >= 2)
-        .select($"doc_id", concat_ws(" ",
-          transform(sequence(lit(1), size($"w") - 1),
-            i => concat(element_at($"w", i), lit("_"), element_at($"w", i + 1)))).as("text"))
+        .select($"doc_id", operators.Kernels.bigramText($"w").as("text"))
+        .localCheckpoint(false)
       val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
       val dfAll = tok.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
@@ -705,12 +707,14 @@ object SparkEntry {
     // ranking keeps the oracle exact). Fused per (query, doc):
     // Σ 1000000 div (60 + rn); per-query top-5 via TopKAgg.
     "q_rrf" -> { (s, dir) => implicit val sp = s; import sp.implicits._
+      // bigram text via one kernel pass per doc (identical to the
+      // concat_ws/transform chain — Kernels.bigramText), checkpointed:
+      // the retrieval stats consume this frame ~5 times
       val docs = t(dir, "documents")
         .select($"doc_id", split($"text", " ").as("w"))
         .filter(size($"w") >= 2)
-        .select($"doc_id", concat_ws(" ",
-          transform(sequence(lit(1), size($"w") - 1),
-            i => concat(element_at($"w", i), lit("_"), element_at($"w", i + 1)))).as("text"))
+        .select($"doc_id", operators.Kernels.bigramText($"w").as("text"))
+        .localCheckpoint(false)
       val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
       val dfAll = tok.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))

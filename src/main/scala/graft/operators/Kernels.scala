@@ -247,6 +247,22 @@ object Kernels {
     (text: Column) => k(text)
   }
 
+  /** Adjacent-bigram text: tokens → "w1_w2 w2_w3 …" in one pass —
+    * exactly `concat_ws(" ", transform(sequence(1, n-1), i =>
+    * concat(w[i], "_", w[i+1])))` for n ≥ 2 (callers filter n ≥ 2). */
+  val bigramText = udf((w: Seq[String]) =>
+    if (w == null) null
+    else {
+      val sb = new java.lang.StringBuilder()
+      var i = 1
+      while (i < w.length) {
+        if (i > 1) sb.append(' ')
+        sb.append(w(i - 1)).append('_').append(w(i))
+        i += 1
+      }
+      sb.toString
+    })
+
   /** Repetition metrics over a token array in ONE pass: (n_words,
     * n_distinct_words, top_word_count, n_bigrams, top_bigram_count).
     * Exactly the five expressions of `repetitionMetrics` (max run of

@@ -45,7 +45,7 @@ object TopoLayers {
       .union(e.select(col("dst").as("id"))).distinct()
     def tot(c: DataFrame): Long = c.agg(coalesce(sum(col("layer")), lit(0L)))
       .head.getLong(0)
-    Iter.withLoopConf(e.sparkSession, eRows) {
+    Iter.withLoopConf(e.sparkSession, eRows, aqeOff = true) {
     var st = mat(nodes.withColumn("layer", lit(0L)))
     var prev = tot(st)
     var rounds = 0
@@ -57,10 +57,12 @@ object TopoLayers {
           "cycle (layers grow forever — run Scc.condense first; SCCs are " +
           "exactly the cycles) or a longest path deeper than the budget " +
           "(raise maxRounds; state per round stays bounded, only wall-clock grows).")
-      val msgs = e.join(st.select(col("id").as("src"), col("layer").as("src_layer")), "src")
+      val msgs = e.join(
+          Iter.bcast(st.select(col("id").as("src"), col("layer").as("src_layer")), 2 * eRows),
+          "src")
         .groupBy(col("dst").as("id"))
         .agg((max(col("src_layer")) + 1L).as("in_layer"))
-      val next = st.join(msgs, Seq("id"), "left_outer")
+      val next = st.join(Iter.bcast(msgs, 2 * eRows), Seq("id"), "left_outer")
         .select(col("id"),
           greatest(col("layer"), coalesce(col("in_layer"), col("layer"))).as("layer"))
       val nm = mat(next)
