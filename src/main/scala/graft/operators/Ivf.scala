@@ -53,8 +53,12 @@ object Ivf {
     * For corpora with arbitrary ids, pre-assign dense ids by any
     * deterministic map-side rule (e.g. pmod(xxhash64(id), m)) — the
     * quantizer only needs k spread-out seeds. */
-  def initCentroids(vectors: DataFrame, k: Int): DataFrame = {
-    val n = vectors.count()
+  def initCentroids(vectors: DataFrame, k: Int): DataFrame =
+    initCentroidsN(vectors, k, vectors.count())
+
+  /** [[initCentroids]] with the corpus count supplied — lets `train`
+    * reuse its own count action instead of running a second one. */
+  private def initCentroidsN(vectors: DataFrame, k: Int, n: Long): DataFrame = {
     val stride = math.max(1L, n / k)
     vectors
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
@@ -99,7 +103,7 @@ object Ivf {
     // run at file-count parallelism (no-op at production width)
     val qv = Par.spread(vectors).select(col("vec_id"), quantize(col("embedding")).as("qe"))
     val n = vectors.count()
-    var centroids = initCentroids(vectors, k).localCheckpoint(false)
+    var centroids = initCentroidsN(vectors, k, n).localCheckpoint(false)
     // per-iteration aggregates sized from the measured corpus (no-op at
     // production scale; the assignment map stage keeps Par.spread width)
     graft.plans.Iter.withLoopConf(vectors.sparkSession, n) {
